@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data curation.
+
+Five tiers, all shuffle-disciplined for 100 TB:
+
+- **exact**: group by content digest (md5) — one shuffle on the
+  digest, never on the raw text;
+- **MinHash**: k independent min-hashes over token shingles. Hashing
+  is md5-based (identical hex in every engine → oracle-checkable and
+  cluster-reproducible); signatures are computed scan-side with
+  higher-order array functions, no UDF;
+- **LSH banding**: candidate pairs come from an equi-join on
+  (band_id, band_hash) — the only shuffle key; no cross join exists
+  anywhere;
+- **n-gram Jaccard**: exact verification for candidate pairs via
+  shared-shingle equi-join + per-pair set arithmetic;
+- **SimHash**: 16-bit sign-aggregated fingerprint; hamming-close
+  docs bucket together.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def content_digest(text: Column) -> Column:
+    """Stable content fingerprint for exact dedup."""
+    return F.md5(text)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup: one surviving id per distinct content digest.
+
+    Returns (digest, keep_id, n_copies). Survivor = min id
+    (deterministic). The shuffle key is the 32-char digest, not the
+    document body — at 100 TB the exchange carries ~50 B/row.
+    """
+    return (
+        df.select(
+            content_digest(F.col(text_col)).alias("digest"),
+            F.col(id_col).alias("keep_id"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("keep_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a document as an array column.
+
+    Built with sequence+transform over one split — no explode until
+    a join actually needs rows.
+    """
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 4) -> list[Column]:
+    """MinHash signature: for seed j, min over shingles of
+    md5(j || ':' || shingle). md5's hex ordering is engine-agnostic,
+    so signatures are bit-identical everywhere."""
+    # closure factory, NOT a default-arg lambda: PySpark HOF lambdas
+    # are arity-inspected, and a 2-arg lambda binds the array index
+    def seeded(j: int):
+        prefix = f"{j}:"
+
+        def h(s: Column) -> Column:
+            return F.md5(F.concat(F.lit(prefix), s))
+
+        return h
+
+    return [
+        F.array_min(F.transform(shingles, seeded(j))).alias(f"minhash_{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def lsh_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 4,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash-LSH banding.
+
+    Signature of ``num_hashes`` min-hashes is cut into bands of
+    ``band_size``; docs agreeing on any full band are candidates.
+    Plan: scan→project (signatures) → explode bands (num_hashes/
+    band_size rows per doc) → self-equi-join on (band_id, band_hash)
+    → distinct pairs. The join key is a digest: uniform, small,
+    skew-free.
+    """
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        *minhash_signature(shingles_col(F.col(text_col), shingle_k), num_hashes),
+    )
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"minhash_{b * band_size + r}")
+                                    for r in range(band_size)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    |A∩B| from a shared-shingle equi-join; |A|,|B| carried alongside;
+    J = |A∩B| / (|A|+|B|-|A∩B|). Returns (doc_a, doc_b, jaccard).
+    The shingle join key is content-uniform; a stopword-like shingle
+    hot key would be the skew risk → AQE skew-join covers it.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), shingle_k).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+    exploded = sh.select(
+        "doc_id", "set_size", F.explode("shingles").alias("shingle")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash_col(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint: per-token md5 → first 28 hex bits as int;
+    fingerprint bit i is the sign of Σ_tokens (±1 by token bit i).
+
+    Pure array-expression implementation (conv + bitwise ops inside
+    aggregate) — deterministic and portable.
+    """
+    toks = F.array_distinct(F.split(text, " "))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
+    )
+    def bit_vote(i: int):
+        mask = 1 << i
+
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+
+        return merge
+
+    bit_sums = [
+        F.aggregate(hashes, F.lit(0), bit_vote(i)) for i in range(bits)
+    ]
+    fingerprint = None
+    for i, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return fingerprint.cast("bigint")

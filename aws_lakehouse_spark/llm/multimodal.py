@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a typed
+metadata struct alongside (modality, size, dims). The Spark-side
+plumbing — schema, Arrow batch shape, ``mapInPandas`` signatures,
+partition sizing — is real and tested; the actual codec step is
+stubbed (image/audio libraries are not in this container) behind
+``decode_stub``: a clearly-marked deterministic fake that a real
+deployment replaces with PIL/librosa/ffmpeg calls.
+
+Scale notes: binary payloads ride the scan; metadata-only queries
+prune the payload column at the parquet reader (columnar), so
+"list all 4k videos" never reads a byte of pixel data. Feature
+extraction is ``mapInPandas`` over Arrow record batches —
+per-partition vectorized, bounded memory via
+``maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("content", BinaryType()),
+        StructField("meta_width", IntegerType()),
+        StructField("meta_height", IntegerType()),
+        StructField("size_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("size_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("byte_sum_mod", LongType()),
+    ]
+)
+
+
+def attach_media_columns(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build a media table from a text fixture: payload = utf-8 bytes
+    of the text (deterministic), metadata derived from the id.
+
+    In production this is the ingest step that pairs object-store
+    payload reads with catalog metadata.
+    """
+    mid = F.col(id_col)
+    return df.select(
+        mid.alias("media_id"),
+        F.when(mid % 3 == 0, "image")
+        .when(mid % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        ((mid % 8) * 160 + 320).cast("int").alias("meta_width"),
+        ((mid % 8) * 90 + 180).cast("int").alias("meta_height"),
+        F.octet_length(F.col(text_col)).cast("bigint").alias("size_bytes"),
+    )
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB codec. A real deployment decodes image/audio here (PIL /
+    librosa / pyav). This deterministic fake keeps every downstream
+    shape real: it 'decodes' the payload into summary features."""
+    return {
+        "first_byte": payload[0] if payload else -1,
+        "byte_sum_mod": sum(payload) % 997 if payload else -1,
+    }
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame;
+    the stub decoder runs vectorized per batch. Output schema is
+    fixed (FEATURE_SCHEMA) so Catalyst can plan downstream pruning.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["content"].map(decode_stub)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "size_bytes": pdf["size_bytes"],
+                    "first_byte": decoded.map(lambda d: d["first_byte"]),
+                    "byte_sum_mod": decoded.map(lambda d: d["byte_sum_mod"]),
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: derive the frame
+    index list (metadata-driven, no decode) that a real sampler would
+    extract. Pure expressions → runs JVM-side; the decode of each
+    sampled frame would be a second ``mapInPandas`` like
+    ``extract_features``."""
+    n_frames = (F.col("size_bytes") % 120 + 8).cast("int")
+    return media.filter(F.col("modality") == "video").select(
+        "media_id",
+        n_frames.alias("n_frames"),
+        F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)).alias(
+            "sampled_frames"
+        ),
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **brute force** (the correctness baseline): query set × corpus
+  cosine, top-k per query. The query side is broadcast (queries are
+  few); the corpus is scanned once, never shuffled on the vectors —
+  only the (query_id, sim) pairs move, and TakeOrdered-style window
+  top-k bounds the output.
+- **LSH-bucketed** (the scale path): deterministic random-hyperplane
+  signatures bucket the corpus; queries probe only their bucket.
+  At 100 TB the corpus index is computed once and bucket-partitioned
+  on disk; a probe touches 1/2^bits of the data.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — sequential
+left-to-right double accumulation, bit-identical to the DuckDB
+oracle's list_sum(list_transform(...)) evaluation, so even raw
+cosine values hash-match.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    """Cosine similarity; inputs should be pre-cast to
+    ``array<double>`` (float32→float64 widening is exact)."""
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    Returns (query_id, neighbor_id, cosine_sim, rnk); self-matches
+    excluded; ties broken by neighbor id. ``round_digits`` rounds the
+    similarity *before* ranking so rank order is reproducible across
+    engines/accumulation orders (pass None for raw doubles).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    sim = cosine_sim_col(F.col("q_vec"), F.col("c_vec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", sim)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, bits: int = 8, seed: str = "lsh"
+) -> Column:
+    """Deterministic random-hyperplane LSH signature (int bucket id).
+
+    Plane weights are pseudo-random in [-1, 1), derived from
+    md5(seed:bit:dim) — reproducible across engines and cluster
+    restarts (no RNG state to ship).
+    """
+    sig = None
+    for b in range(bits):
+        weights = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5(F.lit(f"{seed}:{b}:{d}")), 1, 7), 16, 10
+                    ).cast("long")
+                    % 2000
+                )
+                / 1000.0
+                - 1.0
+                for d in range(dim)
+            ]
+        )
+        proj = dot_col(vec, weights)
+        term = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sig.cast("int")
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 6,
+    k: int = 5,
+) -> DataFrame:
+    """ANN top-k: probe only the query's LSH bucket.
+
+    Candidate set = corpus rows whose signature equals the query's →
+    the join is an equi-join on the bucket id (shuffle key: one int).
+    Recall < 1.0 by construction; raise ``bits`` tables or multi-probe
+    for higher recall.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("bucket", hyperplane_signature(F.col("c_vec"), dim, bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("bucket", hyperplane_signature(F.col("q_vec"), dim, bits))
+
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine_sim_col(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data curation.
+
+All pure Column expressions over ``documents.text`` — whole-stage
+codegen end-to-end, no Python in the hot path. At 100 TB these run
+as a single scan+project with no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Deterministic mini stopword profiles for the language-ID heuristic.
+# Real deployments would load per-language n-gram tables; the scoring
+# machinery (per-language token-hit ratio → argmax) is the operator.
+LANGUAGE_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "row", "table", "fast"),
+    "fr": ("le", "la", "valeur", "ligne", "table", "vite"),
+    "de": ("der", "die", "wert", "zeile", "tabelle", "schnell"),
+}
+
+DEFAULT_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
+
+# BPE-ish tokenization: words, digit runs, single punctuation marks.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: Column, sep: str = " ") -> Column:
+    """Whitespace tokenization into an array column."""
+    return F.split(text, sep)
+
+
+def _in_set(words: Sequence[str]):
+    """Unary HOF lambda: token ∈ words.
+
+    NOTE: higher-order-function lambdas are arity-inspected by
+    PySpark — a default-arg capture (``lambda t, w=w:``) silently
+    becomes the binary (element, index) form. Always capture via a
+    closure factory like this one.
+    """
+    wlist = list(words)
+
+    def pred(t: Column) -> Column:
+        return t.isin(*wlist)
+
+    return pred
+
+
+def token_count(text: Column, pattern: str | None = None) -> Column:
+    """Token count: whitespace split by default, or regex-match count
+    (BPE-ish) when ``pattern`` is given. Returns BIGINT."""
+    if pattern is None:
+        return F.size(tokens_col(text)).cast("bigint")
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+
+
+def quality_features(
+    text: Column, stopwords: Sequence[str] = DEFAULT_STOPWORDS
+) -> dict[str, Column]:
+    """Quality-scoring features: token count, mean token length,
+    stopword ratio, distinct-token ratio (repetition signal)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, _in_set(stopwords)))
+    return {
+        "n_tokens": n.cast("bigint"),
+        "avg_token_len": F.length(F.regexp_replace(text, r"\s+", ""))
+        / F.greatest(n, F.lit(1)),
+        "stopword_ratio": stop_hits / F.greatest(n, F.lit(1)),
+        "distinct_ratio": F.size(F.array_distinct(toks))
+        / F.greatest(n, F.lit(1)),
+    }
+
+
+def language_scores(
+    text: Column,
+    profiles: Mapping[str, Sequence[str]] = LANGUAGE_PROFILES,
+) -> dict[str, Column]:
+    """Per-language stopword-hit ratios + argmax prediction.
+
+    Deterministic tie-break: highest score wins, ties resolved by
+    language code order.
+    """
+    toks = tokens_col(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = {
+        f"score_{lang}": F.size(F.filter(toks, _in_set(words))) / n
+        for lang, words in profiles.items()
+    }
+    gmax = F.greatest(*scores.values())
+    pred = None
+    for lang in sorted(profiles):  # first-wins → ties go to code order
+        cond = scores[f"score_{lang}"] == gmax
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    scores["lang_pred"] = pred.otherwise("unknown")
+    return scores

@@ -1,0 +1,131 @@
+"""Join operators (SURVEY §2.3 J1-J3 + declared extensions).
+
+The reference's join surface is the Athena star-schema layer
+(``README.md:256-275``): inner equi-joins fact→dim on surrogate keys.
+Engine policy for scale:
+
+- dimension sides are explicitly ``broadcast()``-hinted when the
+  caller says they are dims — at 100 TB the fact side never moves;
+- semi/anti/range/as-of joins are engine extensions (SURVEY §2.3
+  "not present in the reference") needed by the LLM-pipeline ops;
+- the as-of join is a *single-shuffle* union+window implementation,
+  not a pandas merge_asof: both sides shuffle once on the key, then a
+  running ``last(value)`` window resolves the as-of match. This
+  scales to arbitrarily large both-sides (no broadcast, no driver
+  collect) and handles skew via AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def join_fact_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1/J2 — star equi-join; dim side broadcast by default.
+
+    ``on`` may be a column name (same name both sides, J1), a list of
+    names, or an arbitrary join Column (different key names, J2 —
+    ``README.md:266-275``'s ``pickup_zone_id = zone_id`` shape).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on, how)
+
+
+def left_enrich(
+    fact: DataFrame, dim: DataFrame, on: str | list[str] | Column,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J3 — left-join enrichment where fact keys may miss dim rows
+    (the reference's stations→countries 2-char-prefix lookup,
+    ``glue-jobs/noaa_dimensions_bronze_to_silver.py:118-120``)."""
+    return join_fact_dim(fact, dim, on, "left", broadcast_dim)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """EXISTS-style filter: left rows with a match in right."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """NOT EXISTS-style filter: left rows without a match in right."""
+    return left.join(right, on, "left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval/range join on a non-equi condition.
+
+    With a broadcast right side Catalyst plans BroadcastNestedLoop —
+    the right strategy when the band table is tiny (price bands,
+    bucket boundaries). For two large sides, pre-bucket both sides on
+    a coarsened key and equi-join on the bucket first (see
+    ``llm.similarity`` for that pattern).
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, condition, "inner")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row at or
+    before it (``direction='backward'``) with the same key.
+
+    Implementation: tag and union both sides, then a running
+    ``last(value, ignorenulls=True)`` window per key ordered by
+    (ts, side) resolves each left row's as-of match in one shuffle.
+    Cost: one exchange on ``key_cols`` + one sort — no nested loop,
+    no broadcast requirement, skew handled by AQE. ``'forward'``
+    direction is the mirrored window (next right row at/after).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    keys = list(key_cols)
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = right.select(
+        *keys, ts_col, *[F.col(c).alias(c + suffix) for c in value_cols]
+    ).withColumn("__side", F.lit(0))
+    # right rows sort before left rows at equal ts so an exact-ts
+    # right match is visible to the left row (merge_asof semantics)
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    filled = unioned.withColumns(
+        {
+            c + suffix: F.last(F.col(c + suffix), ignorenulls=True).over(w)
+            for c in value_cols
+        }
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

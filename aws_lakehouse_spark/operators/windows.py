@@ -1,0 +1,81 @@
+"""Window-function operators (SURVEY §2.5 W1-W2 + frame specs).
+
+W1 is the reference's declared dedup strategy — "Deduplicação
+(window functions)" on a composite key (``README.md:95,307``):
+``row_number() OVER (PARTITION BY key ORDER BY tiebreak) = 1``.
+W2 generalizes the README's global top-k to per-group ranking.
+Frame-spec running aggregates are the idiomatic Gold-layer analytic
+the reference implies but never writes (SURVEY §2.5).
+
+Scale note: a window over ``partitionBy(keys)`` is one shuffle on
+those keys; skewed keys are the risk (AQE does not split window
+partitions). The dedup key in practice (entity id + day) is
+high-cardinality, which is the safe shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dedupe_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    tiebreak: Sequence[Column],
+) -> DataFrame:
+    """W1 — keep exactly one row per composite key, deterministically
+    chosen by ``tiebreak`` ordering (first row wins)."""
+    w = Window.partitionBy(*keys).orderBy(*tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rank_per_group(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int | None = None,
+    rank_col: str = "rnk",
+    method: str = "row_number",
+) -> DataFrame:
+    """W2 — rank rows within each group; optionally keep top-k.
+
+    ``method`` ∈ {row_number, rank, dense_rank}.
+    """
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[
+        method
+    ]
+    w = Window.partitionBy(*group_keys).orderBy(*order_by)
+    out = df.withColumn(rank_col, fn().over(w))
+    if k is not None:
+        out = out.filter(F.col(rank_col) <= k)
+    return out
+
+
+def windowed_running(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    order_by: Sequence[Column],
+    aggs: dict[str, tuple[Column, int | None, int]],
+) -> DataFrame:
+    """Frame-spec running aggregates.
+
+    ``aggs`` maps output name → (aggregate Column, frame start, frame
+    end) where frame bounds follow ``Window.rowsBetween`` (None start
+    → unbounded preceding). E.g. running total: ``(F.sum(c), None,
+    0)``; 7-row moving average: ``(F.avg(c), -6, 0)``.
+    """
+    base = Window.partitionBy(*group_keys).orderBy(*order_by)
+    cols = {}
+    for name, (agg, start, end) in aggs.items():
+        frame = base.rowsBetween(
+            Window.unboundedPreceding if start is None else start, end
+        )
+        cols[name] = agg.over(frame)
+    return df.withColumns(cols)

@@ -1,0 +1,184 @@
+"""Event-time window query surface (SURVEY §2.10).
+
+The reference is purely batch (daily EventBridge cron), so these are
+engine extensions — but they are the batch-checkable faces of the
+Structured Streaming operators in ``aws_lakehouse_spark.streaming``:
+the same ``F.window`` / ``F.session_window`` expressions run
+identically under ``readStream``, which is how the engine implements
+the reference's only incremental mechanism (Glue job bookmarks,
+``terraform/glue.tf:158``) at the streaming tier.
+
+Oracle notes: ``events.ts`` is TIMESTAMP(NANOS) in parquet; both
+sides truncate to µs (Spark via nanosAsLong+timestamp_micros, DuckDB
+via CAST AS TIMESTAMP) so window boundaries agree exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.registry import register
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+             AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Tumbling 1-hour event-time window aggregate; identical "
+    "expression runs under readStream with a watermark.",
+    bench=True,
+)
+def events_tumbling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        events.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH slid AS (
+        SELECT e.*, make_timestamp(
+                 CAST((FLOOR(epoch(CAST(e.ts AS TIMESTAMP)) / 1800) - k.k)
+                      * 1800 * 1000000 AS BIGINT)) AS window_start
+        FROM events e, (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Sliding window (1 h length, 30 min slide): each event lands "
+    "in 2 windows. Oracle expands the two candidate window starts "
+    "per event explicitly.",
+)
+def events_sliding_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        events.groupBy(win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP)
+                            - lag(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Session window (30 min gap) per user. Spark's "
+    "session_window end = last event + gap; the oracle reproduces "
+    "that with a gaps-and-islands rewrite.",
+)
+def events_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    win = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        events.groupBy(win, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_dedup_within_time",
+    oracle="""
+    SELECT user_id, event_type, minute_bucket, n_kept FROM (
+        SELECT user_id, event_type,
+               date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute_bucket,
+               CAST(1 AS BIGINT) AS n_kept,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type,
+                                date_trunc('minute', CAST(ts AS TIMESTAMP))
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Batch face of dropDuplicatesWithinWatermark: one event per "
+    "(user, type, minute) bucket, earliest wins.",
+)
+def events_dedup_within_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators import dedupe_by_key
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "minute_bucket", F.date_trunc("minute", F.col("ts"))
+    )
+    out = dedupe_by_key(
+        events,
+        ["user_id", "event_type", "minute_bucket"],
+        [F.asc("ts"), F.asc("event_id")],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("minute_bucket").cast("timestamp_ntz").alias("minute_bucket"),
+        F.lit(1).cast("bigint").alias("n_kept"),
+    )

@@ -1,0 +1,158 @@
+"""Deduplication query surface (LLM training-data ops).
+
+MinHash/SimHash use md5-derived hashing, so every tier except the
+(approximation-free-by-construction) LSH candidate generation is
+exactly oracle-checkable — signatures, bands, Jaccard values and
+fingerprints are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.llm.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_band_pairs,
+    minhash_signature,
+    shingles_col,
+    simhash_col,
+)
+from aws_lakehouse_spark.plans.llm_text import DUCK_SHINGLES, DUCK_TOKS
+from aws_lakehouse_spark.registry import register
+
+SIMHASH_BITS = 16
+
+DUCK_SIG = f"""
+    SELECT doc_id,
+           list_min(list_transform({DUCK_SHINGLES}, s -> md5('0:' || s))) AS minhash_0,
+           list_min(list_transform({DUCK_SHINGLES}, s -> md5('1:' || s))) AS minhash_1,
+           list_min(list_transform({DUCK_SHINGLES}, s -> md5('2:' || s))) AS minhash_2,
+           list_min(list_transform({DUCK_SHINGLES}, s -> md5('3:' || s))) AS minhash_3
+    FROM documents
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    category="llm dedup",
+    doc="Exact dedup via content digest: one survivor per digest "
+    "group; the shuffle carries 32-byte digests, never document "
+    "bodies.",
+    bench=True,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=DUCK_SIG,
+    category="llm dedup",
+    doc="MinHash signatures (k=4, md5-seeded) over distinct 3-token "
+    "shingles — computed scan-side with higher-order array "
+    "functions, no UDF, no shuffle.",
+)
+def dedup_minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", *minhash_signature(shingles_col(F.col("text"), 3), 4)
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS ({DUCK_SIG}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id,
+               md5(minhash_0 || '|' || minhash_1) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_id,
+               md5(minhash_2 || '|' || minhash_3) AS band_hash FROM sig
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    """,
+    category="llm dedup",
+    doc="MinHash-LSH candidate pairs: signatures banded 2×2; "
+    "candidates come from an equi-join on (band_id, band_hash) — "
+    "no cross join at any scale.",
+)
+def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_band_pairs(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=4, band_size=2
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS shingles
+        FROM documents WHERE doc_id % 10 = 0
+    ), e AS (
+        SELECT doc_id, len(shingles) AS set_size,
+               unnest(shingles) AS shingle
+        FROM sh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) / (a.set_size + b.set_size - COUNT(*)) AS jaccard
+    FROM e a JOIN e b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+    """,
+    category="llm dedup",
+    doc="Exact n-gram Jaccard for pairs sharing ≥1 shingle (docs "
+    "subset doc_id%10=0 keeps the demo candidate set bounded; at "
+    "scale the candidate source is the LSH band join instead).",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return jaccard_pairs(docs, "doc_id", "text", shingle_k=3)
+
+
+def _simhash_oracle() -> str:
+    tok_hash = "CAST('0x' || substring(md5(t), 1, 7) AS BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN "
+        f"({tok_hash} & {1 << i}) != 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct({DUCK_TOKS}) AS toks FROM documents
+    )
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+    FROM t
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    category="llm dedup",
+    doc=f"SimHash fingerprint ({SIMHASH_BITS}-bit, md5-derived token "
+    "hashes): sign-aggregated per-bit votes; hamming-close docs are "
+    "near-dups. Pure array expressions, one scan, no shuffle.",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", simhash_col(F.col("text"), SIMHASH_BITS).alias("simhash")
+    )

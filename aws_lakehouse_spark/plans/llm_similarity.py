@@ -1,0 +1,115 @@
+"""Similarity-search query surface (LLM training-data ops).
+
+The dot products on both sides are sequential left-to-right double
+accumulation over the same float32→float64-widened values, and the
+similarity is rounded to 6 digits *before* ranking on both sides, so
+even the ranked output hash-matches. The LSH-bucketed ANN variant is
+recall<1 by construction → rows-only check (the judge sees which).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.llm.similarity import (
+    brute_force_topk,
+    cosine_sim_col,
+    lsh_bucket_topk,
+)
+from aws_lakehouse_spark.registry import register
+
+DUCK_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{DUCK_DOT.format(a=a, b=b)} / "
+        f"(sqrt({DUCK_DOT.format(a=a, b=a)}) * "
+        f"sqrt({DUCK_DOT.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_cos('q.v', 'c.v')}, 6) AS cosine_sim
+        FROM c, q WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    category="llm similarity",
+    doc="Exact brute-force cosine top-5 for 10 query vectors over "
+    "the full corpus: query side broadcast, corpus scanned once, "
+    "per-query window top-k.",
+    bench=True,
+)
+def ann_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5, round_digits=6)
+
+
+@register(
+    "ann_embedding_neardup",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cos('a.v', 'b.v')}, 6) AS cosine_sim
+    FROM s a, s b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND({_cos('a.v', 'b.v')}, 6) > 0.8
+    """,
+    category="llm similarity",
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.8) over "
+    "a demo subset; at scale candidates come from the LSH buckets "
+    "instead of the subset cross join.",
+)
+def ann_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") > 0.8)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # approximate recall → rows-only check
+    category="llm similarity",
+    doc="ANN top-k via deterministic random-hyperplane LSH buckets "
+    "(6 bits): the probe equi-joins on the bucket id, touching "
+    "~1/64 of the corpus — the 100 TB scale path.",
+)
+def ann_lsh_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucket_topk(emb, queries, dim=64, bits=6, k=5)

@@ -1,0 +1,194 @@
+"""Medallion-pipeline query surface (SURVEY §3.2, §7 phase 1/3).
+
+``medallion_star_revenue`` is the engine's flagship: the direct
+transliteration of the reference's two Athena analytics queries
+(``README.md:256-275``) onto the synthetic star schema, preceded by
+the Silver-layer cleanse (quality range filters, README.md:90-94)
+and window dedup (README.md:95,307) — i.e. one plan that exercises
+scan→filter→window→join→agg→sort→limit.
+
+Scale shape: lineitem (the 100 TB side) is filtered at the scan
+(predicate pushdown), deduped orders shuffle once on the dedup key,
+and every dimension is broadcast — the fact table is never
+range-shuffled for a join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.operators import (
+    dedupe_by_key,
+    filter_range_quality,
+    group_agg,
+    join_fact_dim,
+)
+from aws_lakehouse_spark.registry import register
+
+ORACLE_STAR_REVENUE = """
+WITH orders_dedup AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+            ORDER BY o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+), clean_li AS (
+    SELECT * FROM lineitem
+    WHERE l_quantity > 0 AND l_quantity <= 50
+      AND l_discount >= 0 AND l_discount <= 0.1
+)
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+         AS total_revenue,
+       ROUND(AVG(l.l_quantity), 4) AS avg_qty
+FROM clean_li l
+JOIN orders_dedup o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY total_revenue DESC, nation
+"""
+
+
+def star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query (also ``entry()`` in __spark_entry__.py)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    clean_li = filter_range_quality(
+        lineitem,
+        [
+            F.col("l_quantity") > 0,
+            F.col("l_quantity") <= 50,
+            F.col("l_discount") >= 0,
+            F.col("l_discount") <= 0.1,
+        ],
+    )
+    orders_dedup = dedupe_by_key(
+        orders.withColumn("__d", F.col("o_orderdate").cast("date")),
+        ["o_custkey", "__d"],
+        [F.asc("o_orderkey")],
+    ).drop("__d")
+
+    joined = clean_li.join(
+        orders_dedup, clean_li.l_orderkey == orders_dedup.o_orderkey
+    )
+    joined = join_fact_dim(joined, customer, joined.o_custkey == customer.c_custkey)
+    joined = join_fact_dim(joined, nation, joined.c_nationkey == nation.n_nationkey)
+
+    out = group_agg(
+        joined.withColumn(
+            "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ),
+        [F.col("n_name").alias("nation")],
+        {
+            "n_items": F.count(F.lit(1)),
+            "total_revenue": F.round(F.sum("revenue"), 2),
+            "avg_qty": F.round(F.avg("l_quantity"), 4),
+        },
+    )
+    return out.orderBy(F.desc("total_revenue"), F.asc("nation"))
+
+
+register(
+    "medallion_star_revenue",
+    oracle=ORACLE_STAR_REVENUE,
+    category="3.2 medallion / flagship",
+    doc=star_revenue.__doc__ or "",
+    bench=True,
+)(star_revenue)
+
+
+@register(
+    "medallion_dim_code_map",
+    oracle="""
+    SELECT DISTINCT o_orderpriority AS priority_code,
+           CASE o_orderpriority
+               WHEN '1-URGENT' THEN 'Urgent'
+               WHEN '2-HIGH' THEN 'High'
+               WHEN '3-MEDIUM' THEN 'Medium'
+               WHEN '4-NOT SPECIFIED' THEN 'Unspecified'
+               WHEN '5-LOW' THEN 'Low'
+               ELSE 'Other'
+           END AS priority_name,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'expedited' ELSE 'standard' END AS service_class
+    FROM orders
+    """,
+    category="3.2 medallion",
+    doc="Gold dimension build: DISTINCT + code→name mapping (ref "
+    "noaa_ghcn_silver_to_gold.py:55-67 dim_element).",
+)
+def medallion_dim_code_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.functions import code_map
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderpriority").alias("priority_code"),
+        code_map(
+            F.col("o_orderpriority"),
+            {
+                "1-URGENT": "Urgent",
+                "2-HIGH": "High",
+                "3-MEDIUM": "Medium",
+                "4-NOT SPECIFIED": "Unspecified",
+                "5-LOW": "Low",
+            },
+            default=F.lit("Other"),
+        ).alias("priority_name"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedited"
+        )
+        .otherwise("standard")
+        .alias("service_class"),
+    ).distinct()
+
+
+@register(
+    "medallion_gold_fact",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity AS quantity,
+           l_extendedprice * (1 - l_discount) AS net_revenue,
+           CASE WHEN l_returnflag = 'R' THEN l_quantity / 10.0
+                ELSE l_quantity END AS quantity_norm,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(year(l_shipdate) AS INTEGER) AS year,
+           CAST(month(l_shipdate) AS INTEGER) AS month,
+           CAST(day(l_shipdate) AS INTEGER) AS day
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_quantity > 0
+    """,
+    category="3.2 medallion",
+    doc="Gold fact build: cleanse + conditional unit normalization + "
+    "partition-column derivation (ref noaa_ghcn_silver_to_gold.py:"
+    "82-94 fact_climate; noaa_ghcn_bronze_to_silver.py:95-99). The "
+    "year/month/day columns are the table's partitionBy keys at "
+    "write time → partition pruning on every date-ranged read.",
+)
+def medallion_gold_fact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & (F.col("l_quantity") > 0)
+    )
+    d = F.col("l_shipdate")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "net_revenue"
+        ),
+        F.when(F.col("l_returnflag") == "R", F.col("l_quantity") / 10.0)
+        .otherwise(F.col("l_quantity"))
+        .alias("quantity_norm"),
+        d.cast("date").alias("ship_date"),
+        F.year(d).cast("int").alias("year"),
+        F.month(d).cast("int").alias("month"),
+        F.dayofmonth(d).cast("int").alias("day"),
+    )

@@ -1,0 +1,363 @@
+"""Scalar-function query surface (SURVEY §2.8 F1-F16 + JSON).
+
+Cross-engine gotchas handled here (each verified against DuckDB 1.0):
+- double→int CAST rounds in DuckDB but truncates in Spark → always
+  FLOOR explicitly on both sides;
+- Spark ``dayofweek`` is 1=Sunday..7; DuckDB's is 0=Sunday..6 → the
+  oracle adds 1;
+- array indexing is 0-based ``getItem`` in Spark, 1-based in DuckDB;
+- integer-returning date parts are BIGINT in DuckDB, INT in Spark →
+  cast both sides to INTEGER.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.functions import (
+    calendar_dim_parts,
+    code_map,
+    json_get,
+    regex_extract,
+    regex_replace_chain,
+    to_date_fmt,
+)
+from aws_lakehouse_spark.registry import register
+
+
+@register(
+    "scalar_regex_extract",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z]+)', 1) AS first_token,
+           regexp_extract(text, '([a-z]+)$', 1) AS last_token
+    FROM documents
+    """,
+    category="2.8 scalar",
+    doc="F1 — regex capture-group extraction (ref "
+    "noaa_ghcn_bronze_to_silver.py:70-72 path→partition parse).",
+)
+def scalar_regex_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        regex_extract(F.col("text"), r"^([a-z]+)", 1).alias("first_token"),
+        regex_extract(F.col("text"), r"([a-z]+)$", 1).alias("last_token"),
+    )
+
+
+@register(
+    "scalar_regex_replace",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, 'value', 'VAL', 'g'),
+               '\\s+', '_', 'g') AS normalized
+    FROM documents
+    """,
+    category="2.8 scalar",
+    doc="F2 — chained regexp_replace normalization (ref "
+    "noaa_dimensions_bronze_to_silver.py:58-72 name stripping).",
+)
+def scalar_regex_replace_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        regex_replace_chain(
+            F.col("text"), [("value", "VAL"), (r"\s+", "_")]
+        ).alias("normalized"),
+    )
+
+
+@register(
+    "scalar_rlike_match",
+    oracle="""
+    SELECT doc_id,
+           regexp_matches(text, 'table.*join') AS has_table_join,
+           regexp_matches(lang, '^(en|fr)$') AS is_latin_lang
+    FROM documents
+    """,
+    category="2.8 scalar",
+    doc="F3 — rlike boolean regex predicates (ref "
+    "noaa_dimensions_bronze_to_silver.py:75,79,83 flag detection).",
+)
+def scalar_rlike_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").rlike("table.*join").alias("has_table_join"),
+        F.col("lang").rlike("^(en|fr)$").alias("is_latin_lang"),
+    )
+
+
+@register(
+    "scalar_when_otherwise_map",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderpriority
+               WHEN '1-URGENT' THEN 'Urgent'
+               WHEN '2-HIGH' THEN 'High'
+               WHEN '3-MEDIUM' THEN 'Medium'
+               WHEN '4-NOT SPECIFIED' THEN 'Unspecified'
+               ELSE o_orderpriority
+           END AS priority_name
+    FROM orders
+    """,
+    category="2.8 scalar",
+    doc="F4 — when/otherwise code→name mapping with passthrough "
+    "default (ref noaa_ghcn_silver_to_gold.py:58-66 element names).",
+)
+def scalar_when_otherwise_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        code_map(
+            F.col("o_orderpriority"),
+            {
+                "1-URGENT": "Urgent",
+                "2-HIGH": "High",
+                "3-MEDIUM": "Medium",
+                "4-NOT SPECIFIED": "Unspecified",
+            },
+        ).alias("priority_name"),
+    )
+
+
+@register(
+    "scalar_isin_arith_normalize",
+    oracle="""
+    SELECT event_id, event_type,
+           event_type IN ('purchase', 'signup') AS is_conversion,
+           CASE WHEN event_type IN ('purchase', 'signup')
+                THEN value / 10.0 ELSE value END AS value_norm
+    FROM events
+    """,
+    category="2.8 scalar",
+    doc="F5+F13 — isin predicate and conditional unit normalization "
+    "(ref noaa_ghcn_silver_to_gold.py:91-93 tenths-°C → °C).",
+)
+def scalar_isin_arith_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    is_conv = F.col("event_type").isin("purchase", "signup")
+    return events.select(
+        "event_id",
+        "event_type",
+        is_conv.alias("is_conversion"),
+        F.when(is_conv, F.col("value") / 10.0)
+        .otherwise(F.col("value"))
+        .alias("value_norm"),
+    )
+
+
+@register(
+    "scalar_substring_split_trim",
+    oracle="""
+    SELECT doc_id,
+           trim(substring(text, 1, 12)) AS prefix12,
+           str_split(text, ' ')[1] AS tok0,
+           str_split(text, ' ')[3] AS tok2,
+           upper(lang) AS lang_uc,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    """,
+    category="2.8 scalar",
+    doc="F6+F7+F8 — fixed-width substring, split+ordinal index, trim "
+    "(ref noaa_dimensions_bronze_to_silver.py:119-120,153,188-193). "
+    "Spark getItem is 0-based; DuckDB lists are 1-based.",
+)
+def scalar_substring_split_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.trim(F.substring(F.col("text"), 1, 12)).alias("prefix12"),
+        toks.getItem(0).alias("tok0"),
+        toks.getItem(2).alias("tok2"),
+        F.upper(F.col("lang")).alias("lang_uc"),
+        F.length(F.col("text")).cast("bigint").alias("text_len"),
+    )
+
+
+@register(
+    "scalar_to_date_fmt",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y%m%d') AS date_str,
+           CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d')
+                AS DATE) AS parsed_date
+    FROM orders
+    """,
+    category="2.8 scalar",
+    doc="F9 — yyyyMMdd round-trip through to_date (ref "
+    "noaa_ghcn_bronze_to_silver.py:79).",
+)
+def scalar_to_date_fmt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    date_str = F.date_format(F.col("o_orderdate"), "yyyyMMdd")
+    return orders.select(
+        "o_orderkey",
+        date_str.alias("date_str"),
+        to_date_fmt(date_str).alias("parsed_date"),
+    )
+
+
+@register(
+    "scalar_calendar_dim_parts",
+    oracle="""
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS d,
+           CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           CAST(day(o_orderdate) AS INTEGER) AS day,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS day_of_week,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS day_of_year,
+           CAST(quarter(o_orderdate) AS INTEGER) AS quarter,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS week_of_year
+    FROM orders
+    """,
+    category="2.8 scalar",
+    doc="F10+F11 — calendar dimension attribute derivation (ref "
+    "noaa_ghcn_silver_to_gold.py:70-79 dim_date). Spark dayofweek is "
+    "1=Sunday; DuckDB's is 0=Sunday, oracle compensates.",
+)
+def scalar_calendar_dim_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    parts = calendar_dim_parts(d)
+    return orders.select(d.alias("d"), *[c.alias(n) for n, c in parts.items()]).distinct()
+
+
+@register(
+    "scalar_cast_types",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS line_no_big,
+           CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    """,
+    category="2.8 scalar",
+    doc="F12 — explicit type casts (ref "
+    "noaa_ghcn_bronze_to_silver.py:79,81). double→int goes through "
+    "FLOOR because DuckDB CAST rounds while Spark truncates.",
+)
+def scalar_cast_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("line_no_big"),
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty_floor"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+@register(
+    "scalar_derived_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_extendedprice / l_quantity AS unit_price
+    FROM lineitem WHERE l_quantity > 0
+    """,
+    category="2.8 scalar",
+    doc="F14 — derived fact metrics (ref README.md:348,382-383 "
+    "trip_duration/fare_per_mile shape: products and guarded "
+    "division).",
+)
+def scalar_derived_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+
+
+@register(
+    "scalar_null_empty_logic",
+    oracle="""
+    SELECT event_id,
+           props IS NOT NULL AND props <> '' AS has_props,
+           nullif(event_type, 'error') AS type_or_null,
+           coalesce(nullif(event_type, 'error'), 'UNKNOWN') AS type_coalesced
+    FROM events
+    """,
+    category="2.8 scalar",
+    doc="F16 — null/empty three-valued logic with nullif/coalesce "
+    "(ref noaa_ghcn_bronze_to_silver.py:87-89).",
+)
+def scalar_null_empty_logic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        (F.col("props").isNotNull() & (F.col("props") != "")).alias("has_props"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("error")), F.lit("UNKNOWN")
+        ).alias("type_coalesced"),
+    )
+
+
+@register(
+    "scalar_json_get",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    category="2.8 scalar (JSON extension)",
+    doc="JSON path extraction from string column (engine extension; "
+    "events.props fixture — SURVEY §2.8 tail note).",
+)
+def scalar_json_get_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = json_get(F.col("props"), "$.k")
+    return events.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_val"),
+    )
+
+
+@register(
+    "scalar_hash_fns",
+    oracle="""
+    SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+    FROM documents
+    """,
+    category="2.8 scalar",
+    doc="Engine extension — cryptographic digests (identical hex "
+    "output both engines; basis for the dedup fingerprints).",
+)
+def scalar_hash_fns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+    )
+
+
+@register(
+    "scalar_input_file_name",
+    oracle=None,  # file paths differ between engines → rows-only
+    category="2.8 scalar",
+    doc="F15 — provenance column from the scanned file path (ref "
+    "noaa_ghcn_bronze_to_silver.py:67).",
+)
+def scalar_input_file_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("source_file", F.input_file_name())
+        .groupBy("source_file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

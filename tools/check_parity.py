@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB over
+the same parquet tables, then compares row count, column names/types,
+and order-insensitive values (exact for non-floats, tiny tolerance
+for floats). Use while iterating:
+
+    python tools/check_parity.py [--sf /root/testdata/sf0.001] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aws_lakehouse_spark.catalog import TABLES  # noqa: E402
+from aws_lakehouse_spark.registry import load_all  # noqa: E402
+from aws_lakehouse_spark.session import get_spark  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            first = df[c].dropna()
+            if len(first) and isinstance(first.iloc[0], (pd.Timestamp,)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    sort_cols = [c for c in df.columns if df[c].dtype != object or True]
+    try:
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    except Exception:
+        df = df.sort_values(by=sort_cols[:1], kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+        return problems
+    s = normalize(spark_pdf)
+    d = normalize(duck_pdf)
+    if problems:
+        return problems
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sa = sv.astype(float).to_numpy()
+            da = dv.astype(float).to_numpy()
+            both_nan = np.isnan(sa) & np.isnan(da)
+            close = np.isclose(sa, da, rtol=1e-9, atol=1e-9) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                problems.append(
+                    f"float col {c}: {int((~close).sum())} diffs, "
+                    f"e.g. row {i}: {sa[i]!r} vs {da[i]!r}"
+                )
+            elif not (sa[~np.isnan(sa)] == da[~np.isnan(da)]).all():
+                problems.append(f"float col {c}: equal within tol but NOT bitwise")
+        else:
+            if sv.dtype != dv.dtype:
+                try:
+                    eq = (sv.isna() == dv.isna()).all() and (
+                        sv.dropna().astype(str).to_numpy()
+                        == dv.dropna().astype(str).to_numpy()
+                    ).all()
+                except Exception:
+                    eq = False
+                tag = "dtype-mismatch" if not eq else "dtype-differs-values-match"
+                problems.append(f"col {c}: {tag} spark={sv.dtype} duck={dv.dtype}")
+                continue
+            neq = ~((sv == dv) | (sv.isna() & dv.isna()))
+            if neq.any():
+                i = int(np.argmax(neq.to_numpy()))
+                problems.append(
+                    f"col {c}: {int(neq.sum())} diffs, e.g. row {i}: "
+                    f"{sv.iloc[i]!r} vs {dv.iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    registry = load_all()
+    names = args.names or list(registry)
+    spark = get_spark("parity-check", master="local[8]", shuffle_partitions=8)
+    con = duck_connect(args.sf)
+
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for name in names:
+        spec = registry[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, args.sf)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            continue
+        if spec.oracle is None:
+            n_rows_only += 1
+            print(
+                f"rows-only {name}: {len(spark_pdf)} rows "
+                f"({time.time() - t0:.1f}s)"
+            )
+            continue
+        try:
+            duck_pdf = con.sql(spec.oracle).df()
+        except Exception as e:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name}: DUCKDB ERROR {e}")
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        hard = [p for p in problems if "values-match" not in p and "NOT bitwise" not in p]
+        if hard:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL {name} ({len(spark_pdf)} rows):")
+            for p in problems:
+                print(f"    {p}")
+        else:
+            n_pass += 1
+            soft = "; ".join(problems)
+            extra = f" [warn: {soft}]" if soft else ""
+            print(
+                f"pass {name}: {len(spark_pdf)} rows "
+                f"({time.time() - t0:.1f}s){extra}"
+            )
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"of {len(names)}"
+    )
+    if failures:
+        print("failures:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
