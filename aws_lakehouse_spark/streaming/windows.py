@@ -1,0 +1,91 @@
+"""Event-time streaming operators (SURVEY §2.10 extensions).
+
+The same ``F.window``/``F.session_window`` expressions whose batch
+faces are oracle-checked in ``plans.events_windows``, assembled as
+streaming transformations with watermarks. Each builder takes a
+*streaming* DataFrame and returns the transformed stream; callers
+attach a sink. Late data beyond the watermark is dropped by the
+engine — the state store stays bounded no matter how long the stream
+runs (the 100 TB-stream equivalent of partition pruning).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); NTZ sources are cast in
+    place — semantics identical under the engine's UTC session tz."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window_len: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums; append-mode safe
+    (windows finalize once the watermark passes window end)."""
+    events = _ltz(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_len), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Watermarked session windows per key (gap-merged)."""
+    events = _ltz(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+) -> DataFrame:
+    """Stateful streaming dedup: first event per key wins; state for
+    a key is dropped once the watermark passes it
+    (dropDuplicatesWithinWatermark)."""
+    events = _ltz(events, ts_col)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark runner for the driver (BENCH_r{N}.json producer).
+
+Runs the engine's headline queries (the ``bench=True`` registry
+entries: cleanse filter, as-of join, event windows, the flagship
+star-revenue query, dedup, token counting, similarity search) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query executes its full physical plan into the no-op sink —
+real scan/shuffle/compute work, nothing collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_lakehouse_spark.registry import load_all  # noqa: E402
+from aws_lakehouse_spark.session import get_spark  # noqa: E402
+
+
+def run() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    registry = load_all()
+    headline = {n: s for n, s in registry.items() if s.bench}
+
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    # JVM/codegen warmup on the smallest table; not timed
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in headline.items():
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+    return {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -1,0 +1,127 @@
+"""Unit tests for the LLM training-data operators: dedup invariants,
+similarity-search correctness, text features, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from aws_lakehouse_spark.llm.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_band_pairs,
+    simhash_col,
+)
+from aws_lakehouse_spark.llm.multimodal import (
+    attach_media_columns,
+    extract_features,
+    frame_sample_plan,
+)
+from aws_lakehouse_spark.llm.similarity import brute_force_topk, lsh_bucket_topk
+from aws_lakehouse_spark.llm.text import language_scores
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    df = docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")])
+    out = {r["keep_id"]: r["n_copies"] for r in
+           exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_jaccard_identical_is_one_disjoint_absent(spark):
+    df = docs(spark, [
+        (1, "the quick brown fox jumps over dog"),
+        (2, "the quick brown fox jumps over dog"),
+        (3, "totally different words entirely here now ok"),
+    ])
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(df, "doc_id", "text").collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_finds_exact_duplicates(spark):
+    df = docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta eta"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),
+        (3, "one two three four five six seven"),
+    ])
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in lsh_band_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_simhash_identical_equal_and_disjoint_differ(spark):
+    df = docs(spark, [
+        (1, "spark shuffle partition broadcast join"),
+        (2, "spark shuffle partition broadcast join"),
+        (3, "llama gradient tokenizer embedding corpus"),
+    ])
+    out = {r["doc_id"]: r["sh"] for r in
+           df.select("doc_id", simhash_col(F.col("text")).alias("sh")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert 0 <= out[1] < 2**16
+
+
+def test_brute_force_topk_self_similarity(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0]), (3, [0.7, 0.7, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(vecs, q, k=3).collect()
+    ranked = [(r["neighbor_id"], r["cosine_sim"]) for r in
+              sorted(out, key=lambda r: r["rnk"])]
+    assert ranked[0][0] == 1 and ranked[0][1] == 1.0  # identical vector first
+    assert ranked[1][0] == 3                          # 45° second
+    assert ranked[2] == (2, 0.0)                      # orthogonal last
+
+
+def test_lsh_bucket_recall_on_identical_vectors(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float((i * 3) % 5), 1.0, 0.5]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = vecs.filter(F.col("vec_id") < 3)
+    out = lsh_bucket_topk(vecs, q, dim=4, bits=4, k=5)
+    rows = out.collect()
+    # identical-direction vectors always share a bucket → each query
+    # finds at least its exact duplicates (i and i+7 share direction
+    # only when components align; weak check: results exist and are
+    # valid)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert all(-1.0001 <= r["cosine_sim"] <= 1.0001 for r in rows)
+
+
+def test_language_scores_pick_matching_profile(spark):
+    df = docs(spark, [
+        (1, "the value in the table is a row"),
+        (2, "le valeur la ligne vite le la"),
+        (3, "der wert die zeile schnell der die"),
+    ])
+    out = {r["doc_id"]: r["lang_pred"] for r in df.select(
+        "doc_id",
+        *[c.alias(n) for n, c in language_scores(F.col("text")).items()],
+    ).collect()}
+    assert out == {1: "en", 2: "fr", 3: "de"}
+
+
+def test_multimodal_plumbing_roundtrip(spark):
+    df = docs(spark, [(0, "hello world"), (1, "abc"), (2, "longer video payload")])
+    media = attach_media_columns(df, "text", "doc_id")
+    assert dict(media.dtypes)["content"] == "binary"
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[0]["first_byte"] == ord("h")
+    assert feats[0]["size_bytes"] == len("hello world")
+    assert feats[1]["byte_sum_mod"] == sum(b"abc") % 997
+    frames = frame_sample_plan(media).collect()
+    assert all(r["media_id"] % 3 == 2 for r in frames)
+    for r in frames:
+        assert r["sampled_frames"][0] == 0
+        assert len(r["sampled_frames"]) == (r["n_frames"] - 1) // 4 + 1

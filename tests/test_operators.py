@@ -1,0 +1,118 @@
+"""Unit tests for operator semantics on hand-built rows (SURVEY §5.2.4)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from aws_lakehouse_spark.functions.scalar import code_map, split_fields
+from aws_lakehouse_spark.operators import (
+    anti_join,
+    asof_join,
+    dedupe_by_key,
+    range_join,
+    semi_join,
+)
+from aws_lakehouse_spark.operators.filters import filter_quality_null_flags
+
+
+def ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_backward_picks_most_recent_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "L1"),
+         (1, ts("2024-01-01T12:00:00"), "L2"),
+         (2, ts("2024-01-01T09:00:00"), "L3")],
+        "k int, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:30:00"), 10.0),
+         (1, ts("2024-01-01T10:00:00"), 20.0),   # exact-ts match
+         (1, ts("2024-01-01T11:00:00"), 30.0),
+         (2, ts("2024-01-01T09:30:00"), 99.0)],  # after L3 → no match
+        "k int, t timestamp, v double",
+    )
+    out = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(left, right, ["k"], "t", ["v"]).collect()
+    }
+    assert out == {"L1": 20.0, "L2": 30.0, "L3": None}
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "L1")], "k int, t timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:00:00"), 1.0),
+         (1, ts("2024-01-01T10:30:00"), 2.0),
+         (1, ts("2024-01-01T11:00:00"), 3.0)],
+        "k int, t timestamp, v double",
+    )
+    out = asof_join(left, right, ["k"], "t", ["v"], direction="forward").collect()
+    assert out[0]["v_asof"] == 2.0
+
+
+def test_dedupe_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], "k string, v int"
+    )
+    out = dedupe_by_key(df, ["k"], [F.asc("v")]).collect()
+    assert {(r["k"], r["v"]) for r in out} == {("a", 1), ("b", 9)}
+
+
+def test_quality_filter_ok_values(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, ""), (3.0, "X"), (None, None), (5.0, "N")],
+        "value double, flag string",
+    )
+    strict = filter_quality_null_flags(df, "value", "flag")
+    assert {r["value"] for r in strict.collect()} == {1.0, 2.0}
+    relaxed = filter_quality_null_flags(df, "value", "flag", ok_values=("", "N"))
+    assert {r["value"] for r in relaxed.collect()} == {1.0, 2.0, 5.0}
+
+
+def test_semi_anti_partition(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    right = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    semi = {r["k"] for r in semi_join(left, right, "k").collect()}
+    anti = {r["k"] for r in anti_join(left, right, "k").collect()}
+    assert semi == {2, 3} and anti == {1}
+    assert semi | anti == {1, 2, 3}
+
+
+def test_range_join_bands(spark):
+    rows = spark.createDataFrame([(5,), (15,), (25,)], "x int")
+    bands = spark.createDataFrame(
+        [(0, 10, "lo"), (10, 20, "mid"), (20, 30, "hi")],
+        "lo int, hi int, band string",
+    )
+    out = range_join(rows, bands, (rows.x >= bands.lo) & (rows.x < bands.hi))
+    assert {(r["x"], r["band"]) for r in out.collect()} == {
+        (5, "lo"), (15, "mid"), (25, "hi")
+    }
+
+
+def test_code_map_passthrough_default(spark):
+    df = spark.createDataFrame([("A",), ("B",), ("Z",)], "c string")
+    out = df.select(code_map(F.col("c"), {"A": "Alpha", "B": "Beta"}).alias("m"))
+    assert [r["m"] for r in out.collect()] == ["Alpha", "Beta", "Z"]
+
+
+def test_split_fields_single_split(spark):
+    df = spark.createDataFrame(
+        [("S1  1.5  -2.5 TMAX 1990 2020",)], "value string"
+    )
+    out = df.select(
+        *split_fields(
+            F.col("value"),
+            [("sid", None), ("lat", "double"), ("lon", "double"),
+             ("elem", None), ("y0", "int"), ("y1", "int")],
+        )
+    ).collect()[0]
+    assert (out["sid"], out["lat"], out["lon"], out["elem"], out["y0"], out["y1"]) == (
+        "S1", 1.5, -2.5, "TMAX", 1990, 2020
+    )
