@@ -12,6 +12,7 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     scalar,
     events_windows,
     medallion,
+    sql_surface,
     llm_text,
     llm_dedup,
     llm_similarity,

@@ -1,0 +1,239 @@
+"""Interactive SQL surface (SURVEY §3.3) + medallion-transform
+oracle checks with inline fixtures.
+
+The reference's third entry point is ANSI SQL submitted to Athena
+over the Gold star schema (``README.md:245-276``). The engine's
+equivalent is ``spark.sql`` over registered views — these queries
+run the *same SQL text* on Spark and DuckDB, which is the strongest
+possible parity statement for the declared query surface.
+
+The medallion-transform queries check the Bronze→Silver cleanse and
+the fixed-width station parse against the oracle by embedding the
+same deterministic raw rows as a VALUES CTE on both sides — the
+file-I/O-free face of ``sources.medallion``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table, register_views
+from aws_lakehouse_spark.registry import register
+
+# The README revenue query (README.md:256-264) transliterated to the
+# synthetic schema — identical text runs on Spark SQL and DuckDB.
+INTERACTIVE_REVENUE_SQL = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS total_orders,
+       ROUND(AVG(o.o_totalprice), 4) AS avg_order_value,
+       ROUND(SUM(o.o_totalprice), 2) AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY total_revenue DESC, nation
+"""
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "sql_interactive_revenue",
+    oracle=INTERACTIVE_REVENUE_SQL,
+    category="3.3 interactive SQL",
+    doc="Athena-equivalent: the README revenue query text executed "
+    "verbatim via spark.sql over registered views (README.md:"
+    "256-264). Same SQL string IS the oracle.",
+)
+def sql_interactive_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(INTERACTIVE_REVENUE_SQL)
+
+
+@register(
+    "sql_grouping_sets",
+    oracle=GROUPING_SETS_SQL,
+    category="3.3 interactive SQL",
+    doc="Explicit GROUPING SETS via the SQL surface (engine "
+    "extension beyond rollup/cube).",
+)
+def sql_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+# --- medallion transforms with inline-VALUES oracles ----------------
+
+NOAA_RAW_ROWS = [
+    ("USW00094728", "20250115", -23, None, None, "S", "0700", "TMAX"),
+    ("USW00094728", "20250115", -80, None, "", "S", "0700", "TMIN"),
+    ("USW00094728", "20250116", 150, None, "X", "S", None, "TMAX"),
+    ("AGE00147708", "20250115", 210, "B", None, "E", None, "TMAX"),
+    ("AGE00147708", "20250116", None, None, None, "E", None, "PRCP"),
+    ("USC00300042", "20250116", 55, None, "", "S", "0800", "PRCP"),
+]
+
+_NOAA_VALUES = ",\n        ".join(
+    "("
+    + ", ".join(
+        "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+        for v in row
+    )
+    + ")"
+    for row in NOAA_RAW_ROWS
+)
+
+STATION_LINES = [
+    "USW00094728  40.7789  -73.9692   39.6 NY NEW YORK CNTRL PK TWR GSN HCN 72506",
+    "AGE00147708  36.7200    3.0500   24.0    ALGIERS-UNIVERSITE",
+    "USC00300042  42.7342  -73.6747    6.1 NY ALBANY CRN",
+]
+
+_STATION_VALUES = ",\n        ".join(f"('{line}')" for line in STATION_LINES)
+
+
+@register(
+    "medallion_noaa_cleanse",
+    oracle=f"""
+    WITH raw(id, date_s, data_value, m_flag, q_flag, s_flag, obs_time,
+             element) AS (
+        VALUES {_NOAA_VALUES}
+    )
+    SELECT id AS station_id,
+           CAST(strptime(date_s, '%Y%m%d') AS DATE) AS observation_date,
+           element,
+           CAST(data_value AS DOUBLE) AS value,
+           q_flag AS quality_flag,
+           CAST(year(strptime(date_s, '%Y%m%d')) AS INTEGER) AS year,
+           CAST(month(strptime(date_s, '%Y%m%d')) AS INTEGER) AS month,
+           CAST(day(strptime(date_s, '%Y%m%d')) AS INTEGER) AS day
+    FROM raw
+    WHERE data_value IS NOT NULL AND (q_flag IS NULL OR q_flag = '')
+    """,
+    category="3.2 medallion (transform face)",
+    doc="Bronze→Silver cleanse semantics oracle-checked on an inline "
+    "deterministic NOAA-shaped fixture (the exact filter/parse of "
+    "noaa_ghcn_bronze_to_silver.py:76-99, minus file I/O).",
+)
+def medallion_noaa_cleanse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame(
+        NOAA_RAW_ROWS,
+        "id string, date_s string, data_value int, m_flag string,"
+        " q_flag string, s_flag string, obs_time string, element string",
+    )
+    from aws_lakehouse_spark.operators.filters import filter_quality_null_flags
+
+    d = F.to_date(F.col("date_s"), "yyyyMMdd")
+    projected = raw.select(
+        F.col("id").alias("station_id"),
+        d.alias("observation_date"),
+        "element",
+        F.col("data_value").cast("double").alias("value"),
+        F.col("q_flag").alias("quality_flag"),
+        F.year(d).cast("int").alias("year"),
+        F.month(d).cast("int").alias("month"),
+        F.dayofmonth(d).cast("int").alias("day"),
+    )
+    return filter_quality_null_flags(projected, "value", "quality_flag")
+
+
+@register(
+    "medallion_station_parse",
+    oracle=f"""
+    WITH lines(value) AS (
+        VALUES {_STATION_VALUES}
+    )
+    SELECT trim(substring(value, 1, 11)) AS station_id,
+           CAST(trim(substring(value, 13, 8)) AS DOUBLE) AS latitude,
+           CAST(trim(substring(value, 22, 9)) AS DOUBLE) AS longitude,
+           trim(substring(value, 39, 2)) AS state,
+           regexp_matches(value, '\\sGSN(\\s|$)') AS is_gsn,
+           regexp_extract(value, '(\\d{{5}})\\s*$', 1) AS wmo_id
+    FROM lines
+    """,
+    category="3.2 medallion (transform face)",
+    doc="Fixed-width station-line parse oracle-checked on inline "
+    "lines (noaa_dimensions_bronze_to_silver.py:40-88 semantics: "
+    "substring fields, flag rlike, trailing-WMO regex).",
+)
+def medallion_station_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = spark.createDataFrame([(s,) for s in STATION_LINES], "value string")
+    v = F.col("value")
+    from aws_lakehouse_spark.functions.scalar import fixed_width_field
+
+    return lines.select(
+        fixed_width_field(v, 1, 11).alias("station_id"),
+        fixed_width_field(v, 13, 8).cast("double").alias("latitude"),
+        fixed_width_field(v, 22, 9).cast("double").alias("longitude"),
+        fixed_width_field(v, 39, 2).alias("state"),
+        v.rlike(r"\sGSN(\s|$)").alias("is_gsn"),
+        F.regexp_extract(v, r"(\d{5})\s*$", 1).alias("wmo_id"),
+    )
+
+
+@register(
+    "set_union_missing_columns",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS acctbal,
+           NULL AS s_extra
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_suppkey AS entity_id, s_name AS name, s_acctbal AS acctbal,
+           'supplier' AS s_extra
+    FROM supplier
+    """,
+    category="2.7 set ops",
+    doc="unionByName with allowMissingColumns — the yellow+green "
+    "heterogeneous-file-set union (README.md:120-121) where one side "
+    "carries columns the other lacks.",
+)
+def set_union_missing_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("s_extra"),
+    )
+    return customer.unionByName(supplier, allowMissingColumns=True)
+
+
+@register(
+    "streaming_incremental_bookmark",
+    oracle=None,  # stateful file-stream side effects → rows-only
+    category="2.10 streaming",
+    doc="Bookmark-equivalent incremental processing (Glue job "
+    "bookmarks, terraform/glue.tf:158): AvailableNow file stream + "
+    "checkpoint drains only-new files per run; returns the drained "
+    "batch. Full two-run semantics proven in tests/test_streaming.",
+)
+def streaming_incremental_bookmark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from aws_lakehouse_spark.streaming.incremental import incremental_process
+
+    work = tempfile.mkdtemp(prefix="bookmark-q-")
+    src = f"{work}/src"
+    sink = f"{work}/sink"
+    load_table(spark, sf_dir, "region").write.parquet(src)
+    incremental_process(
+        spark,
+        src,
+        "r_regionkey int, r_name string",
+        f"{work}/ckpt",
+        lambda df: df.withColumn("processed", F.lit(True)),
+        sink,
+    )
+    return spark.read.parquet(sink)

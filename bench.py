@@ -41,16 +41,28 @@ def run() -> dict:
         "bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_conf={
+            # test tables are single small parquet files; with the
+            # 128 MB production split size every scan is ONE task.
+            # 1 MB splits spread the scan across cores — the local
+            # stand-in for the many-file layout a real table has.
+            "spark.sql.files.maxPartitionBytes": str(1 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
     )
-    # JVM/codegen warmup on the smallest table; not timed
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # JVM/codegen/file-index warmup; not timed
+    for t in ("region", "lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name, spec in headline.items():
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: first run pays codegen compile
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     spark.stop()
     return {
