@@ -1,0 +1,65 @@
+"""Skew-mitigation operators (SURVEY §4.4; task north-star).
+
+AQE's skew-join splitting handles skewed *joins*; skewed *group-bys*
+(a handful of hot keys receiving most rows) still funnel each hot
+key through one reducer. ``salted_group_agg`` is the classic
+two-stage fix: append a random salt to the key, pre-aggregate
+(keys+salt) — spreading each hot key over N reducers — then
+aggregate the partials by the true key.
+
+Only algebraic aggregates decompose this way; the helper supports
+count/sum/min/max and derives avg = sum/count. The salt is
+``rand``-based — nondeterministic per row, but the *result* is
+exactly the direct aggregation (oracle-checked in plans.core_ext).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def salted_group_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    count_alias: str | None = "n_rows",
+    avg_of: Sequence[str] = (),
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation, exact-equivalent to a direct
+    ``groupBy(keys)`` with the same aggregates.
+
+    Output columns: ``sum_<c>``, ``min_<c>``, ``max_<c>``,
+    ``count_alias``, and ``avg_<c>`` for each ``avg_of`` (which must
+    also be in ``sum_cols``-style inputs; avg is computed from the
+    re-aggregated sum and count, never averaged-of-averages).
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+
+    partial_aggs: list[Column] = [F.count(F.lit(1)).alias("__pc")]
+    partial_aggs += [F.sum(c).alias(f"__ps_{c}") for c in set(sum_cols) | set(avg_of)]
+    partial_aggs += [F.min(c).alias(f"__pm_{c}") for c in min_cols]
+    partial_aggs += [F.max(c).alias(f"__px_{c}") for c in max_cols]
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+
+    final_aggs: list[Column] = []
+    if count_alias:
+        final_aggs.append(F.sum("__pc").alias(count_alias))
+    final_aggs += [
+        F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in set(sum_cols) | set(avg_of)
+    ]
+    final_aggs += [F.min(f"__pm_{c}").alias(f"min_{c}") for c in min_cols]
+    final_aggs += [F.max(f"__px_{c}").alias(f"max_{c}") for c in max_cols]
+    out = partial.groupBy(*keys).agg(*final_aggs)
+    for c in avg_of:
+        out = out.withColumn(
+            f"avg_{c}", F.col(f"sum_{c}") / F.col(count_alias or "n_rows")
+        )
+    return out

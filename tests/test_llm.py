@@ -125,3 +125,49 @@ def test_multimodal_plumbing_roundtrip(spark):
     for r in frames:
         assert r["sampled_frames"][0] == 0
         assert len(r["sampled_frames"]) == (r["n_frames"] - 1) // 4 + 1
+
+
+def test_vectorized_topk_matches_expression_topk(spark, sf_dir):
+    from aws_lakehouse_spark.catalog import load_table
+    from aws_lakehouse_spark.llm.similarity import brute_force_topk_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    expr = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in brute_force_topk(emb, queries, k=3, round_digits=None).collect()
+    }
+    vect = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in brute_force_topk_vectorized(
+            emb, queries.toPandas(), k=3
+        ).collect()
+    }
+    assert set(expr) == set(vect)
+    for key, (nid, sim) in expr.items():
+        vnid, vsim = vect[key]
+        assert vnid == nid
+        assert abs(vsim - sim) < 1e-9
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    from aws_lakehouse_spark.catalog import load_table
+    from aws_lakehouse_spark.operators.skew import salted_group_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    salted = {
+        r["o_orderstatus"]: (r["n_rows"], round(r["sum_o_totalprice"], 4),
+                             round(r["avg_o_totalprice"], 6))
+        for r in salted_group_agg(
+            orders, ["o_orderstatus"], avg_of=["o_totalprice"]
+        ).collect()
+    }
+    direct = {
+        r["o_orderstatus"]: (r["n"], round(r["s"], 4), round(r["a"], 6))
+        for r in orders.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.avg("o_totalprice").alias("a"),
+        ).collect()
+    }
+    assert salted == direct

@@ -118,3 +118,53 @@ def test_streaming_dedup_first_wins(spark, sf_dir, events_stream_dir):
     n_keys = events.select("user_id", "event_type").distinct().count()
     assert out.count() == n_keys
     assert out.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches —
+    final per-user totals equal the batch aggregate."""
+    from aws_lakehouse_spark.streaming.stateful import running_totals_per_key
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "stateful-src"
+    # two separate files → force at least two input splits
+    events.filter("event_id % 2 = 0").write.parquet(str(src), mode="append")
+    events.filter("event_id % 2 = 1").write.parquet(str(src), mode="append")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        running_totals_per_key(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user = final running total
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    out = spark.table("stateful_test")
+    final = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final == expected
