@@ -195,6 +195,114 @@ def jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 15
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate clusters: (node, component)
+    where component = min doc id reachable through the pair graph.
+
+    Iterative label propagation: each round, every node takes the min
+    label among itself and its neighbors; converged when no label
+    changes. Near-dup graphs are forests of tiny cliques, so rounds ≈
+    longest chain (a handful); each round is one join + one aggregate
+    — no driver-side graph state, only a scalar convergence count.
+    ``max_iterations`` bounds adversarial chains.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst_node"),
+                edges.dst == F.col("dst_node"),
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        # localCheckpoint would truncate lineage on a long chain; the
+        # near-dup graphs here converge in <5 rounds
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_duplicate_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup resolution: LSH candidates → exact Jaccard
+    verification → connected components → one survivor (min id) per
+    duplicate cluster. Returns (doc_id, survivor_id, is_survivor) for
+    every doc that belongs to some cluster; docs with no near-dup are
+    implicitly their own survivors.
+
+    Exact Jaccard is computed only for the candidate pairs, per pair
+    via array_intersect/union on the two shingle sets — O(candidates),
+    never the all-shared-shingle-pairs blowup.
+    """
+    candidates = lsh_band_pairs(df, id_col, text_col, shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), shingle_k).alias("sh"),
+    )
+    verified = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b")
+    )
+    comps = connected_components(verified)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("survivor_id"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
+    )
+
+
 def simhash_col(text: Column, bits: int = 16) -> Column:
     """SimHash fingerprint: per-token md5 → first 28 hex bits as int;
     fingerprint bit i is the sign of Σ_tokens (±1 by token bit i).

@@ -126,6 +126,27 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "doc_id", "text", shingle_k=3)
 
 
+@register(
+    "dedup_near_duplicate_resolution",
+    oracle=None,  # iterative label propagation → rows-only check
+    category="llm dedup",
+    doc="End-to-end near-dup resolution: MinHash-LSH candidates → "
+    "per-pair exact Jaccard (array_intersect on shingle sets) → "
+    "connected-components label propagation → one survivor per "
+    "duplicate cluster. The iterative step is the engine's "
+    "non-SQL-expressible tier (clustered invariants unit-tested).",
+)
+def dedup_near_duplicate_resolution_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import near_duplicate_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_duplicate_survivors(
+        docs, "doc_id", "text", jaccard_threshold=0.5
+    )
+
+
 def _simhash_oracle() -> str:
     tok_hash = "CAST('0x' || substring(md5(t), 1, 7) AS BIGINT)"
     bit_terms = " + ".join(

@@ -171,3 +171,33 @@ def test_salted_agg_equals_direct(spark, sf_dir):
         ).collect()
     }
     assert salted == direct
+
+
+def test_connected_components_clusters(spark):
+    from aws_lakehouse_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], "doc_a bigint, doc_b bigint"
+    )
+    comps = {r["node"]: r["component"]
+             for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_near_duplicate_survivors_end_to_end(spark):
+    from aws_lakehouse_spark.llm.dedup import near_duplicate_survivors
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = docs(spark, [
+        (1, base),
+        (2, base),                       # exact dup of 1
+        (3, base + " extra"),            # near dup of 1/2
+        (4, "one two three four five six seven eight nine ten"),
+    ])
+    out = {r["doc_id"]: (r["survivor_id"], r["is_survivor"])
+           for r in near_duplicate_survivors(df, "doc_id", "text",
+                                             jaccard_threshold=0.5).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert 4 not in out  # no near-dups → not in any cluster

@@ -1,0 +1,69 @@
+"""Plan-quality guards: physical-plan assertions over the whole
+registry — the automated face of the `.explain()` review. Catches
+scale regressions (accidental cartesian products, lost pushdown,
+lost broadcast) that row-level correctness tests cannot see."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_lakehouse_spark.registry import load_all
+
+REGISTRY = load_all()
+
+# queries whose physical plan we don't inspect: side-effecting or
+# driver-looping by design
+PLAN_EXEMPT = {"streaming_incremental_bookmark", "dedup_near_duplicate_resolution"}
+
+
+def _plan(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    # full formatted explain — executedPlan().toString() truncates
+    # long PushedFilters lists
+    return spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(REGISTRY) - PLAN_EXEMPT)
+)
+def test_no_cartesian_product(name, spark, sf_dir):
+    """No registered query may plan a CartesianProduct — non-equi
+    joins must go through broadcast nested loop (small side) or a
+    bucketed equi-join."""
+    assert "CartesianProduct" not in _plan(spark, sf_dir, name), name
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "medallion_star_revenue")
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+    assert plan.count("BroadcastHashJoin Inner BuildRight") == 3  # fact never shuffles
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan  # map-side partial dedup
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    for pushed in (
+        "GreaterThanOrEqual(l_discount,0.03)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, pushed
+    # projection pruned to the 4 needed columns
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "limit_topk")
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_asof_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_asof")
+    # union+window as-of: exactly one shuffle (by user_id) feeding the
+    # window; the plan must not contain any join operator at all
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count(" Exchange (") == 1
