@@ -60,6 +60,20 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # never a global sort
 
 
+def test_q4_semi_join_with_residual(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4_order_priority")
+    # EXISTS must decorrelate to a semi join carrying the non-equi
+    # date predicate as a residual — never inner join + distinct
+    assert "LeftSemi" in plan
+    assert "Inner" not in plan
+
+
+def test_q18_topk_and_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q18_large_volume_customer")
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+
+
 def test_asof_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_asof")
     # union+window as-of: exactly one shuffle (by user_id) feeding the
