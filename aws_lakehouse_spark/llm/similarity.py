@@ -212,3 +212,153 @@ def lsh_bucket_topk(
         .filter(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """IVF coarse quantizer: deterministic seed centroids (corpus rows
+    in md5(id) order — an unbiased reproducible sample, no RNG state)
+    optionally refined by Lloyd iterations done entirely as DataFrame
+    ops: assign → per-centroid element-wise mean via posexplode +
+    groupBy(centroid, pos). Returns (centroid_id, cent_vec).
+
+    The centroid table is n_centroids rows at any corpus scale — it is
+    the one structure that is ALWAYS broadcastable."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cent_vec"),
+    )
+    cents = (
+        c.orderBy(F.md5(F.col("cid").cast("string")))
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("cid").cast("string"))))
+            .cast("int")
+            .alias("centroid_id"),
+            "cent_vec",
+        )
+    )
+    for _ in range(refine_iterations):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        vecs = corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).join(assigned.withColumnRenamed(id_col, "vid"), "vid")
+        cents = (
+            vecs.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "x"))
+                ).alias("px")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("px"), lambda s: s.getField("x")).alias(
+                    "cent_vec"
+                ),
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list assignment: each corpus vector → its max-cosine
+    centroid. One scan × n_centroids dot products (centroids
+    broadcast); at build time only — queries never rescan this."""
+    v = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", cosine_sim_col(F.col("v"), F.col("cent_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """IVF ANN top-k: queries probe only their ``nprobe`` nearest
+    inverted lists — candidate work is ~nprobe/n_centroids of the
+    corpus instead of all of it.
+
+    Scale shape: centroids broadcast everywhere; the corpus is scored
+    against candidates via an EQUI-join on centroid_id (int key, no
+    vector ever shuffles); at 100 TB the assignment would be persisted
+    partitioned by centroid_id so a probe is a partition-pruned read.
+    Recall < 1.0 by construction (raise nprobe for recall)."""
+    cents = ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, refine_iterations
+    )
+    lists = ivf_assign(corpus, cents, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).join(lists, "neighbor_id")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    q_probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine_sim_col(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("sim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+
+    scored = (
+        c.join(F.broadcast(q_probe), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_sim_col(F.col("q_vec"), F.col("c_vec")), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )

@@ -151,3 +151,74 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(shingles_col(F.col("text"), 3), lambda s: F.md5(s))
         ).alias("min_shingle_fp"),
     )
+
+
+@register(
+    "text_corpus_prep",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id, source, lang, n_chars,
+               md5(text) AS digest,
+               CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens,
+               len(list_distinct({DUCK_TOKS}))
+                 / greatest(len({DUCK_TOKS}), 1) AS distinct_ratio
+        FROM documents
+    ), qualified AS (
+        SELECT * FROM enriched
+        WHERE n_tokens >= 5 AND distinct_ratio > 0.3
+    ), survivors AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY digest ORDER BY doc_id) AS rn
+            FROM qualified
+        ) WHERE rn = 1
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM survivors
+    GROUP BY source
+    ORDER BY source
+    """,
+    category="llm text",
+    doc="End-to-end corpus preparation in ONE plan: tokenize → "
+    "quality gate (min length, repetition ratio) → exact dedup "
+    "(md5 digest, min-doc_id survivor) → per-source corpus stats. "
+    "The training-data composition every curation pipeline runs "
+    "before sharding. Scale shape: one shuffle on the uniform "
+    "digest (map-side WindowGroupLimit prunes dup groups early), "
+    "then a tiny per-source aggregate.",
+)
+def text_corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators import dedupe_by_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text")).alias("digest"),
+        n.cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))).alias(
+            "distinct_ratio"
+        ),
+    )
+    qualified = enriched.filter(
+        (F.col("n_tokens") >= 5) & (F.col("distinct_ratio") > 0.3)
+    )
+    survivors = dedupe_by_key(qualified, ["digest"], [F.asc("doc_id")])
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )

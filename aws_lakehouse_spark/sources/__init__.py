@@ -9,6 +9,7 @@ from aws_lakehouse_spark.sources.readers import (
 from aws_lakehouse_spark.sources.writers import (
     sink_table_append,
     sink_table_overwrite,
+    sink_table_bucketed,
     sink_parquet_path,
     create_table_if_absent,
     write_with_fallback,
@@ -28,6 +29,7 @@ __all__ = [
     "scan_table",
     "sink_table_append",
     "sink_table_overwrite",
+    "sink_table_bucketed",
     "sink_parquet_path",
     "create_table_if_absent",
     "write_with_fallback",

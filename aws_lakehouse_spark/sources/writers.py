@@ -76,6 +76,37 @@ def sink_partition_overwrite(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def sink_table_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    partition_by: Sequence[str] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed-table write: co-locates rows by hash of
+    ``bucket_cols`` at WRITE time so downstream equi-joins and
+    group-bys on those keys need NO exchange — the shuffle is paid
+    once when the table lands, not on every query. This is the
+    100 TB answer for repeatedly-joined fact↔fact keys (e.g.
+    lineitem⋈orders on the order key) where neither side is
+    broadcastable; both sides bucketed into the same bucket count
+    join exchange-free (verified by plan test).
+
+    Sort within buckets by the same keys so sort-merge joins also
+    skip the per-query sort."""
+    w = (
+        df.write.mode("overwrite")
+        .format(fmt)
+        .option("maxRecordsPerFile", DEFAULT_MAX_RECORDS_PER_FILE)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.saveAsTable(table)
+
+
 def sink_parquet_path(
     df: DataFrame, path: str, partition_by: Sequence[str] = ()
 ) -> None:

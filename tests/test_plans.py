@@ -81,3 +81,34 @@ def test_asof_single_shuffle(spark, sf_dir):
     assert "Join" not in plan
     assert "hashpartitioning(user_id" in plan
     assert plan.count(" Exchange (") == 1
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key into the same bucket count
+    must join with zero Exchange — the 100 TB co-location strategy
+    for repeated fact-fact joins."""
+    from aws_lakehouse_spark.catalog import load_table
+    from aws_lakehouse_spark.sources import sink_table_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    sink_table_bucketed(li, "bkt_lineitem", ["l_orderkey"], n_buckets=4)
+    sink_table_bucketed(o, "bkt_orders", ["o_orderkey"], n_buckets=4)
+    try:
+        a = spark.table("bkt_lineitem")
+        b = spark.table("bkt_orders")
+        joined = a.join(
+            b.hint("merge"), a.l_orderkey == b.o_orderkey
+        ).groupBy("l_orderkey").agg({"l_quantity": "sum"})
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
