@@ -63,3 +63,46 @@ def salted_group_agg(
             f"avg_{c}", F.col(f"sum_{c}") / F.col(count_alias or "n_rows")
         )
     return out
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join, exact-equivalent to
+    ``skewed.join(other, skewed[skewed_key] == other[other_key], how)``.
+
+    The skewed (big, hot-keyed) side gets a random salt in
+    [0, salt_buckets); the other side is replicated once per salt
+    value via an explode — so a hot key's rows spread over
+    ``salt_buckets`` reducers instead of funneling through one.
+    Join key becomes (key, salt) both sides.
+
+    Use when AQE's skew-join split can't help: e.g. the skewed side
+    feeds a window/aggregation that pins partitioning, or the skew is
+    in a single key exceeding one executor's memory. The other side
+    is replicated ×salt_buckets — keep it the smaller side.
+    ``how`` supports inner/left (semantics preserved: salt never
+    changes match cardinality since every skewed row has exactly one
+    salt and every other-side key carries all salts).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = skewed.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    replicated = other.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    out = salted.join(
+        replicated,
+        (salted[skewed_key] == replicated[other_key])
+        & (salted["__salt"] == replicated["__salt"]),
+        how,
+    )
+    return out.drop("__salt")

@@ -65,3 +65,38 @@ def ann_bruteforce_vectorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_pdf = emb.filter(F.col("vec_id") < 10).toPandas()
     return brute_force_topk_vectorized(emb, queries_pdf, k=5)
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    category="2.3 joins",
+    doc="Salted skew join: the hot-keyed fact side gets a [0,16) "
+    "salt, the other side is exploded across all 16 salts, and the "
+    "equi-join keys on (key, salt) — a single hot key spreads over "
+    "16 reducers instead of one. Oracle-checked exactly equal to "
+    "the plain join (salting never changes match cardinality). For "
+    "when AQE skew split can't apply (downstream partitioning "
+    "pinned, or one key > executor memory).",
+)
+def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", salt_buckets=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -5,6 +5,8 @@ from aws_lakehouse_spark.sources.readers import (
     scan_parquet,
     scan_text,
     scan_table,
+    scan_csv,
+    scan_json,
 )
 from aws_lakehouse_spark.sources.writers import (
     sink_table_append,
@@ -27,6 +29,8 @@ __all__ = [
     "scan_parquet",
     "scan_text",
     "scan_table",
+    "scan_csv",
+    "scan_json",
     "sink_table_append",
     "sink_table_overwrite",
     "sink_table_bucketed",

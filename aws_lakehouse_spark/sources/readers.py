@@ -51,3 +51,43 @@ def scan_table(spark: SparkSession, name: str) -> DataFrame:
     """S3 — catalog table scan by name
     (ref ``noaa_ghcn_silver_to_gold.py:41,45-47``)."""
     return spark.table(name)
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan (engine extension — the open-data files the reference
+    ingests ship as CSV upstream of its Bronze parquet). An explicit
+    ``schema`` DDL string avoids the inference pre-pass, which at
+    100 TB is a full extra read of every file; always pass one in
+    production paths."""
+    configure_runtime(spark)
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def scan_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan (engine extension). Same rule as ``scan_csv``:
+    pass a schema DDL to skip the inference read. ``multiline=True``
+    only for whole-file JSON documents — it disables per-line input
+    splitting, so each file becomes one task's work."""
+    configure_runtime(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    return reader.json(path)

@@ -225,3 +225,23 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     # true neighbors (deterministic: seeded centroids, fixed data)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_salted_join_left_semantics(spark):
+    from aws_lakehouse_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (9, "z")], "k bigint, v string"
+    )
+    small = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "j bigint, w string"
+    )
+    inner = salted_join(big, small, "k", "j", salt_buckets=4).collect()
+    assert sorted((r["k"], r["v"], r["w"]) for r in inner) == [
+        (1, "a", "x"), (1, "b", "x"), (2, "c", "y")
+    ]
+    left = salted_join(big, small, "k", "j", salt_buckets=4, how="left").collect()
+    # unmatched key 9 survives exactly once with nulls, never ×salts
+    assert sorted((r["k"], r["v"], r["w"]) for r in left) == [
+        (1, "a", "x"), (1, "b", "x"), (2, "c", "y"), (9, "z", None)
+    ]
