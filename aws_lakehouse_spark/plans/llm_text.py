@@ -190,6 +190,7 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before sharding. Scale shape: one shuffle on the uniform "
     "digest (map-side WindowGroupLimit prunes dup groups early), "
     "then a tiny per-source aggregate.",
+    bench=True,
 )
 def text_corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.operators import dedupe_by_key

@@ -217,6 +217,7 @@ def tpch_q4_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hinted; customer/orders/supplier scale with the fact -> AQE "
     "chooses. The c_nationkey = s_nationkey residual rides the "
     "supplier equi-join.",
+    bench=True,
 )
 def tpch_q5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -352,6 +353,7 @@ def tpch_q14_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate + left-semi join; the qualifying-key set is tiny after "
     "HAVING so AQE broadcasts it into the fact, and the final "
     "order/limit plans TakeOrderedAndProject.",
+    bench=True,
 )
 def tpch_q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

@@ -15,6 +15,7 @@ from aws_lakehouse_spark.sources.writers import (
     sink_parquet_path,
     create_table_if_absent,
     write_with_fallback,
+    upsert_table,
 )
 from aws_lakehouse_spark.sources.ingest import ingest_copy
 from aws_lakehouse_spark.sources.maintenance import (
@@ -37,6 +38,7 @@ __all__ = [
     "sink_parquet_path",
     "create_table_if_absent",
     "write_with_fallback",
+    "upsert_table",
     "ingest_copy",
     "compact_files",
     "expire_snapshots",

@@ -164,3 +164,39 @@ def write_with_fallback(
     except Exception:
         sink(df, table, partition_by, fmt="parquet")
         return "parquet"
+
+
+def upsert_table(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> None:
+    """MERGE-style upsert (SCD-1) onto a managed table without a
+    transactional format: rows in ``updates`` replace current rows
+    with the same key; all other current rows survive. This is the
+    plain-Parquet stand-in for Iceberg ``MERGE INTO`` — the op the
+    reference's ACID layer provides (its maintenance job presumes
+    Iceberg, ``iceberg_maintenance.py``); with Delta/Iceberg jars
+    present, ``write_with_fallback`` + native MERGE supersede this.
+
+    Implementation: anti-join current⟂updates on the key (drops
+    superseded rows), union the updates, stage to a temp table, then
+    overwrite the target from the staged result — the stage hop is
+    required because Spark refuses to overwrite a table that is an
+    input of the running plan. Idempotent: re-applying the same
+    updates is a no-op. At scale the anti-join shuffles on the key
+    once; with ``partition_by`` covering the updated partitions,
+    prefer ``sink_partition_overwrite`` instead (no read of
+    untouched partitions)."""
+    current = spark.table(table)
+    merged = current.join(
+        updates.select(*keys), list(keys), "left_anti"
+    ).unionByName(updates)
+    staging = f"{table}__upsert_staging"
+    sink_table_overwrite(merged, staging, partition_by)
+    try:
+        sink_table_overwrite(spark.table(staging), table, partition_by)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")

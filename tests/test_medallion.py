@@ -230,3 +230,39 @@ def test_maintenance_compaction_partitioned_preserves_data(spark):
         "append"
     ).partitionBy("year").saveAsTable("t_maint_part")
     assert spark.table("t_maint_part").count() == 5_001
+
+
+def test_upsert_table_scd1(spark):
+    from aws_lakehouse_spark.sources import upsert_table
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, name string, v double",
+    ).write.mode("overwrite").saveAsTable("upsert_target")
+    try:
+        updates = spark.createDataFrame(
+            [(2, "b2", 21.0), (4, "d", 40.0)],
+            "k bigint, name string, v double",
+        )
+        upsert_table(spark, "upsert_target", updates, ["k"])
+        got = {
+            r["k"]: (r["name"], r["v"])
+            for r in spark.table("upsert_target").collect()
+        }
+        assert got == {
+            1: ("a", 10.0),   # untouched survives
+            2: ("b2", 21.0),  # updated in place
+            3: ("c", 30.0),
+            4: ("d", 40.0),   # inserted
+        }
+        # idempotent: re-applying the same updates changes nothing
+        upsert_table(spark, "upsert_target", updates, ["k"])
+        again = {
+            r["k"]: (r["name"], r["v"])
+            for r in spark.table("upsert_target").collect()
+        }
+        assert again == got
+        assert not spark.catalog.tableExists("upsert_target__upsert_staging")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS upsert_target")
+        spark.sql("DROP TABLE IF EXISTS upsert_target__upsert_staging")
