@@ -22,6 +22,7 @@ from aws_lakehouse_spark.operators.joins import (
     anti_join,
     range_join,
     asof_join,
+    asof_join_pandas,
 )
 from aws_lakehouse_spark.operators.aggregates import (
     count_star,
@@ -52,6 +53,7 @@ __all__ = [
     "anti_join",
     "range_join",
     "asof_join",
+    "asof_join_pandas",
     "count_star",
     "group_agg",
     "distinct_projection",

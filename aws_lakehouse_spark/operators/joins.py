@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import StructType
 
 
 def join_fact_dim(
@@ -129,3 +130,56 @@ def asof_join(
         }
     )
     return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join via grouped ``applyInPandas`` + ``pandas.merge_asof``
+    (backward direction) — the Arrow-batched alternative to the
+    union+window ``asof_join``, for when per-key logic grows beyond
+    what window expressions express (interpolation, tolerance bands,
+    per-key models).
+
+    Scale shape: both sides co-group on ``key_cols`` (one shuffle
+    each, same key); each group is processed as ONE pandas call —
+    so a single key's history must fit in executor memory. Prefer
+    ``asof_join`` (pure window) when the semantics allow; results
+    are identical (asserted in tests).
+    """
+    import pandas as pd
+
+    keys = list(key_cols)
+    # StructType.add mutates in place — never extend left.schema itself
+    out_schema = StructType(list(left.schema.fields))
+    for c in value_cols:
+        out_schema = out_schema.add(c + suffix, right.schema[c].dataType, True)
+
+    rhs = right.select(
+        *keys, ts_col, *[F.col(c).alias(c + suffix) for c in value_cols]
+    )
+    suffixed = [c + suffix for c in value_cols]
+
+    def merge(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+        lp = lp.sort_values(ts_col)
+        if rp.empty:
+            for c in suffixed:
+                lp[c] = None
+            return lp
+        return pd.merge_asof(
+            lp,
+            rp.sort_values(ts_col).drop(columns=keys),
+            on=ts_col,
+            direction="backward",
+        )
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(rhs.groupBy(*keys))
+        .applyInPandas(merge, out_schema)
+    )

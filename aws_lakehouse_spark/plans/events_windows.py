@@ -182,3 +182,101 @@ def events_dedup_within_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("minute_bucket").cast("timestamp_ntz").alias("minute_bucket"),
         F.lit(1).cast("bigint").alias("n_kept"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS fv
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS fc
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.fv
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS fp
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.fc
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Ordered conversion funnel view→click→purchase: per-stage "
+    "first-occurrence timestamps chained with strictly-after "
+    "predicates. Each stage is a groupBy on user_id — the same "
+    "shuffle key throughout, so AQE reuses the partitioning; "
+    "stage counts are single-row aggregates unioned at the end.",
+)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("fv")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        FROM events GROUP BY user_id
+    ), act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(date_diff('day', f.d0, a.d) AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY day_offset
+    ORDER BY day_offset
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Cohort retention curve: first-seen day per user, distinct "
+    "active days joined back, day-offset histogram. Both sides of "
+    "the join are keyed and pre-aggregated on user_id — one "
+    "partitioning serves the groupBys and the join.",
+)
+def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    first = e.groupBy("user_id").agg(F.min(d).alias("d0"))
+    act = e.select("user_id", d.alias("d")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.datediff(F.col("d"), F.col("d0")).cast("int").alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("day_offset")
+    )

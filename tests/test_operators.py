@@ -116,3 +116,31 @@ def test_split_fields_single_split(spark):
     assert (out["sid"], out["lat"], out["lon"], out["elem"], out["y0"], out["y1"]) == (
         "S1", 1.5, -2.5, "TMAX", 1990, 2020
     )
+
+
+def test_asof_pandas_matches_window_path(spark, sf_dir):
+    """applyInPandas merge_asof variant must agree row-for-row with
+    the union+window asof_join on real data, including users with no
+    matching right rows."""
+    from aws_lakehouse_spark.operators import asof_join, asof_join_pandas
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = events.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    )
+    right = events.filter("event_type = 'view'").select(
+        "user_id", "ts", "value"
+    )
+    a = {
+        (r["event_id"],): r["value_asof"]
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["value"]
+        ).collect()
+    }
+    b = {
+        (r["event_id"],): r["value_asof"]
+        for r in asof_join_pandas(
+            left, right, ["user_id"], "ts", ["value"]
+        ).collect()
+    }
+    assert a == b and len(a) == left.count()
