@@ -1,0 +1,169 @@
+"""Property-based invariants (hypothesis) for the operators whose
+correctness arguments are subtle: salting must be invisible in
+results, the two as-of implementations must agree, dedup must keep
+exactly the tiebreak winner, and connected components must equal a
+reference BFS. Examples are kept small — each runs a real Spark job.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+keys = st.integers(min_value=0, max_value=4)
+vals = st.one_of(
+    st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)
+)
+
+
+@given(
+    rows=st.lists(st.tuples(keys, vals), min_size=0, max_size=30),
+)
+@settings(**SETTINGS)
+def test_salted_group_agg_invisible(spark, rows):
+    from aws_lakehouse_spark.operators.skew import salted_group_agg
+
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    got = {
+        r["k"]: (r["n_rows"], r["sum_v"])
+        for r in salted_group_agg(
+            df, ["k"], sum_cols=["v"], salt_buckets=4
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        if want[k][1] is None:
+            assert got[k][1] is None
+        else:
+            assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+@given(
+    left=st.lists(st.tuples(keys, st.integers(0, 50)), min_size=0, max_size=15),
+    right=st.lists(
+        st.tuples(keys, st.integers(0, 50), st.floats(-10, 10, allow_nan=False)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_window_equals_pandas(spark, left, right):
+    from aws_lakehouse_spark.operators import asof_join, asof_join_pandas
+
+    # unique (key, ts) on the left so rows are identifiable
+    left = list({(k, t): None for k, t in left})
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k bigint, ts bigint, rowid bigint",
+    )
+    rdf = spark.createDataFrame(right, "k bigint, ts bigint, v double")
+    a = {
+        r["rowid"]: r["v_asof"]
+        for r in asof_join(ldf, rdf, ["k"], "ts", ["v"]).collect()
+    }
+    b = {
+        r["rowid"]: r["v_asof"]
+        for r in asof_join_pandas(ldf, rdf, ["k"], "ts", ["v"]).collect()
+    }
+    assert a == b and len(a) == len(left)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(0, 9), st.integers(0, 100)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_dedupe_keeps_exact_tiebreak_winner(spark, rows):
+    from aws_lakehouse_spark.operators import dedupe_by_key
+
+    # unique tiebreak column so the winner is fully determined
+    df = spark.createDataFrame(
+        [(k, g, i) for i, (k, g, _) in enumerate(rows)],
+        "k bigint, g bigint, tb bigint",
+    )
+    got = {
+        (r["k"], r["g"]): r["tb"]
+        for r in dedupe_by_key(df, ["k", "g"], [F.asc("tb")]).collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for i, (k, g, _) in enumerate(rows):
+        key = (k, g)
+        want[key] = min(want.get(key, i), i)
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_connected_components_equals_bfs(spark, edges):
+    from aws_lakehouse_spark.llm.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for start in adj:
+        if start in want:
+            continue
+        seen, stack = {start}, [start]
+        while stack:
+            n = stack.pop()
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        label = min(seen)
+        for n in seen:
+            want[n] = label
+    assert got == want
+
+
+def test_operators_on_empty_inputs(spark):
+    from aws_lakehouse_spark.llm.dedup import connected_components
+    from aws_lakehouse_spark.operators import (
+        asof_join,
+        asof_join_pandas,
+        dedupe_by_key,
+    )
+    from aws_lakehouse_spark.operators.skew import salted_group_agg, salted_join
+
+    empty_kv = spark.createDataFrame([], "k bigint, v double")
+    empty_ts = spark.createDataFrame([], "k bigint, ts bigint, v double")
+
+    assert salted_group_agg(empty_kv, ["k"], sum_cols=["v"]).count() == 0
+    assert salted_join(empty_kv, empty_kv, "k", "k").count() == 0
+    assert dedupe_by_key(empty_kv, ["k"], [F.asc("v")]).count() == 0
+    assert asof_join(empty_ts, empty_ts, ["k"], "ts", ["v"]).count() == 0
+    assert asof_join_pandas(empty_ts, empty_ts, ["k"], "ts", ["v"]).count() == 0
+    assert connected_components(
+        spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    ).count() == 0
