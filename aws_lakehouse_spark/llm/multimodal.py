@@ -123,3 +123,26 @@ def frame_sample_plan(media: DataFrame, every_n: int = 4) -> DataFrame:
             "sampled_frames"
         ),
     )
+
+
+def audio_chunk_plan(
+    media: DataFrame, chunk_samples: int = 80_000, hop_samples: int = 40_000
+) -> DataFrame:
+    """Audio segmentation plumbing: derive overlapped chunk-start
+    offsets (50% hop by default) for each audio payload —
+    metadata-driven, no decode, pure JVM expressions. A real
+    pipeline feeds each (start, start+chunk) range to the codec in
+    a follow-up ``mapInPandas`` exactly like ``extract_features``.
+    The fake sample count (bytes × 4) stands in for the codec's
+    header read, keeping every downstream shape real."""
+    n_samples = (F.col("size_bytes") * 4).cast("bigint")
+    return media.filter(F.col("modality") == "audio").select(
+        "media_id",
+        n_samples.alias("n_samples"),
+        F.sequence(
+            F.lit(0).cast("bigint"),
+            n_samples - 1,
+            F.lit(hop_samples).cast("bigint"),
+        ).alias("chunk_starts"),
+        F.lit(chunk_samples).cast("bigint").alias("chunk_len"),
+    )

@@ -99,3 +99,36 @@ def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sampled_frames").cast("bigint").alias("n_sampled"),
         F.element_at("sampled_frames", -1).cast("int").alias("last_sampled"),
     )
+
+
+@register(
+    "media_audio_chunks",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS media_id,
+               CAST(strlen(text) * 4 AS BIGINT) AS n_samples
+        FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, n_samples,
+           CAST((n_samples - 1) // 40000 + 1 AS BIGINT) AS n_chunks,
+           CAST(((n_samples - 1) // 40000) * 40000 AS BIGINT)
+             AS last_chunk_start
+    FROM a
+    """,
+    category="llm multimodal",
+    doc="Audio segmentation plan: overlapped chunk-start offsets "
+    "(80k-sample chunks, 40k hop) derived from metadata only — the "
+    "codec never runs for planning; summary scalars oracle-checked.",
+)
+def media_audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import audio_chunk_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(docs, "text", "doc_id")
+    plan = audio_chunk_plan(media)
+    return plan.select(
+        "media_id",
+        "n_samples",
+        F.size("chunk_starts").cast("bigint").alias("n_chunks"),
+        F.element_at("chunk_starts", -1).alias("last_chunk_start"),
+    )

@@ -361,3 +361,37 @@ def scalar_input_file_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_file")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "scalar_json_struct_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                / 10) AS INTEGER) AS k_decile,
+           COUNT(*) AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY event_type, k_decile
+    ORDER BY event_type, k_decile
+    """,
+    category="2.8 scalar (JSON extension)",
+    doc="Schema'd JSON parse (from_json into struct<k:bigint>) "
+    "feeding a grouped aggregate — the typed-parse path (single "
+    "parse per row, pruned to the referenced field) vs the "
+    "per-path string extraction of scalar_json_get.",
+)
+def scalar_json_struct_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.groupBy(
+            "event_type",
+            F.floor(F.col("p.k") / 10).cast("int").alias("k_decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type", "k_decile")
+    )
