@@ -36,6 +36,12 @@ def join_fact_dim(
     ``on`` may be a column name (same name both sides, J1), a list of
     names, or an arbitrary join Column (different key names, J2 —
     ``README.md:266-275``'s ``pickup_zone_id = zone_id`` shape).
+
+    Broadcast policy: the default matches the reference's dims
+    (vendor/zone/element — bounded-cardinality by construction). For
+    a "dim" that scales with the fact (customer at TPC-H scale),
+    pass ``broadcast_dim=False`` and let size-based planning / AQE
+    choose — a hard hint on a growing table is an OOM at 100 TB.
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return fact.join(d, on, how)

@@ -8,9 +8,11 @@ and window dedup (README.md:95,307) — i.e. one plan that exercises
 scan→filter→window→join→agg→sort→limit.
 
 Scale shape: lineitem (the 100 TB side) is filtered at the scan
-(predicate pushdown), deduped orders shuffle once on the dedup key,
-and every dimension is broadcast — the fact table is never
-range-shuffled for a join.
+(predicate pushdown); deduped orders shuffle once on the dedup key.
+Join strategy: bounded dims (nation) are broadcast-hinted; tables
+that scale with the fact (orders, customer) carry NO hint — Spark's
+size estimates broadcast them at test SF, AQE shuffle-joins them at
+cluster scale.
 """
 
 from __future__ import annotations
@@ -79,7 +81,14 @@ def star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = clean_li.join(
         orders_dedup, clean_li.l_orderkey == orders_dedup.o_orderkey
     )
-    joined = join_fact_dim(joined, customer, joined.o_custkey == customer.c_custkey)
+    # customer scales with the fact — no hard broadcast hint; Spark's
+    # size-based planning (and AQE) broadcasts it at small SF and
+    # shuffle-joins at cluster scale. nation is bounded (25 rows at
+    # ANY scale) so the hint is always right.
+    joined = join_fact_dim(
+        joined, customer, joined.o_custkey == customer.c_custkey,
+        broadcast_dim=False,
+    )
     joined = join_fact_dim(joined, nation, joined.c_nationkey == nation.n_nationkey)
 
     out = group_agg(
