@@ -21,6 +21,7 @@ from aws_lakehouse_spark.operators.joins import (
     semi_join,
     anti_join,
     range_join,
+    range_join_banded,
     asof_join,
     asof_join_pandas,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "semi_join",
     "anti_join",
     "range_join",
+    "range_join_banded",
     "asof_join",
     "asof_join_pandas",
     "count_star",

@@ -189,3 +189,45 @@ def asof_join_pandas(
         .cogroup(rhs.groupBy(*keys))
         .applyInPandas(merge, out_schema)
     )
+
+
+def range_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    band_width: float,
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Large×large interval join ``right.lo <= left.point <= right.hi``
+    without a nested loop: both sides are banded onto a coarse integer
+    grid of width ``band_width`` and equi-joined on the band id, with
+    the exact range predicate as a residual.
+
+    Each right interval lands in every band it overlaps
+    (sequence(floor(lo/w), floor(hi/w))); each left point in exactly
+    one. The equi-join shuffles on the band id, so cost is
+    O(points + intervals x bands_spanned) instead of O(points x
+    intervals). Choose ``band_width`` ≈ the typical interval length:
+    each interval then spans ~2 bands. Exact-equivalent to the
+    nested-loop range join (oracle-checked).
+    """
+    lb = left.withColumn(
+        "__band", F.floor(F.col(left_point) / band_width).cast("long")
+    )
+    rb = right.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / band_width).cast("long"),
+                F.floor(F.col(right_hi) / band_width).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(left_point) >= F.col(right_lo)) & (
+        F.col(left_point) <= F.col(right_hi)
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return lb.join(rb, "__band").filter(cond).drop("__band")

@@ -100,3 +100,43 @@ def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "join_range_banded",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_matches,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_price
+    FROM orders o
+    JOIN part p
+      ON o.o_totalprice >= p.p_retailprice * 100 - 2000
+     AND o.o_totalprice <= p.p_retailprice * 100 + 2000
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    category="2.3 joins",
+    doc="Large x large interval join WITHOUT a nested loop: both "
+    "sides banded onto a 4000-wide grid, equi-join on the band id, "
+    "exact range predicate as residual — O(points + intervals x 2) "
+    "join input instead of O(points x intervals). Oracle-checked "
+    "equal to the nested-loop range join.",
+)
+def join_range_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators import range_join_banded
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        (F.col("p_retailprice") * 100 - 2000).alias("lo"),
+        (F.col("p_retailprice") * 100 + 2000).alias("hi"),
+    )
+    joined = range_join_banded(o, p, "o_totalprice", "lo", "hi", 4000.0)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )

@@ -223,3 +223,102 @@ def text_corpus_prep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+               AS BIGINT) % 100 < 10
+    """,
+    category="llm text",
+    doc="Deterministic hash sampling (~10%): md5(id) bucket < pct — "
+    "the reproducible sampling a training pipeline needs (same rows "
+    "on every run, every engine, any partitioning — unlike "
+    "rand()-based sampling, which is neither reproducible across "
+    "engines nor stable under repartitioning). Pure scan+filter, "
+    "no shuffle.",
+)
+def text_sample_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    return docs.filter(bucket < 10).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "text_sample_balanced",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+        ) AS rn
+        FROM documents
+    ) WHERE rn <= 50
+    """,
+    category="llm text",
+    doc="Class-balanced downsampling: at most N docs per label, "
+    "chosen by hash order (deterministic, unbiased within class). "
+    "One shuffle on the label; map-side WindowGroupLimit prunes "
+    "each class to N before the exchange, so the shuffle moves "
+    "O(classes x N) rows, not the corpus.",
+)
+def text_sample_balanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) / 512) AS BIGINT) AS pack_id
+    FROM t
+    """,
+    category="llm text",
+    doc="Sequence packing for training batches: per-source running "
+    "token count assigns each doc to a 512-token pack "
+    "(bin = floor(tokens-before-me / budget)) — the shuffle-light "
+    "approximation of greedy bin packing (bins may overflow by one "
+    "doc's tail, never underfill). One window shuffle on source.",
+)
+def text_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col(F.col("text"))).cast("bigint")
+    t = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before_me = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(before_me / 512).cast("bigint").alias("pack_id"),
+    )

@@ -112,3 +112,11 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_banded_range_join_is_equi(spark, sf_dir):
+    """The banded range join must plan as an equi-join on the band id
+    (hash/broadcast-hash), never a nested loop over the cross space."""
+    plan = _plan(spark, sf_dir, "join_range_banded")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
