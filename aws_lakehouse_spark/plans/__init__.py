@@ -14,6 +14,7 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     events_windows,
     medallion,
     sql_surface,
+    quality,
     tpch,
     llm_text,
     llm_dedup,

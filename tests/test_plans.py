@@ -120,3 +120,14 @@ def test_banded_range_join_is_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_range_banded")
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_expectations_single_scan(spark, sf_dir):
+    """All expectation rules must be counted in one scan — conditional
+    sums, never one pass per rule. (simple mode: formatted explain
+    prints each node twice, tree + details)"""
+    df = REGISTRY["quality_expectations"].fn(spark, sf_dir)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Scan parquet") == 1
