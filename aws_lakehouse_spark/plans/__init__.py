@@ -16,6 +16,7 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     sql_surface,
     quality,
     tpch,
+    tpch2,
     llm_text,
     llm_dedup,
     llm_similarity,
