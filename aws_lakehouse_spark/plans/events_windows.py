@@ -280,3 +280,64 @@ def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("day_offset")
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM g
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Gap-based sessionization (30-min inactivity): lag + "
+    "cumulative-sum of session starts assigns ordinal session ids "
+    "per user — the batch equivalent of F.session_window that also "
+    "YIELDS the session id for downstream joins. Both windows and "
+    "the final group-by share one partitioning (user_id): a single "
+    "shuffle end-to-end.",
+)
+def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session).over(wsum).alias("session_no"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_no")
+    )

@@ -57,7 +57,8 @@ def run() -> dict:
     timings: dict[str, float] = {}
     for name, spec in headline.items():
         best = float("inf")
-        for _ in range(2):  # best-of-2: first run pays codegen compile
+        for _ in range(3):  # best-of-3: first run pays codegen compile,
+            # and one extra trial absorbs host-load noise spikes
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
