@@ -769,3 +769,76 @@ def set_except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select(F.col("c_nationkey").alias("nationkey")),
         supplier.select(F.col("s_nationkey").alias("nationkey")),
     )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key
+    FROM orders
+    WHERE o_orderkey <= 1000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    category="2.5 windows",
+    doc="The full ranking-function family (rank/dense_rank/ntile/"
+    "percent_rank/cume_dist/first_value) over one shared window "
+    "spec — one shuffle + one sort serves all six.",
+)
+def window_rank_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+    )
+
+
+@register(
+    "scalar_string_family",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           concat_ws('|', c_mktsegment, c_name) AS tagged,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER)
+             AS lev_building,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           reverse(c_mktsegment) AS rseg
+    FROM customer
+    """,
+    category="2.8 scalar",
+    doc="String-function family breadth (upper/lpad/concat_ws/"
+    "translate/levenshtein/length/reverse) — pure scan+project, "
+    "whole-stage codegen end-to-end.",
+)
+def scalar_string_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("tagged"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_building"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.reverse("c_mktsegment").alias("rseg"),
+    )

@@ -52,3 +52,73 @@ def running_totals_per_key(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+
+
+def _session_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    gap_us = 30 * 60 * 1_000_000
+    closed: list[tuple[int, int, int]] = []
+    cur = state.get if state.exists else None
+    if state.hasTimedOut:
+        if cur is not None:
+            closed.append(cur)
+        state.remove()
+    else:
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf["ts_us"])
+        for t in sorted(ts):
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                closed.append(cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], t, cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutDuration(60_000)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(closed),
+            "session_start_us": [c[0] for c in closed],
+            "session_end_us": [c[1] for c in closed],
+            "n_events": [c[2] for c in closed],
+        }
+    )
+
+
+def sessionize_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom gap-based sessionizer with explicit timeout state — the
+    operator ``F.session_window`` can't express when the session
+    carries custom per-session state (here start/last/count; in
+    production: per-session feature accumulators). Input needs an
+    integer-microsecond ``ts_us`` column; sessions close when a
+    30-min gap appears in-batch, or via processing-time timeout for
+    keys that go quiet. Emits only CLOSED sessions (append sink).
+
+    Scale: state is (3 ints) per active key in the executor state
+    store; each micro-batch shuffles once on the key. Events are
+    sorted within each batch, but arrival is assumed batch-ordered
+    per key (file source: one file per commit, oldest-first) — for
+    out-of-order sources put a watermark + buffer stage in front, or
+    use ``F.session_window`` when no custom per-session state is
+    needed.
+    """
+    return events.groupBy(key).applyInPandasWithState(
+        _session_update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

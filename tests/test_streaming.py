@@ -168,3 +168,73 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_stateful_sessionizer_closes_on_gap(spark, tmp_path):
+    """Custom applyInPandasWithState sessionizer: sessions split on
+    >30-min gaps; state continues across micro-batches (an event in
+    batch 2 within the gap extends the batch-1 session)."""
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.streaming.stateful import sessionize_per_key
+
+    MIN = 60 * 1_000_000
+    b1 = [(1, 0), (1, 10 * MIN // MIN * MIN), (1, 120 * MIN),
+          (2, 0)]
+    # user 1: events at 0 + 10min (session A), 120min (session B start)
+    # user 2: one event at 0
+    b2 = [(1, 125 * MIN),        # within gap of session B → extends it
+          (1, 999 * MIN),        # far gap → closes B in-batch
+          (2, 500 * MIN)]        # far gap → closes user-2 session A
+    src = tmp_path / "sess-src"
+    # one file per logical batch (coalesce) so maxFilesPerTrigger=1
+    # delivers them in order — multi-part writes would split a batch
+    # into arbitrarily-ordered micro-batches
+    spark.createDataFrame(b1, "user_id bigint, ts_us bigint").coalesce(
+        1
+    ).write.parquet(str(src), mode="append")
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtimes: file-source orders by timestamp
+    spark.createDataFrame(b2, "user_id bigint, ts_us bigint").coalesce(
+        1
+    ).write.parquet(str(src), mode="append")
+    stream = (
+        spark.readStream.schema("user_id bigint, ts_us bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_per_key(stream)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .start()
+    )
+    # ProcessingTimeTimeout keeps scheduling micro-batches for
+    # timeout sweeps, so the query never self-terminates and even
+    # processAllAvailable can keep blocking — poll the sink for the
+    # 3 expected closes (all triggered in-batch by gap events), then
+    # stop explicitly.
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("sess_test").count() >= 3:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination()
+    closed = {
+        (r["user_id"], r["session_start_us"]): (
+            r["session_end_us"], r["n_events"]
+        )
+        for r in spark.table("sess_test").collect()
+    }
+    # user 1 session A: [0, 10min], 2 events — closed by the 120min event
+    assert closed[(1, 0)] == (10 * MIN, 2)
+    # user 1 session B: [120min, 125min], 2 events — extended across
+    # batches, closed by the 999min event
+    assert closed[(1, 120 * MIN)] == (125 * MIN, 2)
+    # user 2 session A: [0, 0], 1 event — closed by the 500min event
+    assert closed[(2, 0)] == (0, 1)
