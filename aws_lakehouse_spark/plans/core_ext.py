@@ -140,3 +140,73 @@ def join_range_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    category="2.4 aggregates",
+    doc="Pivot: per-user event counts spread into one column per "
+    "event type. The value list is DECLARED (not discovered), so "
+    "Spark skips the extra distinct-values job and plans a single "
+    "hash aggregate — at 100 TB an undeclared pivot means one full "
+    "extra pass just to learn the columns.",
+)
+def agg_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .orderBy("user_id")
+    )
+    # pivot leaves null for absent combinations; the oracle's
+    # conditional sums produce 0 — align
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               'quantity' AS metric, l_quantity AS value
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_orderkey <= 100
+    )
+    """,
+    category="2.4 aggregates",
+    doc="Unpivot/melt: wide metric columns to (metric, value) rows "
+    "via stack — one scan produces all three output rows per input "
+    "row (the oracle's UNION ALL shape would scan three times).",
+)
+def agg_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 100
+    )
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, "
+        "'tax', l_tax) AS (metric, value)",
+    )
