@@ -1,0 +1,80 @@
+"""Data-layout operators: Z-order (Morton) clustering for writes.
+
+The reference compacts files by size only (binpack,
+``glue-jobs/iceberg_maintenance.py:59-69``); engines with
+`OPTIMIZE ZORDER` additionally cluster rows so per-file min/max
+statistics become selective on SEVERAL columns at once. This module
+is that capability on plain Spark: an interleaved-bits (Morton) sort
+key computed as pure JVM expressions, plus a writer that range-
+partitions on it — each output file then covers a compact hyper-cube
+of the value space, and any engine reading the parquet footers
+(Spark, DuckDB, Trino) skips files on any of the clustered columns.
+
+At 100 TB this is the difference between touching every file for a
+2-column predicate and touching the few files whose cube intersects
+it — without paying one sort per query: the sort is paid once at
+write/compaction time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def zorder_code(
+    col_ranges: Mapping[str, tuple[float, float]], bits: int = 8
+) -> Column:
+    """Morton code: quantize each column to ``bits`` bits over its
+    [lo, hi) range, then interleave the bits round-robin. Values
+    outside the range clamp to the edge bins; nulls go to bin 0.
+    Pure integer expressions — whole-stage codegen, no UDF.
+
+    ``col_ranges`` values (lo, hi) come from table statistics (one
+    profiling pass, see ``quality.profile_numeric``) — the code must
+    NOT recompute them per write."""
+    if not col_ranges:
+        raise ValueError("zorder_code needs at least one column")
+    n = len(col_ranges)
+    max_bin = (1 << bits) - 1
+    quantized: list[Column] = []
+    for c, (lo, hi) in col_ranges.items():
+        span = (hi - lo) or 1.0
+        scaled = ((F.col(c).cast("double") - lo) / span * max_bin).cast("long")
+        quantized.append(
+            F.least(
+                F.lit(max_bin).cast("long"),
+                F.greatest(F.lit(0).cast("long"), F.coalesce(scaled, F.lit(0))),
+            )
+        )
+    code = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return code
+
+
+def sink_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    col_ranges: Mapping[str, tuple[float, float]],
+    n_files: int,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the
+    Z-order of ``col_ranges``: range-partition on the Morton code
+    (one shuffle — same cost as any repartition) and sort within each
+    partition, so every file's footer min/max is tight on every
+    clustered column simultaneously."""
+    code = zorder_code(col_ranges, bits)
+    (
+        df.withColumn("__z", code)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,83 @@
+"""Z-order layout tests: Morton code correctness + the actual
+file-skipping payoff (per-file min/max tightness vs hash layout)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from aws_lakehouse_spark.layout import sink_parquet_zordered, zorder_code
+
+
+def test_zorder_code_interleaves_bits(spark):
+    # 2 columns, 2 bits each, ranges chosen so value == bin index:
+    # code = interleave(x, y) — classic Morton pairs
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (3.0, 3.0), (1.0, 2.0)],
+        "x double, y double",
+    )
+    code = zorder_code({"x": (0.0, 3.0), "y": (0.0, 3.0)}, bits=2)
+    got = [r["z"] for r in df.select(code.alias("z")).collect()]
+    # x bits land at positions 0,2; y bits at 1,3
+    def morton(x, y):
+        return (
+            (x & 1)
+            | ((y & 1) << 1)
+            | (((x >> 1) & 1) << 2)
+            | (((y >> 1) & 1) << 3)
+        )
+    assert got == [morton(0, 0), morton(3, 0), morton(0, 3),
+                   morton(3, 3), morton(1, 2)]
+
+
+def _mean_file_range(path: str, col: str) -> float:
+    widths = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(
+            md.row_group(i).column(idx).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        widths.append(hi - lo)
+    return sum(widths) / len(widths)
+
+
+def test_zorder_tightens_file_stats(spark, sf_dir, tmp_path):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice"
+    )
+    stats = li.agg(
+        {"l_quantity": "min", "l_extendedprice": "min"}
+    ).collect()[0]
+    stats_max = li.agg(
+        {"l_quantity": "max", "l_extendedprice": "max"}
+    ).collect()[0]
+    ranges = {
+        "l_quantity": (stats["min(l_quantity)"], stats_max["max(l_quantity)"]),
+        "l_extendedprice": (
+            stats["min(l_extendedprice)"],
+            stats_max["max(l_extendedprice)"],
+        ),
+    }
+    zpath = str(tmp_path / "z")
+    hpath = str(tmp_path / "h")
+    sink_parquet_zordered(li, zpath, ranges, n_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(hpath)
+
+    # hash layout: every file spans ~the full domain of both columns;
+    # z-order: each file covers a compact cube → much tighter stats
+    for col in ("l_quantity", "l_extendedprice"):
+        z_w = _mean_file_range(zpath, col)
+        h_w = _mean_file_range(hpath, col)
+        assert z_w < 0.7 * h_w, (col, z_w, h_w)
+
+    # layout must not lose or duplicate rows
+    assert (
+        spark.read.parquet(zpath).count() == li.count()
+    )
