@@ -201,7 +201,11 @@ def lsh_bucket_topk(
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine_sim_col(F.col("q_vec"), F.col("c_vec")))
+        # round before ranking: reproducible top-k across engines
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_sim_col(F.col("q_vec"), F.col("c_vec")), 6),
+        )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
     w = Window.partitionBy("query_id").orderBy(

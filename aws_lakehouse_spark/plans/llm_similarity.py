@@ -3,8 +3,10 @@
 The dot products on both sides are sequential left-to-right double
 accumulation over the same float32→float64-widened values, and the
 similarity is rounded to 6 digits *before* ranking on both sides, so
-even the ranked output hash-matches. The LSH-bucketed ANN variant is
-recall<1 by construction → rows-only check (the judge sees which).
+even the ranked output hash-matches. Even the LSH-bucketed ANN
+variant is fully oracle-checked: its hyperplanes are md5-seeded, so
+the oracle replicates the exact buckets with the plane weights
+embedded as SQL literals (see ``_lsh_oracle``).
 """
 
 from __future__ import annotations
@@ -103,7 +105,7 @@ def ann_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # approximate recall → rows-only check
+    oracle=None,  # replaced with the full deterministic oracle below
     category="llm similarity",
     doc="ANN top-k via deterministic random-hyperplane LSH buckets "
     "(6 bits): the probe equi-joins on the bucket id, touching "
@@ -134,3 +136,65 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, n_centroids=16, nprobe=4, k=5, refine_iterations=1
     )
+
+
+def _lsh_weight(seed: str, b: int, d: int) -> float:
+    """Python replica of llm.similarity.hyperplane_signature's
+    md5-derived plane weight — same IEEE ops (x/1000.0 - 1.0), so the
+    embedded literal is the bit-identical double Spark computes."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()[:7]
+    return (int(h, 16) % 2000) / 1000.0 - 1.0
+
+
+def _lsh_oracle(dim: int = 64, bits: int = 6, k: int = 5) -> str:
+    def bucket_expr(v: str) -> str:
+        terms = []
+        for b in range(bits):
+            w = "[" + ", ".join(
+                repr(_lsh_weight("lsh", b, d)) for d in range(dim)
+            ) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {v}[i] * ({w}::DOUBLE[])[i]))"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        return " + ".join(terms)
+
+    return f"""
+    WITH c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               {bucket_expr('(embedding::DOUBLE[])')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+               {bucket_expr('(embedding::DOUBLE[])')} AS bucket
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               ROUND({_cos('q.qv', 'c.cv')}, 6) AS cosine_sim
+        FROM c JOIN q USING (bucket)
+        WHERE q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+# Upgrade ann_lsh_bucketed from rows-only to a full oracle: the
+# hyperplanes are md5-seeded (deterministic across engines), so the
+# buckets — and therefore the exact candidate sets — are replicable
+# in SQL with the plane weights embedded as literals.
+import dataclasses as _dc  # noqa: E402
+
+from aws_lakehouse_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["ann_lsh_bucketed"] = _dc.replace(
+    _REG["ann_lsh_bucketed"], oracle=_lsh_oracle()
+)
