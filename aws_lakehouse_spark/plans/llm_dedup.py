@@ -126,15 +126,60 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, "doc_id", "text", shingle_k=3)
 
 
+NEAR_DUP_ORACLE = f"""
+    WITH RECURSIVE sig AS ({DUCK_SIG}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id,
+               md5(minhash_0 || '|' || minhash_1) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_id,
+               md5(minhash_2 || '|' || minhash_3) AS band_hash FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+    ),
+    sh AS (SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b
+        WHERE len(list_intersect(a.shingles, b.shingles))
+              / len(list_distinct(list_concat(a.shingles, b.shingles)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM verified
+        UNION SELECT doc_b, doc_a FROM verified
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id,
+           LEAST(s, MIN(d)) AS survivor_id,
+           s = LEAST(s, MIN(d)) AS is_survivor
+    FROM reach GROUP BY s
+"""
+
+
 @register(
     "dedup_near_duplicate_resolution",
-    oracle=None,  # iterative label propagation → rows-only check
+    # the iterative label propagation is exactly replicated by a
+    # recursive-CTE transitive closure (near-dup graphs are tiny
+    # forests, so the closure stays bounded at oracle scale)
+    oracle=NEAR_DUP_ORACLE,
     category="llm dedup",
     doc="End-to-end near-dup resolution: MinHash-LSH candidates → "
     "per-pair exact Jaccard (array_intersect on shingle sets) → "
     "connected-components label propagation → one survivor per "
-    "duplicate cluster. The iterative step is the engine's "
-    "non-SQL-expressible tier (clustered invariants unit-tested).",
+    "duplicate cluster. Oracle-checked end to end: DuckDB replays "
+    "the same candidates/verification and resolves components via "
+    "WITH RECURSIVE reachability.",
 )
 def dedup_near_duplicate_resolution_q(
     spark: SparkSession, sf_dir: str
