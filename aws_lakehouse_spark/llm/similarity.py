@@ -257,7 +257,9 @@ def ivf_centroids(
         cents = (
             vecs.select("centroid_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("x"))
+            # 9dp round: partial-agg accumulation order differs across
+            # engines/partitionings; the rounded mean is reproducible
+            .agg(F.round(F.avg("x"), 9).alias("x"))
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(
@@ -288,7 +290,7 @@ def ivf_assign(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", cosine_sim_col(F.col("v"), F.col("cent_vec"))
+        "sim", F.round(cosine_sim_col(F.col("v"), F.col("cent_vec")), 6)
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("sim"), F.asc("centroid_id")
@@ -336,7 +338,9 @@ def ivf_topk(
     )
     q_probe = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("sim", cosine_sim_col(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn(
+            "sim", F.round(cosine_sim_col(F.col("q_vec"), F.col("cent_vec")), 6)
+        )
         .withColumn(
             "rn",
             F.row_number().over(

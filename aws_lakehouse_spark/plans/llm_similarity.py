@@ -198,3 +198,84 @@ from aws_lakehouse_spark.registry import REGISTRY as _REG  # noqa: E402
 _REG["ann_lsh_bucketed"] = _dc.replace(
     _REG["ann_lsh_bucketed"], oracle=_lsh_oracle()
 )
+
+
+def _ivf_oracle(
+    dim: int = 64, n_centroids: int = 16, nprobe: int = 4, k: int = 5
+) -> str:
+    """DuckDB replica of ivf_topk (1 Lloyd refinement): seeds by
+    md5-order, argmin assignment (sim rounded to 6dp), per-dim means
+    rounded to 9dp, probe + score. Mirrors the Spark ops' rounding
+    exactly, so even the iterative index build hash-matches."""
+    rng = f"range(1, {dim + 1})"
+
+    def cos(a: str, b: str) -> str:
+        d = f"list_sum(list_transform({rng}, i -> {a}[i] * {b}[i]))"
+        na = f"sqrt(list_sum(list_transform({rng}, i -> {a}[i] * {a}[i])))"
+        nb = f"sqrt(list_sum(list_transform({rng}, i -> {b}[i] * {b}[i])))"
+        return f"{d} / ({na} * {nb})"
+
+    return f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), seeds AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INTEGER)
+                 AS centroid_id,
+               v AS cent
+        FROM (SELECT * FROM c
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_centroids})
+    ), assign0 AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT c.vec_id, s.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY ROUND({cos('c.v', 's.cent')}, 6) DESC,
+                                s.centroid_id) AS rn
+            FROM c, seeds s
+        ) WHERE rn = 1
+    ), refined AS (
+        SELECT centroid_id, list(avgv ORDER BY i) AS cent FROM (
+            SELECT a.centroid_id, t.i, ROUND(AVG(c.v[t.i]), 9) AS avgv
+            FROM assign0 a
+            JOIN c ON c.vec_id = a.vec_id, {rng} AS t(i)
+            GROUP BY a.centroid_id, t.i
+        ) GROUP BY centroid_id
+    ), lists AS (
+        SELECT vec_id AS neighbor_id, centroid_id FROM (
+            SELECT c.vec_id, r.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY ROUND({cos('c.v', 'r.cent')}, 6) DESC,
+                                r.centroid_id) AS rn
+            FROM c, refined r
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, r.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({cos('q.v', 'r.cent')}, 6) DESC,
+                                r.centroid_id) AS rn
+            FROM (SELECT * FROM c WHERE vec_id < 10) q, refined r
+        ) WHERE rn <= {nprobe}
+    ), scored AS (
+        SELECT p.query_id, l.neighbor_id,
+               ROUND({cos('q.v', 'cv.v')}, 6) AS cosine_sim
+        FROM probes p
+        JOIN lists l ON l.centroid_id = p.centroid_id
+        JOIN c q ON q.vec_id = p.query_id
+        JOIN c cv ON cv.vec_id = l.neighbor_id
+        WHERE p.query_id != l.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+_REG["ann_ivf_topk"] = _dc.replace(_REG["ann_ivf_topk"], oracle=_ivf_oracle())
