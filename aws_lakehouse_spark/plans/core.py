@@ -842,3 +842,82 @@ def scalar_string_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("int").alias("name_len"),
         F.reverse("c_mktsegment").alias("rseg"),
     )
+
+
+@register(
+    "scalar_array_family",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(list_sum(list_transform(embedding::DOUBLE[], x -> x)), 6)
+             AS vec_sum,
+           ROUND(embedding[1]::DOUBLE, 6) AS first_dim,
+           ROUND(list_max(embedding::DOUBLE[]), 6) AS max_dim,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0))
+                AS INTEGER) AS n_positive,
+           ROUND(list_sum(list_transform(list_slice(embedding::DOUBLE[], 1, 8),
+                 x -> x * x)), 6) AS head_energy
+    FROM embeddings
+    """,
+    category="2.8 scalar",
+    doc="Array-function family over the embedding column (size, "
+    "aggregate-fold sum, element_at, array_max, higher-order "
+    "filter, slice + transform) — all JVM expressions, the basis "
+    "the similarity tier builds on.",
+)
+def scalar_array_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    fold = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    head = F.slice(v, 1, 8)
+    head_energy = F.aggregate(
+        F.transform(head, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("int").alias("dim"),
+        F.round(fold, 6).alias("vec_sum"),
+        F.round(F.element_at(v, 1), 6).alias("first_dim"),
+        F.round(F.array_max(v), 6).alias("max_dim"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_positive"),
+        F.round(head_energy, 6).alias("head_energy"),
+    )
+
+
+@register(
+    "scalar_date_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS review_date,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2000-01-01') AS INTEGER) AS days_to_y2k,
+           CAST(round(12 * (1999 - year(CAST(o_orderdate AS DATE)))
+                + 12 * 1 - 12 * month(CAST(o_orderdate AS DATE))
+                , 0) AS INTEGER) AS months_to_y2k_approx
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    category="2.8 scalar",
+    doc="Date-arithmetic family (date_add, add_months, trunc, "
+    "last_day, datediff, month spans) — all pushed-down JVM "
+    "expressions over the order-date column.",
+)
+def scalar_date_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate").cast("date")
+    months_approx = (
+        12 * (F.lit(1999) - F.year(d)) + 12 - 12 * F.month(d)
+    ).cast("int")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("review_date"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d)
+        .cast("int")
+        .alias("days_to_y2k"),
+        months_approx.alias("months_to_y2k_approx"),
+    )

@@ -468,3 +468,58 @@ def tpch_q16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
     )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
+           SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                     - l.l_quantity * p.p_retailprice / 100.0) * 10000)
+                    AS BIGINT)) / 10000.0
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    category="TPC-H surface",
+    doc="Q9 product-type profit (adapted: retailprice/100 stands in "
+    "for the missing ps_supplycost): 5-way join with a LIKE filter "
+    "on part, profit expression inside the aggregate, grouped by "
+    "nation x year. The sum runs over exact integer ten-thousandths "
+    "(per-row round -> BIGINT) so heavy cancellation in the profit "
+    "terms cannot make the float total order-dependent.",
+)
+def tpch_q9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit_4dp = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("l_quantity") * F.col("p_retailprice") / 100.0
+        )
+        * 10000
+    ).cast("long")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).cast("int").alias("o_year"),
+        )
+        .agg((F.sum(profit_4dp) / 10000.0).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
