@@ -245,3 +245,34 @@ def test_salted_join_left_semantics(spark):
     assert sorted((r["k"], r["v"], r["w"]) for r in left) == [
         (1, "a", "x"), (1, "b", "x"), (2, "c", "y"), (9, "z", None)
     ]
+
+
+def test_ivf_index_persisted_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF scale story made concrete: persist the inverted lists
+    partitioned by centroid_id; a probe of nprobe lists is then a
+    partition-pruned read — PartitionFilters in the scan, not a full
+    corpus pass."""
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.llm.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, n_centroids=8, refine_iterations=0)
+    lists = ivf_assign(emb, cents)
+    index_path = str(tmp_path / "ivf-index")
+    (
+        emb.join(lists, "vec_id")
+        .write.partitionBy("centroid_id")
+        .parquet(index_path)
+    )
+
+    probe = spark.read.parquet(index_path).filter(
+        F.col("centroid_id").isin(1, 2)
+    )
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [centroid_id" in plan
+    # pruned read returns exactly the two lists' vectors
+    expected = lists.filter(F.col("centroid_id").isin(1, 2)).count()
+    assert probe.count() == expected > 0
