@@ -13,6 +13,8 @@ from aws_lakehouse_spark.sources.writers import (
     sink_table_overwrite,
     sink_table_bucketed,
     sink_parquet_path,
+    sink_csv_path,
+    sink_json_path,
     create_table_if_absent,
     write_with_fallback,
     upsert_table,
@@ -36,6 +38,8 @@ __all__ = [
     "sink_table_overwrite",
     "sink_table_bucketed",
     "sink_parquet_path",
+    "sink_csv_path",
+    "sink_json_path",
     "create_table_if_absent",
     "write_with_fallback",
     "upsert_table",

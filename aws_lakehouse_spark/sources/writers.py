@@ -200,3 +200,23 @@ def upsert_table(
         sink_table_overwrite(spark.table(staging), table, partition_by)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
+
+
+def sink_csv_path(
+    df: DataFrame, path: str, header: bool = True, sep: str = ","
+) -> None:
+    """CSV directory write (export/interchange face of ``scan_csv``).
+    CSV drops type info and compresses poorly — use for handoff to
+    CSV-only consumers, never as a pipeline-internal format."""
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def sink_json_path(df: DataFrame, path: str) -> None:
+    """JSON-lines directory write (export face of ``scan_json``).
+    Line-oriented so downstream scans stay splittable."""
+    df.write.mode("overwrite").json(path)

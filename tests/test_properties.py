@@ -167,3 +167,41 @@ def test_operators_on_empty_inputs(spark):
     assert connected_components(
         spark.createDataFrame([], "doc_a bigint, doc_b bigint")
     ).count() == 0
+
+
+@given(
+    points=st.lists(st.integers(0, 100), min_size=0, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 30)),
+        min_size=0,
+        max_size=10,
+    ),
+    width=st.sampled_from([5.0, 10.0, 33.0]),
+)
+@settings(**SETTINGS)
+def test_banded_range_join_equals_nested_loop(spark, points, intervals, width):
+    """Grid-banding is an optimization, never a semantics change:
+    banded equi-join + residual == the naive nested-loop range join,
+    for any band width."""
+    from aws_lakehouse_spark.operators import range_join_banded
+
+    lp = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid bigint, point bigint"
+    )
+    rp = spark.createDataFrame(
+        [(i, lo, lo + w) for i, (lo, w) in enumerate(intervals)],
+        "iid bigint, lo bigint, hi bigint",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_banded(
+            lp, rp, "point", "lo", "hi", band_width=width
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= p <= lo + w
+    }
+    assert got == want

@@ -57,3 +57,19 @@ def test_scan_text_single_value_column(spark, tmp_path):
     out = scan_text(spark, str(p))
     assert out.columns == ["value"]
     assert out.count() == 2
+
+
+def test_csv_json_write_read_roundtrip(spark, tmp_path):
+    from aws_lakehouse_spark.sources import sink_csv_path, sink_json_path
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "k INT, v STRING, x DOUBLE"
+    )
+    cpath, jpath = str(tmp_path / "c"), str(tmp_path / "j")
+    sink_csv_path(df, cpath)
+    sink_json_path(df, jpath)
+    back_c = scan_csv(spark, cpath, schema="k INT, v STRING, x DOUBLE")
+    back_j = scan_json(spark, jpath, schema="k INT, v STRING, x DOUBLE")
+    rows = sorted((r["k"], r["v"], r["x"]) for r in df.collect())
+    assert sorted((r["k"], r["v"], r["x"]) for r in back_c.collect()) == rows
+    assert sorted((r["k"], r["v"], r["x"]) for r in back_j.collect()) == rows
