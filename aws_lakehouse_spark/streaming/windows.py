@@ -89,3 +89,19 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream
+    joins against the CURRENT state of a static/batch dim table — the
+    streaming face of the medallion silver→gold dim join. The dim is
+    broadcast per micro-batch (re-resolved each trigger, so a
+    dim-table overwrite between triggers is picked up without
+    restarting the query); the stream side never shuffles for the
+    join. Stateless — no watermark required."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -238,3 +238,37 @@ def test_stateful_sessionizer_closes_on_gap(spark, tmp_path):
     assert closed[(1, 120 * MIN)] == (125 * MIN, 2)
     # user 2 session A: [0, 0], 1 event — closed by the 500min event
     assert closed[(2, 0)] == (0, 1)
+
+
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join: each micro-batch enriches against the
+    static dim; every stream row survives a left join and carries
+    the dim attribute."""
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.streaming.windows import stream_enrich_static
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "enrich-src"
+    events.limit(200).write.parquet(str(src))
+
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(200)],
+        "user_id bigint, segment string",
+    )
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        stream_enrich_static(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("enrich_test")
+    assert out.count() == 200
+    assert out.filter(F.col("segment").isNull()).count() == 0
+    one = out.filter("user_id = 1").select("segment").first()
+    if one is not None:
+        assert one["segment"] == "segment_1"
