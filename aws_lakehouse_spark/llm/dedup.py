@@ -330,3 +330,55 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
         term = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return fingerprint.cast("bigint")
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates = docs agreeing on either
+    8-bit half of the fingerprint (pigeonhole: any pair within
+    hamming ≤ 3 of a 16-bit code agrees on at least one half when the
+    differing bits don't split 2/2 — with the verify step this is the
+    standard banded recall/cost trade), verified by exact hamming
+    distance bit_count(xor). Both stages are equi-joins on small int
+    keys — never a cross join."""
+    fp = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_col(F.col(text_col), bits).alias("fp"),
+    )
+    low = F.col("fp").bitwiseAND(F.lit(255))
+    high = F.shiftright(F.col("fp"), 8).bitwiseAND(F.lit(255))
+    bands = fp.select(
+        "doc_id", F.lit(0).alias("band_id"), low.alias("bv")
+    ).unionByName(
+        fp.select("doc_id", F.lit(1).alias("band_id"), high.alias("bv"))
+    )
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

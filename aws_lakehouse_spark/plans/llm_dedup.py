@@ -222,3 +222,43 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", simhash_col(F.col("text"), SIMHASH_BITS).alias("simhash")
     )
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    return f"""
+    WITH fp AS ({_simhash_oracle()}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, simhash & 255 AS bv FROM fp
+        UNION ALL
+        SELECT doc_id, 1, (simhash // 256) & 255 FROM fp
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.bv = r.bv
+             AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER)
+             AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    category="llm dedup",
+    doc="SimHash near-dup pairs: 8-bit half-band candidates (equi-"
+    "join on the band value, no cross join) verified by exact "
+    "hamming distance bit_count(xor) <= 3 — completes the SimHash "
+    "tier from fingerprint to resolved pairs.",
+)
+def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, "doc_id", "text", SIMHASH_BITS, 3)
