@@ -146,3 +146,22 @@ def audio_chunk_plan(
         ).alias("chunk_starts"),
         F.lit(chunk_samples).cast("bigint").alias("chunk_len"),
     )
+
+
+def resize_plan(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Image resize plumbing: aspect-preserving target dimensions to
+    fit ``max_side`` — metadata-only math, no decode (the actual
+    pixel resample is a mapInPandas stage like ``extract_features``
+    with the codec swapped in). Upscaling is suppressed (scale
+    capped at 1.0) — training pipelines shrink, never inflate."""
+    w = F.col("meta_width").cast("double")
+    h = F.col("meta_height").cast("double")
+    scale = F.least(F.lit(1.0), max_side / F.greatest(w, h))
+    return media.filter(F.col("modality") == "image").select(
+        "media_id",
+        F.col("meta_width").alias("src_width"),
+        F.col("meta_height").alias("src_height"),
+        F.round(scale, 6).alias("scale"),
+        F.round(w * scale).cast("int").alias("out_width"),
+        F.round(h * scale).cast("int").alias("out_height"),
+    )

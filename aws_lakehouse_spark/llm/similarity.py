@@ -370,3 +370,56 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("int"))
     )
+
+
+def lsh_bucket_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 6,
+    k: int = 5,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket PLUS the
+    ``bits`` single-bit-flip neighbor buckets (the most likely homes
+    of near neighbors that landed just across one hyperplane).
+    Candidate volume ≈ (bits+1)/2^bits of the corpus — still a tiny
+    fraction — for substantially higher recall than single-probe
+    (measured against brute force in tests). The corpus index is
+    untouched; only the probe side fans out, so the extra cost scales
+    with queries, not corpus."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("bucket", hyperplane_signature(F.col("c_vec"), dim, bits))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("home", hyperplane_signature(F.col("q_vec"), dim, bits))
+    probes = F.array(
+        F.col("home"), *[
+            F.col("home").bitwiseXOR(F.lit(1 << b)) for b in range(bits)
+        ]
+    )
+    q_fan = q.select(
+        "query_id", "q_vec", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q_fan), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_sim_col(F.col("q_vec"), F.col("c_vec")), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )

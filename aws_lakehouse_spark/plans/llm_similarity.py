@@ -279,3 +279,64 @@ def _ivf_oracle(
 
 
 _REG["ann_ivf_topk"] = _dc.replace(_REG["ann_ivf_topk"], oracle=_ivf_oracle())
+
+
+def _lsh_multiprobe_oracle(dim: int = 64, bits: int = 6, k: int = 5) -> str:
+    def bucket_expr(v: str) -> str:
+        terms = []
+        for b in range(bits):
+            w = "[" + ", ".join(
+                repr(_lsh_weight("lsh", b, d)) for d in range(dim)
+            ) + "]"
+            dot = (
+                f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {v}[i] * ({w}::DOUBLE[])[i]))"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        return " + ".join(terms)
+
+    probe_cond = " OR ".join(
+        ["c.bucket = q.home"]
+        + [f"c.bucket = xor(q.home, {1 << b})" for b in range(bits)]
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               {bucket_expr('(embedding::DOUBLE[])')} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+               {bucket_expr('(embedding::DOUBLE[])')} AS home
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT DISTINCT q.query_id, c.neighbor_id,
+               ROUND({_cos('q.qv', 'c.cv')}, 6) AS cosine_sim
+        FROM c JOIN q ON ({probe_cond})
+        WHERE q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=_lsh_multiprobe_oracle(),
+    category="llm similarity",
+    doc="Multi-probe LSH ANN: each query probes its home bucket plus "
+    "the 6 single-bit-flip neighbors — ~7/64 of the corpus for "
+    "substantially higher recall; the probe fan-out rides the query "
+    "side only, the corpus index is untouched. Fully oracle-checked "
+    "(deterministic md5 hyperplanes).",
+)
+def ann_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.similarity import lsh_bucket_topk_multiprobe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucket_topk_multiprobe(emb, queries, dim=64, bits=6, k=5)

@@ -132,3 +132,36 @@ def media_audio_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk_starts").cast("bigint").alias("n_chunks"),
         F.element_at("chunk_starts", -1).alias("last_chunk_start"),
     )
+
+
+@register(
+    "media_resize_plan",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id AS media_id,
+               CAST((doc_id % 8) * 160 + 320 AS INTEGER) AS src_width,
+               CAST((doc_id % 8) * 90 + 180 AS INTEGER) AS src_height
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, src_width, src_height,
+           ROUND(LEAST(1.0, 224.0 / GREATEST(src_width, src_height)), 6)
+             AS scale,
+           CAST(ROUND(src_width
+                * LEAST(1.0, 224.0 / GREATEST(src_width, src_height)))
+                AS INTEGER) AS out_width,
+           CAST(ROUND(src_height
+                * LEAST(1.0, 224.0 / GREATEST(src_width, src_height)))
+                AS INTEGER) AS out_height
+    FROM img
+    """,
+    category="llm multimodal",
+    doc="Image resize plan: aspect-preserving fit-to-224 target "
+    "dimensions from metadata only (no decode; upscale suppressed) "
+    "— the planning half of a mapInPandas resample stage.",
+)
+def media_resize_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import resize_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media_columns(docs, "text", "doc_id")
+    return resize_plan(media, max_side=224)
