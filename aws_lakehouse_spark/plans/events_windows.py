@@ -341,3 +341,48 @@ def events_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_id, event_type, value,
+               AVG(value) OVER (PARTITION BY event_type) AS mu,
+               STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+        FROM events
+    )
+    SELECT event_id, event_type,
+           ROUND(value, 6) AS value,
+           ROUND((value - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE (value - mu) / sigma > 3.0
+    ORDER BY event_id
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Z-score anomaly detection per event type: whole-partition "
+    "window mean/stddev (no ordering, one shuffle on the type key), "
+    "flag values beyond 3 sigma. The batch face of a streaming "
+    "monitor where mu/sigma come from the stateful running "
+    "aggregates.",
+)
+def events_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sigma
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+            z.alias("__z_raw"),
+        )
+        .filter(F.col("__z_raw") > 3.0)
+        .drop("__z_raw")
+        .orderBy("event_id")
+    )

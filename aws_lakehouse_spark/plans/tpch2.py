@@ -523,3 +523,48 @@ def tpch_q9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(profit_4dp) / 10000.0).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%gear%'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(sh.qty, 2) AS shipped_qty
+    FROM supplier s
+    JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    WHERE sh.qty > (SELECT 1.5 * AVG(qty) FROM shipped)
+    ORDER BY s.s_suppkey
+    """,
+    category="TPC-H surface",
+    doc="Q20 excess-volume suppliers (adapted: 1.5x the average "
+    "shipped quantity stands in for the missing partsupp "
+    "availability): the aggregate CTE is reused for both the "
+    "per-supplier quantities and the scalar average — computed "
+    "once, threshold broadcast as a single-row cross join.",
+)
+def tpch_q20_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    shipped = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    threshold = shipped.agg((1.5 * F.avg("qty")).alias("thr"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        shipped.crossJoin(F.broadcast(threshold))
+        .filter(F.col("qty") > F.col("thr"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("qty", 2).alias("shipped_qty")
+        )
+        .orderBy("s_suppkey")
+    )
