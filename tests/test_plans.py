@@ -131,3 +131,17 @@ def test_quality_expectations_single_scan(spark, sf_dir):
         df._jdf.queryExecution(), "simple"
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_q5_bounded_dims_broadcast(spark, sf_dir):
+    """nation/region (bounded at any scale) must broadcast; the plan
+    must never sort-merge the tiny dims."""
+    plan = _plan(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_corpus_prep_mapside_dedup(spark, sf_dir):
+    """The corpus-prep dedup must prune duplicate groups map-side
+    before the exchange (WindowGroupLimit), not ship every duplicate."""
+    plan = _plan(spark, sf_dir, "text_corpus_prep")
+    assert "WindowGroupLimit" in plan
