@@ -90,6 +90,7 @@ def brute_force_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Numpy-vectorized exact cosine top-k (the throughput path).
 
@@ -101,8 +102,15 @@ def brute_force_topk_vectorized(
     merges. ~100× the scalar-expression path on wide vectors, and
     the corpus still streams batch-by-batch — nothing is collected.
 
-    Results are tolerance-equal (not bitwise) to ``brute_force_topk``
-    because BLAS uses pairwise summation.
+    With ``round_digits=None`` results are tolerance-equal (not
+    bitwise) to ``brute_force_topk`` because BLAS uses pairwise
+    summation. Pass ``round_digits`` to round similarities BEFORE
+    the per-batch cut and final ranking: ties then break by
+    ascending neighbor id at both levels (the per-batch cut uses
+    the same (sim desc, id asc) order as the merge window, so the
+    global top-k is provably contained in the union of batch
+    top-ks), making the ranked output hash-reproducible against a
+    sequential-accumulation oracle.
     """
     import numpy as np
     import pandas as pd
@@ -119,11 +127,16 @@ def brute_force_topk_vectorized(
             c_mat = np.stack(pdf[vec_col].to_list()).astype("float64")
             c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
             sims = c_norm @ q_norm.T  # (batch, n_queries)
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
             for qi, qid in enumerate(q_ids):
                 col = sims[:, qi]
                 mask = ids != qid
-                cand_idx = np.argsort(-col[mask])[:k]
-                cand_ids = ids[mask][cand_idx]
+                mids = ids[mask]
+                # lexsort: primary -sim desc, secondary id asc — same
+                # total order as the merge window below
+                cand_idx = np.lexsort((mids, -col[mask]))[:k]
+                cand_ids = mids[cand_idx]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,

@@ -47,6 +47,10 @@ def salted_group_agg(
     partial_aggs += [F.sum(c).alias(f"__ps_{c}") for c in set(sum_cols) | set(avg_of)]
     partial_aggs += [F.min(c).alias(f"__pm_{c}") for c in min_cols]
     partial_aggs += [F.max(c).alias(f"__px_{c}") for c in max_cols]
+    # avg must ignore NULLs like F.avg / SQL AVG: carry a per-column
+    # NON-NULL count through the partial stage and divide by that,
+    # never by the overall row count
+    partial_aggs += [F.count(F.col(c)).alias(f"__pn_{c}") for c in avg_of]
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
 
     final_aggs: list[Column] = []
@@ -57,12 +61,19 @@ def salted_group_agg(
     ]
     final_aggs += [F.min(f"__pm_{c}").alias(f"min_{c}") for c in min_cols]
     final_aggs += [F.max(f"__px_{c}").alias(f"max_{c}") for c in max_cols]
+    final_aggs += [F.sum(f"__pn_{c}").alias(f"__n_{c}") for c in avg_of]
     out = partial.groupBy(*keys).agg(*final_aggs)
     for c in avg_of:
+        # NULL when every input was NULL — matches F.avg; 0/0 would
+        # otherwise surface as NULL anyway via division, but guard
+        # explicitly for integer-typed sums
         out = out.withColumn(
-            f"avg_{c}", F.col(f"sum_{c}") / F.col(count_alias or "n_rows")
+            f"avg_{c}",
+            F.when(
+                F.col(f"__n_{c}") > 0, F.col(f"sum_{c}") / F.col(f"__n_{c}")
+            ),
         )
-    return out
+    return out.drop(*[f"__n_{c}" for c in avg_of])
 
 
 def salted_join(

@@ -49,14 +49,46 @@ def agg_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"{_DUCK_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DUCK_DOT.format(a=a, b=a)}) * "
+        f"sqrt({_DUCK_DOT.format(a=b, b=b)}))"
+    )
+
+
 @register(
     "ann_bruteforce_vectorized",
-    oracle=None,  # BLAS pairwise summation → tolerance-equal only
+    # BLAS pairwise summation vs DuckDB sequential accumulation agree
+    # to well past 4 dp; rounding BEFORE ranking (both sides) with an
+    # id tie-break makes the ranked output hash-stable.
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_duck_cos('q.v', 'c.v')}, 4) AS cosine_sim
+        FROM c, q WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
     category="llm similarity",
     doc="Numpy-vectorized exact cosine top-k via mapInPandas: each "
     "Arrow batch scored against all queries in one BLAS matmul, "
-    "per-batch top-k cut, window merge. Equals ann_bruteforce_topk "
-    "within float tolerance (asserted in tests/test_llm.py).",
+    "per-batch top-k cut, window merge. Oracle-checked against the "
+    "sequential-accumulation DuckDB ranking with sims rounded to "
+    "4 dp pre-rank; raw-double variant asserted tolerance-equal to "
+    "ann_bruteforce_topk in tests/test_llm.py.",
     bench=True,
 )
 def ann_bruteforce_vectorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +96,7 @@ def ann_bruteforce_vectorized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_pdf = emb.filter(F.col("vec_id") < 10).toPandas()
-    return brute_force_topk_vectorized(emb, queries_pdf, k=5)
+    return brute_force_topk_vectorized(emb, queries_pdf, k=5, round_digits=4)
 
 
 @register(
@@ -146,12 +178,16 @@ def join_range_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view
     FROM events
     GROUP BY user_id
     ORDER BY user_id

@@ -167,7 +167,7 @@ def medallion_dim_code_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_extendedprice * (1 - l_discount) AS net_revenue,
            CASE WHEN l_returnflag = 'R' THEN l_quantity / 10.0
                 ELSE l_quantity END AS quantity_norm,
-           CAST(l_shipdate AS DATE) AS ship_date,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
            CAST(year(l_shipdate) AS INTEGER) AS year,
            CAST(month(l_shipdate) AS INTEGER) AS month,
            CAST(day(l_shipdate) AS INTEGER) AS day
@@ -196,7 +196,10 @@ def medallion_gold_fact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", F.col("l_quantity") / 10.0)
         .otherwise(F.col("l_quantity"))
         .alias("quantity_norm"),
-        d.cast("date").alias("ship_date"),
+        # ISO string, not DATE: Spark dates arrive in pandas as
+        # `object` while DuckDB DATEs arrive as datetime64 — strings
+        # hash identically under the driver's strict compare
+        F.date_format(d, "yyyy-MM-dd").alias("ship_date"),
         F.year(d).cast("int").alias("year"),
         F.month(d).cast("int").alias("month"),
         F.dayofmonth(d).cast("int").alias("day"),

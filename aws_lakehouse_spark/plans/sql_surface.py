@@ -108,7 +108,8 @@ _STATION_VALUES = ",\n        ".join(f"('{line}')" for line in STATION_LINES)
         VALUES {_NOAA_VALUES}
     )
     SELECT id AS station_id,
-           CAST(strptime(date_s, '%Y%m%d') AS DATE) AS observation_date,
+           strftime(strptime(date_s, '%Y%m%d'), '%Y-%m-%d')
+             AS observation_date,
            element,
            CAST(data_value AS DOUBLE) AS value,
            q_flag AS quality_flag,
@@ -134,7 +135,9 @@ def medallion_noaa_cleanse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.to_date(F.col("date_s"), "yyyyMMdd")
     projected = raw.select(
         F.col("id").alias("station_id"),
-        d.alias("observation_date"),
+        # ISO string (not DATE) — dtype-stable across Spark/DuckDB
+        # pandas materialization for the driver's value hash
+        F.date_format(d, "yyyy-MM-dd").alias("observation_date"),
         "element",
         F.col("data_value").cast("double").alias("value"),
         F.col("q_flag").alias("quality_flag"),

@@ -73,7 +73,7 @@ def tpch_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_orderkey,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           CAST(o.o_orderdate AS DATE) AS orderdate,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -81,7 +81,8 @@ def tpch_q1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.c_mktsegment = 'BUILDING'
       AND CAST(o.o_orderdate AS DATE) < DATE '1999-01-01'
       AND CAST(l.l_shipdate AS DATE) > DATE '1997-01-01'
-    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'),
+             o.o_orderpriority
     ORDER BY revenue DESC, l_orderkey LIMIT 10
     """,
     category="TPC-H surface",
@@ -107,7 +108,9 @@ def tpch_q3_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(
             "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            # ISO string, not DATE — dtype-stable across both engines'
+            # pandas materialization for the driver's value hash
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
         .agg(
@@ -335,7 +338,7 @@ def tpch_q14_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q18_large_volume_customer",
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
-           CAST(o.o_orderdate AS DATE) AS orderdate,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_totalprice,
            ROUND(SUM(l.l_quantity), 2) AS total_qty
     FROM customer c
@@ -376,7 +379,8 @@ def tpch_q18_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            # ISO string, not DATE — see tpch_q3 note
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_totalprice",
         )
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))

@@ -173,6 +173,23 @@ def test_salted_agg_equals_direct(spark, sf_dir):
     assert salted == direct
 
 
+def test_salted_agg_avg_ignores_nulls(spark):
+    from aws_lakehouse_spark.operators.skew import salted_group_agg
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 20.0), ("b", None), ("b", None)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: (r["n_rows"], r["avg_v"])
+        for r in salted_group_agg(df, ["k"], avg_of=["v"], salt_buckets=4)
+        .collect()
+    }
+    # AVG ignores NULLs: a → 15.0 over 2 non-null of 3 rows; b → NULL
+    assert got["a"] == (3, 15.0)
+    assert got["b"][0] == 2 and got["b"][1] is None
+
+
 def test_connected_components_clusters(spark):
     from aws_lakehouse_spark.llm.dedup import connected_components
 

@@ -70,6 +70,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     for c in s.columns:
         sv, dv = s[c], d[c]
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            # int-on-one-side / float-on-the-other is a hard failure:
+            # the driver's strict value hash sees 1 vs 1.0 as a
+            # mismatch (this is exactly how agg_pivot's HUGEINT
+            # oracle slipped past this replica in round 1)
+            if pd.api.types.is_integer_dtype(sv) or pd.api.types.is_integer_dtype(dv):
+                problems.append(
+                    f"col {c}: int-vs-float dtype divergence "
+                    f"spark={sv.dtype} duck={dv.dtype} — driver hash "
+                    "would fail; align casts on both sides"
+                )
+                continue
             sa = sv.astype(float).to_numpy()
             da = dv.astype(float).to_numpy()
             both_nan = np.isnan(sa) & np.isnan(da)
