@@ -13,8 +13,9 @@ Five tiers, all shuffle-disciplined for 100 TB:
   anywhere;
 - **n-gram Jaccard**: exact verification for candidate pairs via
   shared-shingle equi-join + per-pair set arithmetic;
-- **SimHash**: 16-bit sign-aggregated fingerprint; hamming-close
-  docs bucket together.
+- **SimHash**: 64-bit sign-aggregated fingerprint as 4×16-bit bands
+  (65,536 buckets/band); hamming-close docs share a band by
+  pigeonhole, verified by exact bit_count(xor).
 """
 
 from __future__ import annotations
@@ -151,44 +152,67 @@ def jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard similarity for candidate document pairs.
 
-    |A∩B| from a shared-shingle equi-join; |A|,|B| carried alongside;
-    J = |A∩B| / (|A|+|B|-|A∩B|). Returns (doc_a, doc_b, jaccard).
-    The shingle join key is content-uniform; a stopword-like shingle
-    hot key would be the skew risk → AQE skew-join covers it.
+    Candidates = pairs sharing ≥1 shingle; their Jaccard is computed
+    EXACTLY per pair from the full shingle sets (array_intersect /
+    array_union) — never from the shared-shingle join's row counts.
+
+    ``max_shingle_df`` is the scale guard: a shingle occurring in d
+    documents contributes d² rows to the candidate self-join, so one
+    stopword-like shingle ("of the and" at df=10⁶) alone is a
+    disguised cross join. Capping document frequency (standard
+    near-dup practice: ubiquitous shingles carry no discriminative
+    signal) bounds join input to Σ_{df≤c} df² ≤ c·Σdf — LINEAR in
+    corpus size with a constant factor c. Pairs whose every shared
+    shingle exceeds the cap are not candidates (they are boilerplate
+    overlaps, not near-dups). ``None`` disables the cap.
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col), shingle_k).alias("shingles"),
-    ).withColumn("set_size", F.size("shingles"))
-    exploded = sh.select(
-        "doc_id", "set_size", F.explode("shingles").alias("shingle")
     )
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle")
     a = exploded.alias("a")
     b = exploded.alias("b")
-    inter = (
+    candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.set_size").alias("size_a"),
-            F.col("b.set_size").alias("size_b"),
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .distinct()
     )
-    out = inter.select(
-        "doc_a",
-        "doc_b",
-        (
-            F.col("n_common")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-        ).alias("jaccard"),
+    out = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
     )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
@@ -206,7 +230,11 @@ def connected_components(
     changes. Near-dup graphs are forests of tiny cliques, so rounds ≈
     longest chain (a handful); each round is one join + one aggregate
     — no driver-side graph state, only a scalar convergence count.
-    ``max_iterations`` bounds adversarial chains.
+    ``max_iterations`` bounds adversarial chains. Every third round
+    the label frame is ``localCheckpoint``-ed: without it each
+    round's plan embeds the whole previous round's plan, so the
+    `changed` count job re-executes ever-deeper lineage — O(rounds²)
+    work and an eventually-overflowing plan tree on long chains.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -222,7 +250,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iterations):
+    edges = edges.localCheckpoint(eager=False)
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("node", "dst_node"),
@@ -241,6 +270,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        if it % 3 == 2:
+            # truncate lineage: the changed-count job below and every
+            # later round otherwise replay all prior rounds' joins
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -248,8 +281,6 @@ def connected_components(
             .limit(1)
             .count()
         )
-        # localCheckpoint would truncate lineage on a long chain; the
-        # near-dup graphs here converge in <5 rounds
         labels = new_labels
         if changed == 0:
             break
@@ -332,31 +363,108 @@ def simhash_col(text: Column, bits: int = 16) -> Column:
     return fingerprint.cast("bigint")
 
 
+def _band_tok_hash(start: int, hex_chars: int):
+    """Closure factory (NOT a default-arg lambda — PySpark HOF
+    lambdas are arity-inspected): per-token hash from a slice of the
+    md5 hex digest."""
+
+    def h(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), start, hex_chars), 16, 10).cast(
+            "long"
+        )
+
+    return h
+
+
+def _vote_merge(masks: Column):
+    """aggregate-merge closure: add ±1 per fingerprint bit position
+    based on the token hash's bit, carried as an array accumulator —
+    ONE pass over the token array per band instead of one per bit."""
+
+    def merge(acc: Column, h: Column) -> Column:
+        def upd(a: Column, m: Column) -> Column:
+            return a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            ).cast("long")
+
+        return F.zip_with(acc, masks, upd)
+
+    return merge
+
+
+def simhash_band_cols(
+    text: Column, n_bands: int = 4, band_bits: int = 16
+) -> list[Column]:
+    """64-bit SimHash as ``n_bands`` independent ``band_bits``-bit
+    band values (default 4×16 = 64 fingerprint bits, 65,536 buckets
+    per band).
+
+    Band *b*'s per-token hash is a disjoint 4-hex-char slice of
+    md5(token) — 64 independent md5 bits feed the 64 fingerprint
+    bits. Each band's 16 bit-votes accumulate in ONE ``aggregate``
+    pass over the token array (array accumulator + ``zip_with``),
+    not one pass per bit. Everything is engine-portable integer
+    arithmetic: the same expressions are reproducible in ANSI SQL
+    for the oracle, and no value ever nears a sign bit (each band
+    value is in [0, 2^16)) — unlike a single packed 64-bit
+    fingerprint, whose top band would wrap negative in two's-
+    complement BIGINT on one engine but error on another.
+    """
+    toks = F.array_distinct(F.split(text, " "))
+    hex_chars = band_bits // 4
+    masks = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(band_bits)]
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), band_bits)
+    out = []
+    for b in range(n_bands):
+        hashes = F.transform(toks, _band_tok_hash(1 + hex_chars * b, hex_chars))
+        bit_sums = F.aggregate(hashes, zero, _vote_merge(masks))
+        band_val = F.aggregate(
+            F.zip_with(
+                bit_sums,
+                masks,
+                lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        out.append(band_val.alias(f"simhash_b{b}"))
+    return out
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 16,
+    n_bands: int = 4,
+    band_bits: int = 16,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: candidates = docs agreeing on either
-    8-bit half of the fingerprint (pigeonhole: any pair within
-    hamming ≤ 3 of a 16-bit code agrees on at least one half when the
-    differing bits don't split 2/2 — with the verify step this is the
-    standard banded recall/cost trade), verified by exact hamming
-    distance bit_count(xor). Both stages are equi-joins on small int
-    keys — never a cross join."""
+    """SimHash near-dup pairs at scale: 64-bit fingerprint (4×16-bit
+    bands), candidates = docs agreeing on at least one full band.
+
+    Pigeonhole: hamming ≤ 3 differing bits can touch at most 3 of the
+    4 bands, so every true pair shares ≥1 exact band — recall is
+    exact, not probabilistic. Candidate volume per band is ~N²/65,536
+    per bucket-balance (vs N²/256 for the old 2×8-bit banding — the
+    difference between a join and a disguised cross join at 100 TB).
+    Verified by exact hamming = Σ_bands bit_count(xor). Both stages
+    are equi-joins on small int keys — never a cross join.
+    """
+    band_cols = [f"simhash_b{b}" for b in range(n_bands)]
     fp = df.select(
         F.col(id_col).alias("doc_id"),
-        simhash_col(F.col(text_col), bits).alias("fp"),
+        *simhash_band_cols(F.col(text_col), n_bands, band_bits),
     )
-    low = F.col("fp").bitwiseAND(F.lit(255))
-    high = F.shiftright(F.col("fp"), 8).bitwiseAND(F.lit(255))
-    bands = fp.select(
-        "doc_id", F.lit(0).alias("band_id"), low.alias("bv")
-    ).unionByName(
-        fp.select("doc_id", F.lit(1).alias("band_id"), high.alias("bv"))
-    )
+    bands = None
+    for b in range(n_bands):
+        one = fp.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.col(f"simhash_b{b}").alias("bv"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
     cand = (
         bands.alias("l")
         .join(
@@ -370,15 +478,22 @@ def simhash_hamming_pairs(
         )
         .distinct()
     )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    fa = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in band_cols],
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in band_cols],
+    )
+    hamming = None
+    for c in band_cols:
+        term = F.bit_count(F.col(f"{c}_a").bitwiseXOR(F.col(f"{c}_b")))
+        hamming = term if hamming is None else hamming + term
     return (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"),
-        )
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -18,12 +18,13 @@ from aws_lakehouse_spark.llm.dedup import (
     lsh_band_pairs,
     minhash_signature,
     shingles_col,
-    simhash_col,
+    simhash_band_cols,
 )
 from aws_lakehouse_spark.plans.llm_text import DUCK_SHINGLES, DUCK_TOKS
 from aws_lakehouse_spark.registry import register
 
-SIMHASH_BITS = 16
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
 
 DUCK_SIG = f"""
     SELECT doc_id,
@@ -97,6 +98,9 @@ def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_DF_CAP = 20
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -104,26 +108,42 @@ def dedup_minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {DUCK_SHINGLES} AS shingles
         FROM documents WHERE doc_id % 10 = 0
     ), e AS (
-        SELECT doc_id, len(shingles) AS set_size,
-               unnest(shingles) AS shingle
-        FROM sh
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), rare AS (
+        SELECT shingle FROM e GROUP BY shingle
+        HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ), ec AS (
+        SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ec a JOIN ec b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           COUNT(*) / (a.set_size + b.set_size - COUNT(*)) AS jaccard
-    FROM e a JOIN e b
-      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.shingles, sb.shingles))
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
     """,
     category="llm dedup",
-    doc="Exact n-gram Jaccard for pairs sharing ≥1 shingle (docs "
-    "subset doc_id%10=0 keeps the demo candidate set bounded; at "
-    "scale the candidate source is the LSH band join instead).",
+    doc="Exact n-gram Jaccard over df-capped candidates: shingles in "
+    f"> {NGRAM_DF_CAP} docs are dropped from candidate generation "
+    "(a df-d shingle contributes d² join rows — one stopword shingle "
+    "is a disguised cross join at corpus scale; capped, join input "
+    "is linear in corpus size), then Jaccard is computed exactly "
+    "per pair from the full shingle sets. Docs subset doc_id%10=0 "
+    "keeps the demo bounded; at scale candidates come from the LSH "
+    "band join instead.",
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
-    return jaccard_pairs(docs, "doc_id", "text", shingle_k=3)
+    return jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, max_shingle_df=NGRAM_DF_CAP
+    )
 
 
 NEAR_DUP_ORACLE = f"""
@@ -192,19 +212,32 @@ def dedup_near_duplicate_resolution_q(
     )
 
 
-def _simhash_oracle() -> str:
-    tok_hash = "CAST('0x' || substring(md5(t), 1, 7) AS BIGINT)"
+def _simhash_band_sql(b: int) -> str:
+    """One 16-bit band value: token hash = 4-hex-char md5 slice
+    (disjoint per band → 64 independent bits across 4 bands)."""
+    hex_chars = SIMHASH_BAND_BITS // 4
+    tok_hash = (
+        f"CAST('0x' || substring(md5(t), {1 + hex_chars * b}, {hex_chars}) "
+        "AS BIGINT)"
+    )
     bit_terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN "
         f"({tok_hash} & {1 << i}) != 0 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+        for i in range(SIMHASH_BAND_BITS)
+    )
+    return f"CAST({bit_terms} AS BIGINT) AS simhash_b{b}"
+
+
+def _simhash_oracle() -> str:
+    band_exprs = ",\n           ".join(
+        _simhash_band_sql(b) for b in range(SIMHASH_BANDS)
     )
     return f"""
     WITH t AS (
         SELECT doc_id, list_distinct({DUCK_TOKS}) AS toks FROM documents
     )
-    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+    SELECT doc_id, {band_exprs}
     FROM t
     """
 
@@ -213,24 +246,31 @@ def _simhash_oracle() -> str:
     "dedup_simhash",
     oracle=_simhash_oracle(),
     category="llm dedup",
-    doc=f"SimHash fingerprint ({SIMHASH_BITS}-bit, md5-derived token "
-    "hashes): sign-aggregated per-bit votes; hamming-close docs are "
-    "near-dups. Pure array expressions, one scan, no shuffle.",
+    doc="SimHash fingerprint (64-bit as 4×16-bit bands, md5-derived "
+    "token hashes): sign-aggregated per-bit votes, one aggregate "
+    "pass per band. Pure array expressions, one scan, no shuffle.",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", simhash_col(F.col("text"), SIMHASH_BITS).alias("simhash")
+        "doc_id",
+        *simhash_band_cols(F.col("text"), SIMHASH_BANDS, SIMHASH_BAND_BITS),
     )
 
 
 def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    band_union = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_id, simhash_b{b} AS bv FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(fa.simhash_b{b}, fb.simhash_b{b}))"
+        for b in range(SIMHASH_BANDS)
+    )
     return f"""
     WITH fp AS ({_simhash_oracle()}),
     bands AS (
-        SELECT doc_id, 0 AS band_id, simhash & 255 AS bv FROM fp
-        UNION ALL
-        SELECT doc_id, 1, (simhash // 256) & 255 FROM fp
+{band_union}
     ),
     cand AS (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -239,12 +279,11 @@ def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
              AND l.doc_id < r.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER)
-             AS hamming
+           CAST({ham} AS INTEGER) AS hamming
     FROM cand c
     JOIN fp fa ON fa.doc_id = c.doc_a
     JOIN fp fb ON fb.doc_id = c.doc_b
-    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+    WHERE {ham} <= {max_hamming}
     """
 
 
@@ -252,13 +291,16 @@ def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
     "dedup_simhash_pairs",
     oracle=_simhash_pairs_oracle(),
     category="llm dedup",
-    doc="SimHash near-dup pairs: 8-bit half-band candidates (equi-"
-    "join on the band value, no cross join) verified by exact "
-    "hamming distance bit_count(xor) <= 3 — completes the SimHash "
-    "tier from fingerprint to resolved pairs.",
+    doc="SimHash near-dup pairs at 64-bit/4×16-band scale: 65,536 "
+    "buckets per band keeps candidates ~N²/65,536 per band instead "
+    "of the N²/256 a 2×8-bit banding degrades to; hamming ≤ 3 pairs "
+    "share ≥1 band by pigeonhole (exact recall), verified by "
+    "bit_count(xor) summed over bands.",
 )
 def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.llm.dedup import simhash_hamming_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_hamming_pairs(docs, "doc_id", "text", SIMHASH_BITS, 3)
+    return simhash_hamming_pairs(
+        docs, "doc_id", "text", SIMHASH_BANDS, SIMHASH_BAND_BITS, 3
+    )

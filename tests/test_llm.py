@@ -68,6 +68,88 @@ def test_simhash_identical_equal_and_disjoint_differ(spark):
     assert 0 <= out[1] < 2**16
 
 
+def test_simhash_band_cols_64bit(spark):
+    from aws_lakehouse_spark.llm.dedup import simhash_band_cols
+
+    df = docs(spark, [
+        (1, "spark shuffle partition broadcast join"),
+        (2, "spark shuffle partition broadcast join"),
+        (3, "llama gradient tokenizer embedding corpus"),
+    ])
+    rows = {r["doc_id"]: tuple(r[f"simhash_b{b}"] for b in range(4))
+            for r in df.select(
+                "doc_id", *simhash_band_cols(F.col("text"))).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    for v in rows[1]:
+        assert 0 <= v < 2**16
+
+
+def _simhash_candidate_count(spark_df):
+    from aws_lakehouse_spark.llm.dedup import simhash_band_cols
+
+    fp = spark_df.select(
+        F.col("doc_id"), *simhash_band_cols(F.col("text"))
+    )
+    bands = None
+    for b in range(4):
+        one = fp.select(
+            "doc_id", F.lit(b).alias("band_id"),
+            F.col(f"simhash_b{b}").alias("bv"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    return (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select("l.doc_id", "r.doc_id")
+        .distinct()
+        .count()
+    )
+
+
+def test_simhash_banding_candidate_volume_realistic(spark):
+    """On a realistic-vocabulary 500-doc corpus, 4×16-bit banding
+    prunes candidates to ≪ N² (the scale property that makes SimHash
+    a join, not a disguised cross join)."""
+    import hashlib
+
+    def words(doc, n=40):
+        return " ".join(
+            hashlib.md5(f"{doc}:{i}".encode()).hexdigest()[:8]
+            for i in range(n)
+        )
+
+    n = 500
+    rows = [(i, words(i)) for i in range(n)]
+    # plant 20 exact-duplicate pairs (hamming 0) that banding MUST keep
+    for j in range(20):
+        rows.append((n + j, words(j)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    candidates = _simhash_candidate_count(df)
+    all_pairs = (n + 20) * (n + 19) // 2
+    assert candidates >= 20  # planted dups all collide on every band
+    assert candidates < 0.01 * all_pairs, (candidates, all_pairs)
+
+
+def test_simhash_banding_candidate_volume_fixture(spark, sf_dir):
+    """The sf0.01 documents fixture is adversarial for SimHash (a
+    ~30-word vocabulary makes every doc resemble every other), but
+    4×16 banding must still beat the old 2×8-bit banding's 40,482
+    candidates (~32% of all pairs)."""
+    from aws_lakehouse_spark.catalog import load_table
+
+    docs_df = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n = docs_df.count()
+    candidates = _simhash_candidate_count(docs_df)
+    all_pairs = n * (n - 1) // 2
+    assert candidates < 0.20 * all_pairs, (candidates, all_pairs)
+
+
 def test_brute_force_topk_self_similarity(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),
@@ -173,6 +255,34 @@ def test_salted_agg_equals_direct(spark, sf_dir):
     assert salted == direct
 
 
+def test_jaccard_df_cap_bounds_hot_shingle_join(spark):
+    """A shingle present in EVERY doc must not quadratically blow up
+    the candidate join: with the df cap the candidate count tracks
+    the true near-dup structure, not N²."""
+    from aws_lakehouse_spark.llm.dedup import jaccard_pairs
+
+    def mkdocs(n):
+        # every doc shares the stopword shingle "of the and"; only
+        # consecutive ids share a discriminative shingle
+        return spark.createDataFrame(
+            [(i, f"of the and unique{i} token{i} mark{i} "
+                 f"bridge{i // 2} span{i // 2} link{i // 2}")
+             for i in range(n)],
+            "doc_id bigint, text string",
+        )
+
+    small = jaccard_pairs(
+        mkdocs(60), "doc_id", "text", shingle_k=3, max_shingle_df=5
+    ).count()
+    big = jaccard_pairs(
+        mkdocs(120), "doc_id", "text", shingle_k=3, max_shingle_df=5
+    ).count()
+    # uncapped, the universal shingle alone yields N(N-1)/2 pairs:
+    # 1770 vs 7140 (4.03x). Capped, pairs come only from the
+    # bridge/span/link shingles → linear growth (~2x).
+    assert small == 30 and big == 60, (small, big)
+
+
 def test_salted_agg_avg_ignores_nulls(spark):
     from aws_lakehouse_spark.operators.skew import salted_group_agg
 
@@ -199,6 +309,26 @@ def test_connected_components_clusters(spark):
     comps = {r["node"]: r["component"]
              for r in connected_components(pairs).collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_long_chain_no_plan_blowup(spark):
+    """Min-label propagation moves one hop per round: a 22-edge chain
+    needs >20 rounds. The periodic localCheckpoint keeps each round's
+    plan shallow; without it this test's later rounds re-execute all
+    earlier rounds' joins (O(rounds²)) and take minutes, not seconds."""
+    import time
+
+    from aws_lakehouse_spark.llm.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(22)], "doc_a bigint, doc_b bigint"
+    )
+    t0 = time.time()
+    comps = {r["node"]: r["component"]
+             for r in connected_components(chain, max_iterations=30).collect()}
+    elapsed = time.time() - t0
+    assert comps == {i: 0 for i in range(23)}
+    assert elapsed < 120, f"plan blowup? {elapsed:.0f}s"
 
 
 def test_near_duplicate_survivors_end_to_end(spark):
