@@ -6,9 +6,14 @@ rewrite_data_files (binpack, 256 MB), remove_orphan_files. These are
 format-bound; the engine is format-aware:
 
 - Delta/Iceberg catalog available → issue the native procedure;
-- plain-Parquet tables → compaction is a real repartition-rewrite
-  (small-file problem is format-independent); snapshot/orphan ops
-  are documented no-ops (no snapshot metadata exists to expire).
+- table carries the engine's own manifest log
+  (``sources.snapshots`` — Delta/Iceberg jars are unobtainable in
+  this sandbox, see that module's probe notes) → REAL snapshot
+  expiry and orphan-file removal against the manifest log;
+- bare plain-Parquet tables → compaction is a real
+  repartition-rewrite (small-file problem is format-independent);
+  snapshot/orphan ops are documented no-ops (no snapshot metadata
+  exists to expire).
 
 M4's control shape — iterate tables, isolate per-table failures,
 continue — is preserved (``iceberg_maintenance.py:34-44,83-84``).
@@ -30,13 +35,48 @@ def _is_delta(spark: SparkSession) -> bool:
         return False
 
 
-def expire_snapshots(spark: SparkSession, table: str, retain_days: int = 7) -> dict:
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    try:
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+            if row["col_name"] == "Location":
+                return row["data_type"].removeprefix("file:")
+    except Exception:
+        pass
+    return None
+
+
+def _snapshot_log_path(spark: SparkSession, table: str,
+                       table_path: str | None) -> str | None:
+    """Path of the table's manifest log, if it has one."""
+    import os
+
+    from aws_lakehouse_spark.sources import snapshots
+
+    path = table_path or _table_location(spark, table)
+    if path and os.path.isdir(os.path.join(path, snapshots.LOG_DIR)):
+        return path
+    return None
+
+
+def expire_snapshots(
+    spark: SparkSession, table: str, retain_days: int = 7,
+    table_path: str | None = None,
+) -> dict:
     """M1 — drop table-format snapshots older than the retention
-    window. Delta: VACUUM; Iceberg: expire_snapshots procedure;
-    plain Parquet: no snapshot metadata exists → no-op."""
+    window. Delta: VACUUM; manifest-logged table (sources.snapshots):
+    real manifest expiry; bare plain Parquet: no snapshot metadata
+    exists → no-op."""
     if _is_delta(spark):
         spark.sql(f"VACUUM {table} RETAIN {retain_days * 24} HOURS")
         return {"table": table, "op": "expire_snapshots", "applied": True}
+    path = _snapshot_log_path(spark, table, table_path)
+    if path:
+        from aws_lakehouse_spark.sources import snapshots
+
+        res = snapshots.expire_snapshots(
+            path, retain_last=1, older_than_s=retain_days * 86400.0
+        )
+        return {"table": table, **res}
     return {"table": table, "op": "expire_snapshots", "applied": False,
             "reason": "no snapshot metadata for plain parquet tables"}
 
@@ -88,10 +128,19 @@ def compact_files(
             "target_files": n_files}
 
 
-def remove_orphans(spark: SparkSession, table: str, older_than_days: int = 7) -> dict:
+def remove_orphans(
+    spark: SparkSession, table: str, older_than_days: int = 7,
+    table_path: str | None = None,
+) -> dict:
     """M3 — remove data files not referenced by table metadata.
-    Plain Parquet has no manifest to diff against → no-op (every
-    file under the table location is live)."""
+    Manifest-logged table: real directory-vs-manifest diff + delete.
+    Bare plain Parquet has no manifest to diff against → no-op
+    (every file under the table location is live)."""
+    path = _snapshot_log_path(spark, table, table_path)
+    if path:
+        from aws_lakehouse_spark.sources import snapshots
+
+        return {"table": table, **snapshots.remove_orphans(path)}
     return {"table": table, "op": "remove_orphans", "applied": False,
             "reason": "plain parquet: all files under location are live"}
 

@@ -1,0 +1,169 @@
+"""Minimal snapshot/transaction log over plain-Parquet tables.
+
+The reference's Silver/Gold tables are Iceberg: ACID append,
+snapshots, time travel, expire_snapshots / remove_orphan_files
+procedures (``glue-jobs/noaa_ghcn_bronze_to_silver.py:108-143``,
+``glue-jobs/iceberg_maintenance.py:47-81``). Delta/Iceberg jars are
+unobtainable in this sandbox — probed: no ``delta``/``pyiceberg``
+package, no delta/iceberg jars under pyspark/jars, no ivy cache, no
+network for ``--packages`` resolution — so this module implements
+the table-format *idea* from first principles, the way Delta's log
+works: a table is a directory of immutable parquet files plus an
+ordered log of manifests, where manifest N lists the files live at
+version N.
+
+- writes go through ``snapshot_write``: new part files land in the
+  directory (parquet append — filenames are already UUID-unique),
+  then one manifest commit makes them visible. Overwrite commits a
+  manifest WITHOUT the old files but leaves them on disk — that is
+  what makes time travel and snapshot expiry meaningful;
+- ``read_snapshot(..., version=N)`` is a real time-travel read: it
+  hands Catalyst exactly manifest N's file list (scan prunes to
+  those files; all pushdown still applies);
+- ``expire_snapshots`` (M1) drops manifests beyond the retention
+  window — real work with an ``applied: True`` result;
+- ``remove_orphans`` (M3) diffs the directory against the union of
+  live manifests and deletes unreferenced part files — the exact
+  contract of Iceberg's remove_orphan_files.
+
+Single-writer semantics (matching the reference's one-Glue-job-per-
+table schedule); a multi-writer deployment would CAS the manifest
+commit, which object stores provide via put-if-absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_snapshots"
+
+
+def _log_path(table_path: str) -> str:
+    return os.path.join(table_path, LOG_DIR)
+
+
+def _manifest_file(table_path: str, version: int) -> str:
+    return os.path.join(_log_path(table_path), f"{version:012d}.json")
+
+
+def versions(table_path: str) -> list[int]:
+    """All committed snapshot versions, ascending."""
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")
+    )
+
+
+def _read_manifest(table_path: str, version: int) -> dict:
+    with open(_manifest_file(table_path, version)) as fh:
+        return json.load(fh)
+
+
+def _data_files(table_path: str) -> set[str]:
+    return {
+        f
+        for f in os.listdir(table_path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+
+
+def snapshot_write(
+    spark: SparkSession, df: DataFrame, table_path: str, mode: str = "append"
+) -> int:
+    """Write ``df`` as a new snapshot; returns the committed version.
+
+    ``mode='append'``: new manifest = previous live files + new part
+    files. ``mode='overwrite'``: new manifest = new part files only;
+    prior files stay on disk, readable via time travel until expired.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"snapshot_write mode must be append/overwrite, got {mode!r}")
+    os.makedirs(_log_path(table_path), exist_ok=True)
+    before = _data_files(table_path)
+    # physical append in BOTH modes — overwrite is a logical, manifest-
+    # level operation, never a delete
+    df.write.mode("append").parquet(table_path)
+    new_files = sorted(_data_files(table_path) - before)
+
+    vs = versions(table_path)
+    version = (vs[-1] + 1) if vs else 0
+    if mode == "append" and vs:
+        live = _read_manifest(table_path, vs[-1])["files"]
+    else:
+        live = []
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "committed_at": time.time(),
+        "files": sorted(set(live) | set(new_files)),
+    }
+    tmp = _manifest_file(table_path, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_file(table_path, version))  # atomic commit
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the DataFrame scans exactly the part files
+    live at ``version`` (default: latest). Column pruning and filter
+    pushdown apply per-file as with any parquet scan."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"no snapshots at {table_path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs} (expired or never committed)")
+    files = _read_manifest(table_path, v)["files"]
+    if not files:
+        return spark.read.parquet(table_path).limit(0)
+    return spark.read.parquet(*[os.path.join(table_path, f) for f in files])
+
+
+def expire_snapshots(
+    table_path: str, retain_last: int = 2, older_than_s: float | None = None
+) -> dict:
+    """M1 — drop old manifests (the snapshot metadata), keeping the
+    newest ``retain_last`` and anything newer than ``older_than_s``.
+    Mirrors Iceberg ``expire_snapshots`` (iceberg_maintenance.py:
+    47-56); orphaned data files are left for ``remove_orphans``."""
+    vs = versions(table_path)
+    keep = set(vs[-max(1, retain_last):])
+    now = time.time()
+    expired = []
+    for v in vs:
+        if v in keep:
+            continue
+        if older_than_s is not None:
+            if now - _read_manifest(table_path, v)["committed_at"] < older_than_s:
+                continue
+        os.remove(_manifest_file(table_path, v))
+        expired.append(v)
+    return {
+        "op": "expire_snapshots",
+        "applied": True,
+        "expired_versions": expired,
+        "retained_versions": sorted(set(vs) - set(expired)),
+    }
+
+
+def remove_orphans(table_path: str) -> dict:
+    """M3 — delete part files referenced by NO live manifest (the
+    contract of Iceberg ``remove_orphan_files``, iceberg_maintenance
+    .py:74-81). Run after ``expire_snapshots``; files belonging to
+    still-retained versions are never touched."""
+    live: set[str] = set()
+    for v in versions(table_path):
+        live |= set(_read_manifest(table_path, v)["files"])
+    orphans = sorted(_data_files(table_path) - live)
+    for f in orphans:
+        os.remove(os.path.join(table_path, f))
+    return {"op": "remove_orphans", "applied": True, "removed_files": len(orphans)}

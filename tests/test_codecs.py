@@ -1,0 +1,147 @@
+"""Ground-truth tests for the pure-stdlib media codecs.
+
+The oracle for media_image_decode/media_audio_decode is computed with
+the same decoder it checks (plumbing parity); these tests pin the
+decoders to independently-known values so a codec bug can't hide.
+"""
+
+import struct
+import zlib
+
+import pytest
+
+from aws_lakehouse_spark.llm.codecs import (
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+
+
+def test_png_roundtrip_solid_color_exact_mean():
+    png = png_encode(10, 4, lambda x, y: (30, 60, 90))
+    d = png_decode(png)
+    assert (d["width"], d["height"], d["channels"]) == (10, 4, 3)
+    assert d["bit_depth"] == 8
+    # solid color → mean is exactly the channel mean
+    assert d["mean_pixel"] == (30 + 60 + 90) / 3
+    assert d["pixel_sum"] == (30 + 60 + 90) * 10 * 4
+
+
+def test_png_roundtrip_gradient_pixel_sum():
+    w, h = 7, 5
+    png = png_encode(w, h, lambda x, y: (x, y, (x + y) % 256))
+    d = png_decode(png)
+    expected = sum(x + y + (x + y) % 256 for x in range(w) for y in range(h))
+    assert d["pixel_sum"] == expected
+    assert d["n_samples"] == w * h * 3
+
+
+def test_png_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+
+
+def test_png_decode_all_filter_types():
+    """Hand-build a PNG whose rows use filters 1 (Sub), 2 (Up),
+    3 (Average), 4 (Paeth) and check the decoder undoes them."""
+    width, channels = 4, 3
+    stride = width * channels
+    rows = [
+        bytes(range(10, 10 + stride)),
+        bytes(range(50, 50 + stride)),
+        bytes(range(90, 90 + stride)),
+        bytes(range(130, 130 + stride)),
+        bytes(range(170, 170 + stride)),
+    ]
+
+    def sub(line):
+        out = bytearray(line[:channels])
+        for i in range(channels, stride):
+            out.append((line[i] - line[i - channels]) & 0xFF)
+        return bytes(out)
+
+    def up(line, prev):
+        return bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+
+    def avg(line, prev):
+        out = bytearray()
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            out.append((line[i] - ((left + prev[i]) >> 1)) & 0xFF)
+        return bytes(out)
+
+    def paeth_pred(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def paeth(line, prev):
+        out = bytearray()
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            ul = prev[i - channels] if i >= channels else 0
+            out.append((line[i] - paeth_pred(left, prev[i], ul)) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    raw += b"\x00" + rows[0]
+    raw += b"\x01" + sub(rows[1])
+    raw += b"\x02" + up(rows[2], rows[1])
+    raw += b"\x03" + avg(rows[3], rows[2])
+    raw += b"\x04" + paeth(rows[4], rows[3])
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    d = png_decode(png)
+    assert d["pixel_sum"] == sum(sum(r) for r in rows)
+
+
+def test_wav_roundtrip_known_signal():
+    wav = wav_encode(100, 16000, lambda i: 1000 if i % 2 == 0 else -500)
+    d = wav_decode(wav)
+    assert d["n_channels"] == 1
+    assert d["framerate"] == 16000
+    assert d["n_frames"] == 100
+    assert d["duration_ms"] == 100 * 1000 // 16000
+    assert d["peak_amplitude"] == 1000
+    assert d["mean_abs_amplitude"] == (1000 * 50 + 500 * 50) / 100
+
+
+def test_wav_stereo_and_clipping():
+    wav = wav_encode(10, 8000, lambda i: 99999, n_channels=2)
+    d = wav_decode(wav)
+    assert d["n_channels"] == 2
+    assert d["peak_amplitude"] == 32767  # clipped at encode
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFFgarbage")
+
+
+def test_spark_image_decode_real_dimensions(spark):
+    """Verdict item: media feature extraction returns REAL widths and
+    heights on generated PNGs, through the distributed Arrow path."""
+    from aws_lakehouse_spark.llm.multimodal import extract_image_features
+
+    rows = [
+        (0, bytearray(png_encode(32, 20, lambda x, y: (200, 100, 0)))),
+        (1, bytearray(png_encode(64, 48, lambda x, y: (x % 256, 0, 0)))),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (32, 20)
+    assert (out[1]["width"], out[1]["height"]) == (64, 48)
+    assert out[0]["mean_pixel"] == (200 + 100 + 0) / 3
