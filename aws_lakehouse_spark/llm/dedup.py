@@ -66,23 +66,75 @@ def shingles_col(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 4) -> list[Column]:
-    """MinHash signature: for seed j, min over shingles of
-    md5(j || ':' || shingle). md5's hex ordering is engine-agnostic,
-    so signatures are bit-identical everywhere."""
-    # closure factory, NOT a default-arg lambda: PySpark HOF lambdas
-    # are arity-inspected, and a 2-arg lambda binds the array index
-    def seeded(j: int):
-        prefix = f"{j}:"
+    """MinHash signature: hash function j is the j-th 8-hex-char
+    slice of ONE md5 per shingle (disjoint digest slices are
+    independent hashes), minimized over the shingle set.
+
+    One md5 call per shingle — not one per (seed, shingle) — cuts
+    the dominant per-row cost of candidate generation 4×; md5's hex
+    ordering is engine-agnostic, so signatures stay bit-identical
+    everywhere. Supports up to 4 hashes per md5 (32 hex chars).
+    """
+    if num_hashes > 4:
+        raise ValueError("num_hashes > 4 needs a second digest")
+    # one shared md5 per shingle; each hash slices its own 8 chars
+    hashed = F.transform(shingles, F.md5)
+
+    def slicer(j: int):
+        start = 1 + 8 * j
 
         def h(s: Column) -> Column:
-            return F.md5(F.concat(F.lit(prefix), s))
+            return F.substring(s, start, 8)
 
         return h
 
     return [
-        F.array_min(F.transform(shingles, seeded(j))).alias(f"minhash_{j}")
+        F.array_min(F.transform(hashed, slicer(j))).alias(f"minhash_{j}")
         for j in range(num_hashes)
     ]
+
+
+def _shingles_sql(text_col: str, k: int) -> str:
+    """SQL text equivalent of :func:`shingles_col` (kept in lockstep;
+    used where the whole banding must be ONE expression tree)."""
+    toks = f"split({text_col}, ' ')"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k}))))"
+    )
+
+
+def lsh_band_rows_sql(
+    text_col: str, shingle_k: int, num_hashes: int, band_size: int
+) -> str:
+    """One fused SQL expression producing the exploded band rows:
+    ``array<struct<band_id:int, band_hash:string>>``.
+
+    Why one expression: projecting minhash_0..3 as separate columns
+    re-evaluates the shingle+md5 pipeline once PER COLUMN (Catalyst
+    collapses projections, inlining the alias into every use, and
+    higher-order functions run interpreted with no cross-column
+    subexpression elimination — measured 4× the single-pass cost).
+    Binding the hashed-shingle array through a single-element
+    ``transform(array(<hs>), hs -> ...)`` lambda evaluates it exactly
+    once per row; each min-hash is a cheap substring slice of the one
+    digest per shingle.
+    """
+    if num_hashes > 4:
+        raise ValueError("num_hashes > 4 needs a second digest")
+    n_bands = num_hashes // band_size
+    hs = f"transform({_shingles_sql(text_col, shingle_k)}, s -> md5(s))"
+
+    def minhash(j: int) -> str:
+        return f"array_min(transform(hs, h -> substring(h, {1 + 8 * j}, 8)))"
+
+    bands = ", ".join(
+        f"named_struct('band_id', {b}, 'band_hash', md5(concat_ws('|', "
+        + ", ".join(minhash(b * band_size + r) for r in range(band_size))
+        + ")))"
+        for b in range(n_bands)
+    )
+    return f"element_at(transform(array({hs}), hs -> array({bands})), 1)"
 
 
 def lsh_band_pairs(
@@ -97,37 +149,16 @@ def lsh_band_pairs(
 
     Signature of ``num_hashes`` min-hashes is cut into bands of
     ``band_size``; docs agreeing on any full band are candidates.
-    Plan: scan→project (signatures) → explode bands (num_hashes/
-    band_size rows per doc) → self-equi-join on (band_id, band_hash)
-    → distinct pairs. The join key is a digest: uniform, small,
+    Plan: scan→project (fused band expression, one pass per row —
+    see :func:`lsh_band_rows_sql`) → explode (num_hashes/band_size
+    rows per doc) → self-equi-join on (band_id, band_hash) →
+    distinct pairs. The join key is a digest: uniform, small,
     skew-free.
     """
-    sig = df.select(
+    band_rows = lsh_band_rows_sql(text_col, shingle_k, num_hashes, band_size)
+    bands = df.select(
         F.col(id_col).alias("doc_id"),
-        *minhash_signature(shingles_col(F.col(text_col), shingle_k), num_hashes),
-    )
-    n_bands = num_hashes // band_size
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"minhash_{b * band_size + r}")
-                                    for r in range(band_size)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.expr(band_rows)).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
     left = bands.alias("l")
@@ -225,16 +256,18 @@ def connected_components(
     """Resolve near-dup pairs into duplicate clusters: (node, component)
     where component = min doc id reachable through the pair graph.
 
-    Iterative label propagation: each round, every node takes the min
-    label among itself and its neighbors; converged when no label
-    changes. Near-dup graphs are forests of tiny cliques, so rounds ≈
-    longest chain (a handful); each round is one join + one aggregate
-    — no driver-side graph state, only a scalar convergence count.
-    ``max_iterations`` bounds adversarial chains. Every third round
-    the label frame is ``localCheckpoint``-ed: without it each
-    round's plan embeds the whole previous round's plan, so the
-    `changed` count job re-executes ever-deeper lineage — O(rounds²)
-    work and an eventually-overflowing plan tree on long chains.
+    Iterative min-label propagation with POINTER JUMPING: each round
+    every node takes the min label among itself and its neighbors,
+    then shortcuts ``component := label(component)`` — composing the
+    label map with itself, so a distance-d chain converges in
+    O(log d) rounds, not O(d). Converged when no label changes. No
+    driver-side graph state; only a scalar convergence count leaves
+    the cluster. ``max_iterations`` bounds adversarial inputs.
+
+    Each round's result is eagerly ``localCheckpoint``-ed: the frame
+    is used twice (convergence probe + next round) and without
+    truncation every round's plan embeds all prior rounds' joins —
+    O(rounds²) re-execution and an eventually-overflowing plan tree.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -251,7 +284,8 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     edges = edges.localCheckpoint(eager=False)
-    for it in range(max_iterations):
+    labels = labels.localCheckpoint(eager=False)
+    for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("node", "dst_node"),
@@ -260,7 +294,7 @@ def connected_components(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component").alias("neighbor_component"))
         )
-        new_labels = (
+        updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -270,10 +304,22 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        if it % 3 == 2:
-            # truncate lineage: the changed-count job below and every
-            # later round otherwise replay all prior rounds' joins
-            new_labels = new_labels.localCheckpoint(eager=True)
+        # pointer jumping: follow the label one more hop (labels are
+        # always reachable node ids, so composing the map preserves
+        # correctness and halves the remaining distance-to-root)
+        parent = updated.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        new_labels = (
+            updated.join(parent, updated.component == parent.p_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("p_comp"), F.col("component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -304,11 +350,17 @@ def near_duplicate_survivors(
     via array_intersect/union on the two shingle sets — O(candidates),
     never the all-shared-shingle-pairs blowup.
     """
-    candidates = lsh_band_pairs(df, id_col, text_col, shingle_k)
+    # both frames are referenced twice below (doc_a and doc_b sides);
+    # without a checkpoint the full LSH pipeline / shingle projection
+    # would be EVALUATED twice — lazy localCheckpoint materializes
+    # each exactly once on first use
+    candidates = lsh_band_pairs(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=False
+    )
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col), shingle_k).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     verified = (
         candidates.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),

@@ -156,29 +156,33 @@ def brute_force_topk_vectorized(
     )
 
 
+def hyperplane_weight(seed: str, b: int, d: int) -> float:
+    """Deterministic pseudo-random plane weight in [-1, 1): derived
+    from md5(seed:bit:dim), so it is reproducible across engines,
+    languages and cluster restarts (no RNG state to ship). The same
+    IEEE ops (x / 1000.0 - 1.0) run everywhere, so oracles can embed
+    the literal and get the bit-identical double."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()[:7]
+    return (int(h, 16) % 2000) / 1000.0 - 1.0
+
+
 def hyperplane_signature(
     vec: Column, dim: int, bits: int = 8, seed: str = "lsh"
 ) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id).
 
-    Plane weights are pseudo-random in [-1, 1), derived from
-    md5(seed:bit:dim) — reproducible across engines and cluster
-    restarts (no RNG state to ship).
+    Weights are computed driver-side (:func:`hyperplane_weight`) and
+    emitted as plain double literals: an earlier revision derived
+    each weight with in-plan md5/conv expressions, and folding those
+    bits×dim literal subtrees cost ~6-8 s of ANALYSIS time per fresh
+    plan — pure driver overhead re-paid on every query build.
     """
     sig = None
     for b in range(bits):
         weights = F.array(
-            *[
-                (
-                    F.conv(
-                        F.substring(F.md5(F.lit(f"{seed}:{b}:{d}")), 1, 7), 16, 10
-                    ).cast("long")
-                    % 2000
-                )
-                / 1000.0
-                - 1.0
-                for d in range(dim)
-            ]
+            *[F.lit(hyperplane_weight(seed, b, d)) for d in range(dim)]
         )
         proj = dot_col(vec, weights)
         term = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))

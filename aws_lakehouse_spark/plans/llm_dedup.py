@@ -26,12 +26,18 @@ from aws_lakehouse_spark.registry import register
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 16
 
+# minhash_j = min over shingles of the j-th 8-hex-char slice of ONE
+# md5 per shingle — in lockstep with llm.dedup.minhash_signature /
+# lsh_band_rows_sql (disjoint digest slices are independent hashes;
+# one digest per shingle, not one per seed)
 DUCK_SIG = f"""
     SELECT doc_id,
-           list_min(list_transform({DUCK_SHINGLES}, s -> md5('0:' || s))) AS minhash_0,
-           list_min(list_transform({DUCK_SHINGLES}, s -> md5('1:' || s))) AS minhash_1,
-           list_min(list_transform({DUCK_SHINGLES}, s -> md5('2:' || s))) AS minhash_2,
-           list_min(list_transform({DUCK_SHINGLES}, s -> md5('3:' || s))) AS minhash_3
+           {", ".join(
+               "list_min(list_transform("
+               f"list_transform({DUCK_SHINGLES}, s -> md5(s)), "
+               f"h -> substring(h, {1 + 8 * j}, 8))) AS minhash_{j}"
+               for j in range(4)
+           )}
     FROM documents
 """
 
@@ -200,6 +206,7 @@ NEAR_DUP_ORACLE = f"""
     "duplicate cluster. Oracle-checked end to end: DuckDB replays "
     "the same candidates/verification and resolves components via "
     "WITH RECURSIVE reachability.",
+    bench=True,
 )
 def dedup_near_duplicate_resolution_q(
     spark: SparkSession, sf_dir: str

@@ -139,13 +139,11 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_weight(seed: str, b: int, d: int) -> float:
-    """Python replica of llm.similarity.hyperplane_signature's
-    md5-derived plane weight — same IEEE ops (x/1000.0 - 1.0), so the
-    embedded literal is the bit-identical double Spark computes."""
-    import hashlib
+    """The engine's own weight derivation — one source of truth, so
+    the embedded literal is the bit-identical double Spark uses."""
+    from aws_lakehouse_spark.llm.similarity import hyperplane_weight
 
-    h = hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()[:7]
-    return (int(h, 16) % 2000) / 1000.0 - 1.0
+    return hyperplane_weight(seed, b, d)
 
 
 def _lsh_oracle(dim: int = 64, bits: int = 6, k: int = 5) -> str:
@@ -196,7 +194,7 @@ import dataclasses as _dc  # noqa: E402
 from aws_lakehouse_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["ann_lsh_bucketed"] = _dc.replace(
-    _REG["ann_lsh_bucketed"], oracle=_lsh_oracle()
+    _REG["ann_lsh_bucketed"], oracle=_lsh_oracle(), bench=True
 )
 
 

@@ -495,6 +495,7 @@ def tpch_q16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation x year. The sum runs over exact integer ten-thousandths "
     "(per-row round -> BIGINT) so heavy cancellation in the profit "
     "terms cannot make the float total order-dependent.",
+    bench=True,
 )
 def tpch_q9_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
