@@ -175,7 +175,7 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(n_chars), 2) AS avg_chars,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
     FROM survivors

@@ -28,7 +28,8 @@ def _profile_oracle() -> str:
         parts.append(f"""
         SELECT '{c}' AS column,
                COUNT(*) AS n_rows,
-               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
                CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
                ROUND(MIN(CAST({c} AS DOUBLE)), 6) AS min_val,
                ROUND(MAX(CAST({c} AS DOUBLE)), 6) AS max_val,
@@ -61,17 +62,18 @@ def quality_profile_numeric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_expectations",
     oracle="""
     SELECT 'quantity_in_range' AS rule,
-           SUM(CASE WHEN l_quantity > 0 AND l_quantity <= 50
-                    THEN 0 ELSE 1 END) AS n_violations
+           CAST(SUM(CASE WHEN l_quantity > 0 AND l_quantity <= 50
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
     FROM lineitem
     UNION ALL
     SELECT 'discount_in_range',
-           SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
-                    THEN 0 ELSE 1 END)
+           CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                    THEN 0 ELSE 1 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'shipdate_not_null',
-           SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+           CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+                AS BIGINT)
     FROM lineitem
     """,
     category="quality",

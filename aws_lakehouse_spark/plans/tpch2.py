@@ -398,10 +398,10 @@ def tpch_q8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_counts",
     oracle="""
     SELECT l.l_returnflag AS flag_group,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
       AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
