@@ -156,6 +156,32 @@ def brute_force_topk_vectorized(
     )
 
 
+def quantize_int8_cols(vec: Column, round_digits: int = 6) -> dict[str, Column]:
+    """Scalar int8 quantization of an embedding vector: per-vector
+    min/max affine scale, 255 levels, plus the max absolute
+    reconstruction error. 4× memory cut for ANN candidate storage;
+    max-abs (not RMS) error because a per-element max is order-
+    independent and therefore reproducible across engines. Pure
+    array expressions — one scan, no shuffle, no Python."""
+    mn = F.array_min(vec)
+    mx = F.array_max(vec)
+    scale = (mx - mn) / F.lit(255.0)
+
+    def code(x: Column) -> Column:
+        return F.when(scale > 0, F.round((x - mn) / scale)).otherwise(
+            F.lit(0.0)
+        )
+
+    err = F.array_max(
+        F.transform(vec, lambda x: F.abs(x - (mn + code(x) * scale)))
+    )
+    return {
+        "q_min": F.round(mn, round_digits),
+        "q_max": F.round(mx, round_digits),
+        "max_abs_err": F.round(err, round_digits),
+    }
+
+
 def hyperplane_weight(seed: str, b: int, d: int) -> float:
     """Deterministic pseudo-random plane weight in [-1, 1): derived
     from md5(seed:bit:dim), so it is reproducible across engines,

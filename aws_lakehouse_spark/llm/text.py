@@ -96,3 +96,31 @@ def language_scores(
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
     scores["lang_pred"] = pred.otherwise("unknown")
     return scores
+
+
+PII_EMAIL_PATTERN = r"[a-z0-9._]+@[a-z0-9.-]+"
+PII_NUMBER_PATTERN = r"[0-9]{3,}"
+
+
+def normalize_scrub_cols(text: Column) -> dict[str, Column]:
+    """Normalization + PII scrub for corpus prep: lowercase, redact
+    emails → ``[EMAIL]`` and long digit runs → ``[NUM]``, strip
+    residual punctuation, collapse whitespace. Redaction counts ride
+    along so downstream filtering can drop PII-heavy docs. Pure
+    regexp expressions — JVM-side, one scan, no shuffle."""
+    lowered = F.lower(text)
+    n_emails = F.size(
+        F.regexp_extract_all(lowered, F.lit(PII_EMAIL_PATTERN), 0)
+    ).cast("bigint")
+    scrubbed = F.regexp_replace(lowered, PII_EMAIL_PATTERN, "[EMAIL]")
+    n_numbers = F.size(
+        F.regexp_extract_all(scrubbed, F.lit(PII_NUMBER_PATTERN), 0)
+    ).cast("bigint")
+    scrubbed = F.regexp_replace(scrubbed, PII_NUMBER_PATTERN, "[NUM]")
+    scrubbed = F.regexp_replace(scrubbed, r"[^a-z0-9\[\] ]", " ")
+    scrubbed = F.trim(F.regexp_replace(scrubbed, r"\s+", " "))
+    return {
+        "scrubbed": scrubbed,
+        "n_emails_redacted": n_emails,
+        "n_numbers_redacted": n_numbers,
+    }

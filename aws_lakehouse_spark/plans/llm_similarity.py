@@ -75,12 +75,15 @@ def ann_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND({_cos('a.v', 'b.v')}, 6) AS cosine_sim
     FROM s a, s b
     WHERE a.vec_id < b.vec_id
-      AND ROUND({_cos('a.v', 'b.v')}, 6) > 0.8
+      AND ROUND({_cos('a.v', 'b.v')}, 6) > 0.3
     """,
     category="llm similarity",
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.8) over "
-    "a demo subset; at scale candidates come from the LSH buckets "
-    "instead of the subset cross join.",
+    doc="Embedding-cosine near-duplicate pairs over a demo subset; "
+    "threshold 0.3 sits inside the synthetic corpus's similarity "
+    "range (random 64-dim cosines top out ~0.41 at sf0.01), so the "
+    "correctness check exercises real matches instead of passing "
+    "vacuously on 0 rows. At scale candidates come from the LSH "
+    "buckets instead of the subset cross join.",
 )
 def ann_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
@@ -98,7 +101,7 @@ def ann_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine_sim", sim)
-        .filter(F.col("cosine_sim") > 0.8)
+        .filter(F.col("cosine_sim") > 0.3)
         .select("vec_a", "vec_b", "cosine_sim")
     )
 
@@ -338,3 +341,45 @@ def ann_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucket_topk_multiprobe(emb, queries, dim=64, bits=6, k=5)
+
+
+@register(
+    "ann_quantize_int8",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), mm AS (
+        SELECT vec_id, e,
+               list_min(e) AS mn, list_max(e) AS mx,
+               (list_max(e) - list_min(e)) / 255.0 AS scale
+        FROM v
+    )
+    SELECT vec_id,
+           ROUND(mn, 6) AS q_min,
+           ROUND(mx, 6) AS q_max,
+           ROUND(list_max(list_transform(e,
+                x -> abs(x - (mn + (CASE WHEN scale > 0
+                     THEN round((x - mn) / scale) ELSE 0 END) * scale)))),
+                6) AS max_abs_err
+    FROM mm
+    """,
+    category="llm similarity",
+    doc="Scalar int8 quantization of the embedding column: "
+    "per-vector min/max affine scale over 255 levels plus max "
+    "absolute reconstruction error — the 4x memory cut that lets an "
+    "ANN candidate set stay executor-resident at corpus scale. "
+    "Max-abs (not RMS) error keeps the check order-independent, so "
+    "the doubles are bit-identical across engines. One scan, pure "
+    "array expressions, no shuffle.",
+)
+def ann_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.similarity import quantize_int8_cols
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = quantize_int8_cols(F.col("embedding").cast("array<double>"))
+    return emb.select(
+        "vec_id",
+        cols["q_min"].alias("q_min"),
+        cols["q_max"].alias("q_max"),
+        cols["max_abs_err"].alias("max_abs_err"),
+    )

@@ -322,3 +322,168 @@ def text_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(before_me / 512).cast("bigint").alias("pack_id"),
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, term
+    ), idf AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln((n.n_docs + 1) / (idf.df + 1)), 6)
+                 AS tfidf
+        FROM tf JOIN idf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    category="llm text",
+    doc="Per-document top-3 keywords by tf-idf: token explode -> "
+    "(doc, term) count -> document-frequency join -> windowed "
+    "top-k. Two shuffles (term stats, per-doc window); the "
+    "idf table is term-cardinality-bounded, corpus-size-free. "
+    "Scores rounded to 6 dp BEFORE ranking, ties broken by term, "
+    "so the ranked output hash-matches across engines.",
+)
+def text_tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@register(
+    "text_top_bigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {DUCK_TOKS} AS t FROM documents
+    ), bigrams AS (
+        -- range() excludes its upper bound: range(1, len) = 1..len-1
+        SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+            range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+            ELSE [] END) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+    category="llm text",
+    doc="Corpus-level top-20 bigrams: in-row bigram construction "
+    "(sequence+transform, no self-join), one count shuffle keyed by "
+    "bigram, TakeOrderedAndProject for the limit. The standard "
+    "corpus-stats pass before building filter lists.",
+)
+def text_top_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bigram_arr = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.select(F.explode(bigram_arr).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_normalize_scrub",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' Contact: user' || doc_id ||
+               '@example.com or call 5550' || doc_id AS raw
+        FROM documents WHERE doc_id % 10 = 0
+    ), low AS (
+        SELECT doc_id, lower(raw) AS lowered FROM aug
+    ), emails AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lowered,
+                    '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT)
+                 AS n_emails_redacted,
+               regexp_replace(lowered, '[a-z0-9._]+@[a-z0-9.-]+',
+                              '[EMAIL]', 'g') AS s1
+        FROM low
+    ), nums AS (
+        SELECT doc_id, n_emails_redacted,
+               CAST(len(regexp_extract_all(s1, '[0-9]{3,}')) AS BIGINT)
+                 AS n_numbers_redacted,
+               regexp_replace(s1, '[0-9]{3,}', '[NUM]', 'g') AS s2
+        FROM emails
+    )
+    SELECT doc_id,
+           substring(trim(regexp_replace(regexp_replace(s2,
+                '[^a-z0-9\\[\\] ]', ' ', 'g'), '\\s+', ' ', 'g')), 1, 60)
+             AS scrubbed_prefix,
+           n_emails_redacted, n_numbers_redacted
+    FROM nums
+    """,
+    category="llm text",
+    doc="Normalization + PII scrub (corpus-prep face): lowercase, "
+    "redact emails/long digit runs with counted replacements, strip "
+    "punctuation, collapse whitespace. The fixture plants one email "
+    "and one phone-like run per doc so the check exercises real "
+    "redactions. Pure regexp expressions, one scan, no shuffle.",
+)
+def text_normalize_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.text import normalize_scrub_cols
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 5550"),
+            F.col("doc_id").cast("string"),
+        ).alias("raw"),
+    )
+    cols = normalize_scrub_cols(F.col("raw"))
+    return aug.select(
+        "doc_id",
+        F.substring(cols["scrubbed"], 1, 60).alias("scrubbed_prefix"),
+        cols["n_emails_redacted"].alias("n_emails_redacted"),
+        cols["n_numbers_redacted"].alias("n_numbers_redacted"),
+    )

@@ -204,3 +204,69 @@ def medallion_gold_fact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).cast("int").alias("month"),
         F.dayofmonth(d).cast("int").alias("day"),
     )
+
+
+@register(
+    "medallion_dim_scd2",
+    oracle="""
+    WITH ev AS (
+        SELECT o_custkey AS c_custkey,
+               o_orderpriority AS priority,
+               strftime(o_orderdate, '%Y-%m-%d') AS eff_date,
+               o_orderkey
+        FROM orders WHERE o_custkey < 100
+    ), with_prev AS (
+        SELECT *, LAG(priority) OVER (
+            PARTITION BY c_custkey ORDER BY eff_date, o_orderkey
+        ) AS prev
+        FROM ev
+    ), changes AS (
+        SELECT c_custkey, priority, eff_date, o_orderkey
+        FROM with_prev
+        WHERE prev IS NULL OR priority != prev
+    )
+    SELECT c_custkey, priority,
+           eff_date AS valid_from,
+           LEAD(eff_date) OVER (
+               PARTITION BY c_custkey ORDER BY eff_date, o_orderkey
+           ) AS valid_to,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_custkey ORDER BY eff_date, o_orderkey
+           ) AS INTEGER) AS version,
+           LEAD(eff_date) OVER (
+               PARTITION BY c_custkey ORDER BY eff_date, o_orderkey
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+    category="3.2 medallion",
+    doc="SCD type-2 dimension history from the order stream: each "
+    "customer's priority attribute collapses into versioned rows "
+    "with [valid_from, valid_to) intervals and a current flag — the "
+    "dimension-history face the reference's rebuild-in-full Gold "
+    "dims lack. One window shuffle on the dimension key; no "
+    "self-join. ISO-string effective dates keep the driver hash "
+    "dtype-stable.",
+)
+def medallion_dim_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.scd import scd2_versions
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 100
+    )
+    ev = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("eff_date"),
+        "o_orderkey",
+    )
+    out = scd2_versions(
+        ev,
+        ["c_custkey"],
+        "priority",
+        [F.asc("eff_date"), F.asc("o_orderkey")],
+        "eff_date",
+    )
+    return out.select(
+        "c_custkey", "priority", "valid_from", "valid_to", "version",
+        "is_current",
+    )
