@@ -246,3 +246,65 @@ def agg_unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'quantity', l_quantity, 'discount', l_discount, "
         "'tax', l_tax) AS (metric, value)",
     )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="2.4 aggregates",
+    doc="Exact linear-interpolated percentiles per group (Spark "
+    "`percentile` == DuckDB `quantile_cont`). Exact percentile "
+    "buffers all group values — right at dim cardinality; at 100 TB "
+    "fact scale switch to approx_percentile (t-digest, mergeable "
+    "partials) and trade the oracle for a tolerance check.",
+)
+def agg_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(l_extendedprice, {p})"), 4
+            ).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(l_extendedprice / 10000), 10) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM lineitem
+    GROUP BY bucket ORDER BY bucket
+    """,
+    category="2.4 aggregates",
+    doc="Fixed-width histogram of a value column (10k-wide buckets, "
+    "top-coded at 10): integer bucket derivation scan-side, one "
+    "count shuffle on the small bucket key — the distribution "
+    "profile pass data-quality dashboards run per column.",
+)
+def agg_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / 10000), F.lit(10)
+    ).cast("bigint")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
