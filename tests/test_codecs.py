@@ -145,3 +145,41 @@ def test_spark_image_decode_real_dimensions(spark):
     assert (out[0]["width"], out[0]["height"]) == (32, 20)
     assert (out[1]["width"], out[1]["height"]) == (64, 48)
     assert out[0]["mean_pixel"] == (200 + 100 + 0) / 3
+
+
+def test_png_roundtrip_property():
+    """Property: any 8-bit RGB image round-trips through
+    encode→decode with an exact pixel sum (hypothesis-style sweep,
+    deterministic seeds — no flaky RNG)."""
+    import hashlib
+
+    for case in range(25):
+        h = hashlib.md5(f"case:{case}".encode()).digest()
+        w = 1 + h[0] % 40
+        ht = 1 + h[1] % 30
+
+        def px(x, y, s=h[2]):
+            return ((x * s + y) % 256, (y * 7 + s) % 256, (x ^ y ^ s) % 256)
+
+        d = png_decode(png_encode(w, ht, px))
+        expected = sum(sum(px(x, y)) for x in range(w) for y in range(ht))
+        assert (d["width"], d["height"]) == (w, ht), case
+        assert d["pixel_sum"] == expected, case
+
+
+def test_wav_roundtrip_property():
+    import hashlib
+
+    for case in range(25):
+        h = hashlib.md5(f"wav:{case}".encode()).digest()
+        n = 1 + h[0] * 4
+        rate = 4000 + h[1] * 100
+        ch = 1 + h[2] % 2
+
+        def amp(i, s=h[3]):
+            return ((i * 31 + s * 17) % 3000) - 1500
+
+        d = wav_decode(wav_encode(n, rate, amp, n_channels=ch))
+        assert d["n_frames"] == n and d["framerate"] == rate
+        assert d["n_channels"] == ch
+        assert d["peak_amplitude"] == max(abs(amp(i)) for i in range(n))

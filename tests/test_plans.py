@@ -145,3 +145,30 @@ def test_corpus_prep_mapside_dedup(spark, sf_dir):
     before the exchange (WindowGroupLimit), not ship every duplicate."""
     plan = _plan(spark, sf_dir, "text_corpus_prep")
     assert "WindowGroupLimit" in plan
+
+
+def test_scd2_single_window_shuffle(spark, sf_dir):
+    """SCD2 history build must cost exactly one exchange (the window
+    partitioning on the dimension key) — no self-join. Counted in
+    "simple" mode: formatted explain prints every node twice."""
+    df = REGISTRY["medallion_dim_scd2"].fn(spark, sf_dir)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_quantize_int8_no_shuffle(spark, sf_dir):
+    """Quantization is scan+project only: zero exchanges, zero joins."""
+    plan = _plan(spark, sf_dir, "ann_quantize_int8")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_tfidf_no_cartesian_and_single_scan_tf(spark, sf_dir):
+    """tf-idf's only cross join is the broadcast single-row corpus
+    count; candidate stats join stays a broadcast/shuffle equi-join."""
+    plan = _plan(spark, sf_dir, "text_tfidf_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_docs frame
