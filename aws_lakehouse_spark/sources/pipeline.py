@@ -72,6 +72,11 @@ class PipelineConfig:
     dim_paths: dict[str, str] = field(default_factory=dict)
     retry_interval_s: float = 0.1  # test-friendly; prod: 30.0
     maintenance_tables: tuple[str, ...] = ()
+    # when set, each run also commits the gold fact to a manifest
+    # snapshot log (sources.snapshots) — one version per pipeline
+    # run, time-travelable, with real M1/M3 maintenance; the
+    # engine's stand-in for the reference's Iceberg gold tables
+    gold_snapshot_path: str | None = None
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
@@ -134,6 +139,16 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
         ("year", "month", "day"),
     )
     manifest["silver_to_gold"] = "done"
+
+    if cfg.gold_snapshot_path:
+        from aws_lakehouse_spark.sources.snapshots import snapshot_write
+
+        version = snapshot_write(
+            spark, gold["fact_climate"], cfg.gold_snapshot_path, "overwrite"
+        )
+        manifest["gold_snapshot"] = {
+            "path": cfg.gold_snapshot_path, "version": version,
+        }
 
     # 5. Maintenance (M1-M4)
     tables = cfg.maintenance_tables or (silver_table,)

@@ -165,6 +165,32 @@ def test_pipeline_idempotent_rerun(spark, raw_dir, tmp_path):
     assert spark.table("t_silver.observations").count() == fact1
 
 
+def test_pipeline_gold_snapshot_versions(spark, raw_dir, tmp_path):
+    """With gold_snapshot_path set, each pipeline run commits one
+    snapshot version of the gold fact — time-travelable across runs
+    (the Iceberg-table semantics of the reference's gold layer)."""
+    from aws_lakehouse_spark.sources.snapshots import read_snapshot, versions
+
+    snap = str(tmp_path / "gold_fact_snap")
+    cfg = PipelineConfig(
+        source_path=str(raw_dir / "bronze" / "observations"),
+        bronze_root=str(tmp_path / "bronze"),
+        silver_db="s_silver",
+        gold_db="s_gold",
+        dataset="obs",
+        gold_snapshot_path=snap,
+    )
+    m1 = run_pipeline(spark, cfg)
+    assert m1["gold_snapshot"]["version"] == 0
+    m2 = run_pipeline(spark, cfg)
+    assert m2["gold_snapshot"]["version"] == 1
+    assert versions(snap) == [0, 1]
+    n_now = spark.table("s_gold.fact_climate").count()
+    # both versions readable, identical content (same input re-run)
+    assert read_snapshot(spark, snap, 0).count() == n_now
+    assert read_snapshot(spark, snap, 1).count() == n_now
+
+
 def test_pipeline_empty_input_short_circuit(spark, tmp_path):
     src = tmp_path / "empty-src"
     (src / "sub").mkdir(parents=True)
