@@ -105,7 +105,11 @@ def _shingles_sql(text_col: str, k: int) -> str:
 
 
 def lsh_band_rows_sql(
-    text_col: str, shingle_k: int, num_hashes: int, band_size: int
+    text_col: str,
+    shingle_k: int,
+    num_hashes: int,
+    band_size: int,
+    shingles_expr: str | None = None,
 ) -> str:
     """One fused SQL expression producing the exploded band rows:
     ``array<struct<band_id:int, band_hash:string>>``.
@@ -123,7 +127,8 @@ def lsh_band_rows_sql(
     if num_hashes > 4:
         raise ValueError("num_hashes > 4 needs a second digest")
     n_bands = num_hashes // band_size
-    hs = f"transform({_shingles_sql(text_col, shingle_k)}, s -> md5(s))"
+    sh = shingles_expr or _shingles_sql(text_col, shingle_k)
+    hs = f"transform({sh}, s -> md5(s))"
 
     def minhash(j: int) -> str:
         return f"array_min(transform(hs, h -> substring(h, {1 + 8 * j}, 8)))"
@@ -350,17 +355,34 @@ def near_duplicate_survivors(
     via array_intersect/union on the two shingle sets — O(candidates),
     never the all-shared-shingle-pairs blowup.
     """
-    # both frames are referenced twice below (doc_a and doc_b sides);
-    # without a checkpoint the full LSH pipeline / shingle projection
-    # would be EVALUATED twice — lazy localCheckpoint materializes
-    # each exactly once on first use
-    candidates = lsh_band_pairs(df, id_col, text_col, shingle_k).localCheckpoint(
-        eager=False
-    )
+    # shingle arrays are computed ONCE, checkpointed, and shared by
+    # candidate generation (bands derive from the materialized `sh`
+    # attribute) and verification (sh_a/sh_b joins) — without the
+    # checkpoint every reference would re-run tokenize+shingle
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col), shingle_k).alias("sh"),
     ).localCheckpoint(eager=False)
+    band_rows = lsh_band_rows_sql(
+        text_col, shingle_k, num_hashes=4, band_size=2, shingles_expr="sh"
+    )
+    bands = sh.select(
+        "doc_id", F.explode(F.expr(band_rows)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    candidates = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # referenced by both joins below
+    )
     verified = (
         candidates.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
