@@ -183,3 +183,58 @@ def test_wav_roundtrip_property():
         assert d["n_frames"] == n and d["framerate"] == rate
         assert d["n_channels"] == ch
         assert d["peak_amplitude"] == max(abs(amp(i)) for i in range(n))
+
+
+def test_png_decode_grayscale_and_rgba():
+    """The decoder supports color types 0 (gray) and 6 (RGBA) too —
+    hand-build minimal images for both."""
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def build(width, height, color_type, rows):
+        raw = bytearray()
+        for r in rows:
+            raw += b"\x00" + r
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(
+                ">IIBBBBB", width, height, 8, color_type, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = build(4, 2, 0, [bytes([10, 20, 30, 40]), bytes([50, 60, 70, 80])])
+    d = png_decode(gray)
+    assert (d["width"], d["height"], d["channels"]) == (4, 2, 1)
+    assert d["pixel_sum"] == sum(range(10, 81, 10))
+
+    rgba_row = bytes([1, 2, 3, 255, 4, 5, 6, 128])
+    rgba = build(2, 1, 6, [rgba_row])
+    d = png_decode(rgba)
+    assert (d["width"], d["height"], d["channels"]) == (2, 1, 4)
+    assert d["pixel_sum"] == sum(rgba_row)
+
+
+def test_png_decode_rejects_16bit_and_interlaced():
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    for depth, ctype, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(
+                ">IIBBBBB", 1, 1, depth, ctype, 0, 0, interlace))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            png_decode(bad)
