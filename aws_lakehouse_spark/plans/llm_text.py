@@ -487,3 +487,105 @@ def text_normalize_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["n_emails_redacted"].alias("n_emails_redacted"),
         cols["n_numbers_redacted"].alias("n_numbers_redacted"),
     )
+
+
+@register(
+    "text_reservoir_sample",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT source, doc_id, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY md5('rsv:' || doc_id), doc_id
+        ) AS rnk
+        FROM documents
+    ) WHERE rnk <= 10
+    ORDER BY source, rnk
+    """,
+    category="llm text",
+    doc="Fixed-size per-group sample (reservoir semantics, k=10 per "
+    "source): rank by md5(seed||id) — a uniform, REPRODUCIBLE draw "
+    "(rand() would differ per retry/executor), one window shuffle "
+    "on the group key. Complements fraction sampling "
+    "(text_sample_hash) and class balancing (text_sample_balanced).",
+)
+def text_reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("source", "rnk")
+    )
+
+
+@register(
+    "text_domain_stats",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' see https://site' || (doc_id % 7) ||
+               '.example.org/path/' || doc_id ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' and http://cdn' || (doc_id % 2) || '.example.net/x'
+                    ELSE '' END AS raw
+        FROM documents
+    ), urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(raw,
+               'https?://([a-z0-9.-]+)', 1)) AS domain
+        FROM aug
+    )
+    SELECT domain,
+           COUNT(*) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls GROUP BY domain
+    ORDER BY domain
+    """,
+    category="llm text",
+    doc="URL domain extraction + per-domain stats — the pass behind "
+    "domain-level quality filtering in web-corpus curation. URLs are "
+    "planted deterministically (the fixture has none); extraction is "
+    "regexp_extract_all capture group 1, stats one shuffle on the "
+    "bounded domain key.",
+)
+def text_domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/path/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" and http://cdn"),
+                    (F.col("doc_id") % 2).cast("string"),
+                    F.lit(".example.net/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    urls = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("raw"), F.lit(r"https?://([a-z0-9.-]+)"), 1
+            )
+        ).alias("domain"),
+    )
+    return (
+        urls.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
