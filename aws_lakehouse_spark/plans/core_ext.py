@@ -308,3 +308,98 @@ def agg_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 != 0
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 3 != 1
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'update' END) IS NOT NULL
+    """,
+    category="2.3 joins (CDC)",
+    doc="CDC diff between two table snapshots (insert/delete/update "
+    "classification): one full-outer equi-join, both sides "
+    "co-partitioned on the key, unchanged rows dropped in-join so "
+    "downstream scales with |changes| not |table|. Demo snapshots "
+    "are deterministic orderkey-mod slices with planted updates; "
+    "composes with sources.snapshots versions for time-travel diffs.",
+)
+def cdc_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.cdc import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 3 != 1).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_totalprice
+    FROM orders GROUP BY o_orderpriority
+    """,
+    category="2.4 aggregates (incremental)",
+    doc="Incremental aggregate maintenance: the standing aggregate "
+    "(orders up to a watermark) merges a delta batch's partials via "
+    "union + one re-agg on the group key — dim-cardinality work, no "
+    "fact rescan. Oracle-checked equal to the full recompute, which "
+    "is the algebraic-aggregate guarantee.",
+)
+def incremental_agg_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.cdc import merge_partial_aggregates
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_totalprice").alias("sum_totalprice"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderkey") <= 30000))
+    delta = partial(orders.filter(F.col("o_orderkey") > 30000))
+    merged = merge_partial_aggregates(
+        base, delta, ["o_orderpriority"], ["sum_totalprice"]
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_rows",
+        F.round("sum_totalprice", 2).alias("sum_totalprice"),
+    )

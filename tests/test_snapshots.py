@@ -86,3 +86,32 @@ def test_maintenance_ops_apply_on_snapshot_table(spark, table_path):
     m3 = remove_orphans(spark, "ignored", table_path=table_path)
     assert m3["applied"] is True and m3["removed_files"] > 0
     assert snapshots.read_snapshot(spark, table_path).count() == 5
+
+
+def test_cdc_diff_between_snapshot_versions(spark, table_path):
+    """snapshot_diff over two time-travel reads: the lakehouse
+    'what changed between yesterday and today' query."""
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.operators.cdc import snapshot_diff
+
+    v0_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, status string, amount double",
+    )
+    v1_df = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id bigint, status string, amount double",
+    )
+    snapshots.snapshot_write(spark, v0_df, table_path, "overwrite")
+    snapshots.snapshot_write(spark, v1_df, table_path, "overwrite")
+
+    old = snapshots.read_snapshot(spark, table_path, 0)
+    new = snapshots.read_snapshot(spark, table_path, 1)
+    diff = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(
+            old, new, ["id"], ["status", "amount"]
+        ).collect()
+    }
+    assert diff == {1: "delete", 2: "update", 4: "insert"}  # 3 unchanged
