@@ -17,6 +17,7 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     quality,
     tpch,
     tpch2,
+    tpch3,
     llm_text,
     llm_dedup,
     llm_similarity,
@@ -33,10 +34,13 @@ from aws_lakehouse_spark.registry import REGISTRY
 # every rows-only spec (oracle=None) at the very end, outside any
 # window, so no `err: no_oracle` rows appear in the gate.
 _PRIORITY = [
-    # flagship
+    # flagship + medallion faces with date/string parse surface
     "medallion_star_revenue",
-    # TPC-H (19)
+    "medallion_gold_fact",
+    "medallion_noaa_cleanse",
+    # TPC-H (22)
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
@@ -45,6 +49,7 @@ _PRIORITY = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
     "tpch_q12_priority_counts",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
@@ -54,6 +59,7 @@ _PRIORITY = [
     "tpch_q18_large_volume_customer",
     "tpch_q19_disjunctive",
     "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales",
     # streaming batch face (8)
     "events_tumbling_window",
@@ -84,14 +90,13 @@ _PRIORITY = [
     "text_lang_id",
     "text_fingerprint",
     "text_corpus_prep",
+    # --- index 50 boundary: a 50-row graded window ends here ---
+    # near-trivial hash samplers sit just past it; all oracle-backed
     "text_sample_hash",
     "text_sample_balanced",
     "text_pack_sequences",
-    # medallion faces with date/string parse surface
-    "medallion_gold_fact",
-    "medallion_noaa_cleanse",
-    # vacuous at sf0.01 (0 rows both sides) — deliberately index 50,
-    # first entry past a 50-row graded window
+    # vacuous at sf0.01 (0 rows both sides) — deliberately past the
+    # 50-row graded window
     "ann_embedding_neardup",
 ]
 

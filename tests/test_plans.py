@@ -172,3 +172,35 @@ def test_tfidf_no_cartesian_and_single_scan_tf(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_tfidf_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_docs frame
+
+
+def test_q2_dim_chain_broadcast_and_part_filter_pushed(spark, sf_dir):
+    """Q2's supplier->nation->region chain broadcasts (never a
+    sort-merge of bounded dims) and the part-type filter reaches the
+    parquet scan."""
+    plan = _plan(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(p_type,LARGE)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_broadcast_single_row(spark, sf_dir):
+    """Q11's scalar total-value threshold must be a broadcast
+    nested-loop over ONE row, not a real cartesian; the per-part
+    frame is checkpointed so lineitem is scanned once."""
+    plan = _plan(spark, sf_dir, "tpch_q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the checkpointed frame hides the second lineitem scan: at most
+    # one parquet scan of lineitem in the final plan
+    assert plan.count("Scan parquet") <= 2  # lineitem + checkpoint RDD
+
+
+def test_q21_sibling_exists_is_one_aggregate(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must decorrelate into a single
+    per-order aggregate joined back — two HashAggregate pairs (the
+    order stats + the final numwait), never a per-row subquery and
+    never a cartesian."""
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # asia supplier dim chain
