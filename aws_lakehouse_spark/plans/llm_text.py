@@ -589,3 +589,172 @@ def text_domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# DuckDB fragment: NON-distinct 3-token shingles (repetition math
+# needs multiplicity; DUCK_SHINGLES dedups)
+DUCK_GRAMS = (
+    "list_transform("
+    f"range(1, greatest(len({DUCK_TOKS}) - 2, 1) + 1), "
+    f"i -> {DUCK_TOKS}[i] || ' ' || {DUCK_TOKS}[i+1] || ' ' || {DUCK_TOKS}[i+2])"
+)
+
+# the house deterministic hash split (same predicate as
+# text_sample_hash): md5(doc_id) bucket in [0, 100)
+_DUCK_BUCKET = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100"
+)
+
+
+def _bucket_col() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS shingles,
+               {_DUCK_BUCKET} AS bucket
+        FROM documents
+    ), eval_sh AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE bucket < 10
+    ), train AS (
+        SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+               unnest(shingles) AS shingle
+        FROM sh WHERE bucket >= 10
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared,
+           t.n_shingles,
+           ROUND(COUNT(DISTINCT t.shingle) / t.n_shingles, 4) AS overlap_ratio
+    FROM train t JOIN eval_sh e ON t.shingle = e.shingle
+    GROUP BY t.doc_id, t.n_shingles
+    ORDER BY n_shared DESC, doc_id
+    """,
+    category="llm text",
+    doc="Train/eval decontamination: flag training docs sharing any "
+    "3-token shingle with the (hash-held-out) eval split — the "
+    "benchmark-leakage scrub every training pipeline runs. The eval "
+    "shingle set is DISTINCT-collapsed then broadcast (eval suites "
+    "are bounded at any corpus scale), so the training side is one "
+    "explode + broadcast-semi-hash-join + one groupBy on doc_id — "
+    "the corpus itself never shuffles by shingle.",
+)
+def text_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        shingles_col(F.col("text"), k=3).alias("shingles"),
+        _bucket_col().alias("bucket"),
+    )
+    eval_sh = (
+        docs.filter(F.col("bucket") < 10)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train = docs.filter(F.col("bucket") >= 10).select(
+        "doc_id",
+        F.size("shingles").cast("bigint").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.countDistinct("shingle").cast("bigint").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_shingles",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias(
+                "overlap_ratio"
+            ),
+        )
+        .orderBy(F.col("n_shared").desc(), "doc_id")
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents
+    ), tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ), ts AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(MAX(c) AS BIGINT) AS max_freq
+        FROM tc GROUP BY doc_id
+    ), gr AS (
+        SELECT doc_id, unnest({DUCK_GRAMS}) AS g FROM documents
+    ), gc AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM gr GROUP BY doc_id, g
+    ), gs AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_grams
+        FROM gc GROUP BY doc_id
+    )
+    SELECT ts.doc_id, ts.n_tokens,
+           ROUND(ts.max_freq / ts.n_tokens, 4) AS top_token_ratio,
+           ROUND(1 - gs.n_distinct_grams / gs.n_grams, 4) AS dup_3gram_ratio,
+           (ROUND(ts.max_freq / ts.n_tokens, 4) > 0.2
+            OR ROUND(1 - gs.n_distinct_grams / gs.n_grams, 4) > 0.2)
+               AS is_repetitive
+    FROM ts JOIN gs ON ts.doc_id = gs.doc_id
+    ORDER BY ts.doc_id
+    """,
+    category="llm text",
+    doc="Intra-document repetition signals (Gopher/C4-style quality "
+    "gate): top-token frequency ratio and duplicate-3-gram ratio per "
+    "doc. Both computed by explode + two-level groupBy keyed "
+    "(doc_id, token) — map-side combine collapses each doc's counts "
+    "before the exchange, and the doc_id key component keeps "
+    "globally-hot tokens from concentrating on one reducer.",
+)
+def text_repetition_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    ts = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.max("c").cast("bigint").alias("max_freq"),
+        )
+    )
+    # non-distinct grams: shingles_col minus its array_distinct
+    t = tokens_col(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(2), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 3)))
+    gs = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+        )
+    )
+    top_ratio = F.round(F.col("max_freq") / F.col("n_tokens"), 4)
+    dup_ratio = F.round(1 - F.col("n_distinct_grams") / F.col("n_grams"), 4)
+    return (
+        ts.join(gs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_ratio.alias("top_token_ratio"),
+            dup_ratio.alias("dup_3gram_ratio"),
+            ((top_ratio > 0.2) | (dup_ratio > 0.2)).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )

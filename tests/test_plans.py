@@ -204,3 +204,21 @@ def test_q21_sibling_exists_is_one_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # asia supplier dim chain
+
+
+def test_decontaminate_eval_set_broadcast(spark, sf_dir):
+    """The eval shingle set must broadcast to the training side — the
+    corpus is never shuffled by shingle (eval suites are bounded at
+    any corpus scale)."""
+    plan = _plan(spark, sf_dir, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_score_mapside_combine(spark, sf_dir):
+    """Repetition stats must partial-aggregate before each exchange
+    (HashAggregate below Exchange) — per-doc token counts collapse
+    map-side, the corpus text never crosses the wire raw."""
+    plan = _plan(spark, sf_dir, "text_repetition_score")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
