@@ -386,3 +386,78 @@ def events_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__z_raw")
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id,
+               CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(ts AS TIMESTAMP) AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               c.click_id, c.click_ts
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.click_ts <= p.purchase_ts
+         AND c.click_ts > p.purchase_ts - INTERVAL 30 MINUTE
+    )
+    SELECT purchase_id, user_id, purchase_ts, n_clicks,
+           click_id AS last_click_id
+    FROM (
+        SELECT j.*,
+               ROW_NUMBER() OVER (PARTITION BY purchase_id
+                   ORDER BY click_ts DESC, click_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+                   AS n_clicks
+        FROM j
+    ) WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Last-click attribution: purchases joined to same-user clicks "
+    "in the preceding 30 minutes (the batch face of the watermarked "
+    "stream-stream join in streaming.windows.stream_stream_"
+    "attribution). The pair join is an equi-join on user_id with a "
+    "time residual — never a cartesian — and the last-click pick + "
+    "candidate count share ONE window shuffle on purchase_id.",
+)
+def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    w = Window.partitionBy("purchase_id")
+    wo = w.orderBy(F.col("click_ts").desc(), F.col("click_id").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_clicks", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "n_clicks",
+            F.col("click_id").alias("last_click_id"),
+        )
+        .orderBy("purchase_id")
+    )

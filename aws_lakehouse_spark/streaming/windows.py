@@ -105,3 +105,43 @@ def stream_enrich_static(
     restarting the query); the stream side never shuffles for the
     join. Stateless — no watermark required."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every (click, purchase)
+    pair for the same user where the purchase lands within
+    ``horizon_minutes`` after the click.
+
+    Both inputs are watermarked and the join predicate bounds each
+    side's event time relative to the other, so the engine derives a
+    finite state-retention window per side and evicts old rows — the
+    state store stays bounded on an unbounded stream. The batch face
+    (last-click attribution on top of these pairs) is the
+    oracle-checked ``events_attribution`` query.
+    """
+    c = _ltz(clicks, ts_col).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col(ts_col).alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = _ltz(purchases, ts_col).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col(ts_col).alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            > F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "inner",
+    ).select("purchase_id", "purchase_user", "purchase_ts", "click_id", "click_ts")

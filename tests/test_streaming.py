@@ -272,3 +272,60 @@ def test_stream_static_enrichment(spark, sf_dir, tmp_path):
     one = out.filter("user_id = 1").select("segment").first()
     if one is not None:
         assert one["segment"] == "segment_1"
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """The watermarked stream-stream attribution join must emit
+    exactly the pairs the equivalent batch join produces (availableNow
+    over a file source sees all data, so no pair is watermark-dropped
+    or left in state)."""
+    from aws_lakehouse_spark.streaming.windows import stream_stream_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    schema = events.schema
+    src = str(events_stream_dir / "data")
+    clicks = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+    )
+    q = (
+        stream_stream_attribution(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("ss_join_test").collect()
+    }
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                > F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
