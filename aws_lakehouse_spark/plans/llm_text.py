@@ -758,3 +758,80 @@ def text_repetition_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MIXTURE_TARGETS = [
+    ("de", 0.15),
+    ("en", 0.40),
+    ("es", 0.15),
+    ("fr", 0.15),
+    ("zh", 0.15),
+]
+
+
+@register(
+    "text_mixture_weights",
+    oracle=f"""
+    WITH agg AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({DUCK_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM agg
+    ), tgt AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"('{lang}', CAST('{share}' AS DOUBLE))" for lang, share in _MIXTURE_TARGETS)}
+        ) t(lang, target_share)
+    )
+    SELECT a.lang, a.n_docs, a.n_tokens,
+           ROUND(a.n_tokens / t.total, 4) AS observed_share,
+           tg.target_share,
+           ROUND(LEAST(tg.target_share / (a.n_tokens / t.total), 3.0), 4)
+               AS sample_weight,
+           CAST(FLOOR(a.n_tokens *
+                ROUND(LEAST(tg.target_share / (a.n_tokens / t.total), 3.0), 4))
+                AS BIGINT) AS planned_tokens
+    FROM agg a, tot t
+    JOIN tgt tg ON a.lang = tg.lang
+    ORDER BY a.lang
+    """,
+    category="llm text",
+    doc="Corpus mixture weighting: per-language observed token share "
+    "vs a declared target mixture -> per-language sampling/repeat "
+    "weight (capped at 3x upsample) and the planned token budget — "
+    "the mixture-rebalancing computation in front of every training "
+    "run. One groupBy on the bounded lang key; the corpus total and "
+    "the target table are single-row/bounded broadcasts.",
+)
+def text_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_col(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    total = agg.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    targets = spark.createDataFrame(_MIXTURE_TARGETS, "lang string, target_share double")
+    weight = F.round(
+        F.least(
+            F.col("target_share") / (F.col("n_tokens") / F.col("total")),
+            F.lit(3.0),
+        ),
+        4,
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .join(F.broadcast(targets), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total"), 4).alias("observed_share"),
+            "target_share",
+            weight.alias("sample_weight"),
+            F.floor(F.col("n_tokens") * weight).cast("bigint").alias(
+                "planned_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
