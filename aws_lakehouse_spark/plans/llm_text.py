@@ -835,3 +835,133 @@ def text_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {DUCK_TOKS} AS toks, len({DUCK_TOKS}) AS n
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, n + 1, 24)) AS BIGINT) AS chunk_start,
+               toks, n
+        FROM base
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 24 AS BIGINT) AS chunk_id,
+           chunk_start,
+           CAST(LEAST(32, n - chunk_start + 1) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(
+               list_slice(toks, chunk_start, chunk_start + 31), ' ')
+               AS chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    category="llm text",
+    doc="Document chunking: fixed 32-token windows with stride 24 "
+    "(8-token overlap) — the sample-construction step between "
+    "curation and tokenization. Chunk starts are a per-row sequence "
+    "exploded JVM-side (no Python, no shuffle: chunking is "
+    "embarrassingly parallel over the scan; the only exchange is "
+    "the output sort, which a real pipeline would drop).",
+)
+def text_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n")
+    )
+    starts = F.sequence(F.lit(1), F.col("n"), F.lit(24))
+    return (
+        base.select(
+            "doc_id",
+            F.explode(starts).alias("start_i"),
+            "toks",
+            "n",
+        )
+        .withColumn("chunk_start", F.col("start_i").cast("bigint"))
+        .select(
+            "doc_id",
+            F.expr("CAST((chunk_start - 1) DIV 24 AS BIGINT)").alias("chunk_id"),
+            "chunk_start",
+            F.least(F.lit(32), F.col("n") - F.col("chunk_start") + 1)
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start_i"), 32)
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# DuckDB fragment: the characters of `text` as a 1-based list (kept
+# in lockstep with the Spark transform(sequence...) expression in
+# text_char_entropy — neither engine splits on '' consistently)
+_DUCK_CHARS = (
+    "list_transform(range(1, length(text) + 1), i -> substring(text, i, 1))"
+)
+
+
+@register(
+    "text_char_entropy",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, unnest({_DUCK_CHARS}) AS c FROM documents
+    ), cc AS (
+        SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c
+    ), cc2 AS (
+        SELECT doc_id, cnt,
+               SUM(cnt) OVER (PARTITION BY doc_id) AS total
+        FROM cc
+    ), st AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_chars_counted,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+               ROUND(-SUM((cnt / total) * log2(cnt / total)), 4)
+                   AS char_entropy_bits
+        FROM cc2 GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted, n_distinct_chars, char_entropy_bits,
+           char_entropy_bits < 3.0 AS is_low_entropy
+    FROM st ORDER BY doc_id
+    """,
+    category="llm text",
+    doc="Character-unigram entropy per document (bits) — the "
+    "compression-style quality proxy behind boilerplate/gibberish "
+    "filters (low entropy = repeated boilerplate, high = random "
+    "noise). Explode + (doc_id, char)-keyed counts combine map-side; "
+    "the entropy fold is a windowless re-aggregate per doc.",
+)
+def text_char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    # substring with a column start position needs the expr form
+    chars = F.expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+    )
+    cc = (
+        docs.select("doc_id", F.explode(chars).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cc2 = cc.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("doc_id"))
+    )
+    p = F.col("cnt") / F.col("total")
+    st = cc2.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy_bits"),
+    )
+    return st.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        "char_entropy_bits",
+        (F.col("char_entropy_bits") < 3.0).alias("is_low_entropy"),
+    ).orderBy("doc_id")
