@@ -461,3 +461,69 @@ def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH e AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type
+        FROM events
+    ), c AS (
+        SELECT h, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY h, event_type
+    ), b AS (
+        SELECT MIN(h) AS mn, MAX(h) AS mx FROM c
+    ), spine AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+    ), t AS (
+        SELECT DISTINCT event_type FROM c
+    ), grid AS (
+        SELECT s.h, t.event_type FROM spine s CROSS JOIN t
+    )
+    SELECT g.h AS hour_start, g.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+           c.n IS NULL AS is_gap
+    FROM grid g
+    LEFT JOIN c ON g.h = c.h AND g.event_type = c.event_type
+    ORDER BY hour_start, g.event_type
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Gap-filled hourly counts: a calendar spine (sequence over "
+    "the observed hour range) crossed with the observed type set, "
+    "left-joined to the hourly aggregate so silent hours surface as "
+    "explicit zero rows — the densification every downstream "
+    "time-series model/alert needs. The raw table is scanned ONCE "
+    "(spine, type set, and bounds all derive from the checkpointed "
+    "hourly aggregate, which is O(hours x types) at any event "
+    "volume).",
+)
+def events_gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    )
+    counts = (
+        ev.groupBy("h", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # referenced three times (bounds, type set, the join) — and it
+        # is the only frame that touched the raw events
+        .localCheckpoint(eager=False)
+    )
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = counts.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(counts, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("hour_start"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+        .orderBy("hour_start", "event_type")
+    )

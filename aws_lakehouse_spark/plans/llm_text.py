@@ -806,9 +806,17 @@ _MIXTURE_TARGETS = [
 )
 def text_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    agg = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size(tokens_col(F.col("text")))).cast("bigint").alias("n_tokens"),
+    agg = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(tokens_col(F.col("text"))))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        # referenced twice (total + output): checkpoint so the corpus
+        # is scanned once, not twice
+        .localCheckpoint(eager=False)
     )
     total = agg.agg(F.sum("n_tokens").cast("bigint").alias("total"))
     targets = spark.createDataFrame(_MIXTURE_TARGETS, "lang string, target_share double")
