@@ -65,14 +65,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_decode(data: bytes) -> dict:
-    """Real PNG decode: header parse + zlib inflate + filter undo.
-
-    Returns ``{"width", "height", "channels", "bit_depth",
-    "pixel_sum", "n_samples", "mean_pixel"}`` where ``pixel_sum`` /
-    ``mean_pixel`` are over every decoded sample — i.e. computed from
-    the actual pixel bytes, which fails loudly on corrupt payloads
-    (unlike a metadata-only peek).
+def png_decode_pixels(data: bytes) -> dict:
+    """Real PNG decode to raw samples: header parse + zlib inflate +
+    filter undo. Returns ``{"width", "height", "channels",
+    "bit_depth", "pixels"}`` with ``pixels`` the defiltered
+    row-major sample bytes (``height * width * channels`` long) —
+    the input to real pixel transforms (resize, crop, normalize).
     """
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
@@ -105,7 +103,7 @@ def png_decode(data: bytes) -> dict:
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
     prev = bytearray(stride)
-    total = 0
+    pixels = bytearray()
     for y in range(height):
         base = y * (stride + 1)
         ftype = raw[base]
@@ -127,18 +125,61 @@ def png_decode(data: bytes) -> dict:
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
-        total += sum(line)
+        pixels += line
         prev = line
-    n_samples = width * height * channels
     return {
         "width": width,
         "height": height,
         "channels": channels,
         "bit_depth": bit_depth,
+        "pixels": bytes(pixels),
+    }
+
+
+def png_decode(data: bytes) -> dict:
+    """Real PNG decode to summary features (see
+    :func:`png_decode_pixels` for the raw samples). ``pixel_sum`` /
+    ``mean_pixel`` are over every decoded sample — i.e. computed from
+    the actual pixel bytes, which fails loudly on corrupt payloads
+    (unlike a metadata-only peek)."""
+    d = png_decode_pixels(data)
+    total = sum(d["pixels"])
+    n_samples = d["width"] * d["height"] * d["channels"]
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "channels": d["channels"],
+        "bit_depth": d["bit_depth"],
         "pixel_sum": total,
         "n_samples": n_samples,
         "mean_pixel": total / n_samples if n_samples else 0.0,
     }
+
+
+def png_encode_bytes(
+    width: int, height: int, channels: int, pixels: bytes
+) -> bytes:
+    """Encode raw row-major samples back to PNG (filter-0 rows, one
+    IDAT); channels 1/3/4 map to gray/RGB/RGBA. The inverse of
+    :func:`png_decode_pixels` — resize/crop stages re-emit storable
+    payloads through this."""
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer length mismatch")
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += pixels[y * stride : (y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
 
 
 def wav_encode(

@@ -287,3 +287,67 @@ def media_audio_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, bytearray(wav)) for i, wav in _audio_fixture()]
     media = spark.createDataFrame(rows, "media_id bigint, content binary")
     return extract_audio_features(media)
+
+
+def _image_resize_oracle() -> str:
+    """Analytic oracle: the NN-resampled mean is recomputed in SQL
+    from the gradient encode formula over the exact integer source
+    grid ``src = (out_idx * src_dim) // out_dim`` — fully independent
+    of the Python codec path it checks."""
+    dims = ", ".join(f"({i}, {16 + i}, {8 + (i % 5)})" for i in range(24))
+    return f"""
+    WITH imgs(media_id, w, h) AS (VALUES {dims}),
+    d AS (
+        SELECT media_id, w, h,
+               CAST(ROUND(w * LEAST(1.0, 12.0 / GREATEST(w, h)))
+                    AS INTEGER) AS out_w,
+               CAST(ROUND(h * LEAST(1.0, 12.0 / GREATEST(w, h)))
+                    AS INTEGER) AS out_h
+        FROM imgs
+    ), xs AS (
+        SELECT d.*, unnest(range(0, out_w)) AS xo FROM d
+    ), ys AS (
+        SELECT xs.*, unnest(range(0, out_h)) AS yo FROM xs
+    ), px AS (
+        SELECT media_id, w, h, out_w, out_h,
+               (xo * w) // out_w AS sx,
+               (yo * h) // out_h AS sy
+        FROM ys
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(w AS INTEGER) AS src_width,
+           CAST(h AS INTEGER) AS src_height,
+           CAST(out_w AS INTEGER) AS out_width,
+           CAST(out_h AS INTEGER) AS out_height,
+           SUM((sx * 7 + media_id) % 256
+               + (sy * 11 + media_id) % 256
+               + (sx + sy + media_id) % 256)
+             / (out_w * out_h * 3.0) AS out_mean_pixel
+    FROM px
+    GROUP BY media_id, w, h, out_w, out_h
+    ORDER BY media_id
+    """
+
+
+@register(
+    "media_image_resize",
+    oracle=_image_resize_oracle(),
+    category="llm multimodal",
+    doc="REAL image resize over Arrow batches: each gradient PNG is "
+    "decoded (zlib inflate + defilter), nearest-neighbor-resampled "
+    "to fit max_side=12 with exact integer source indices, "
+    "re-encoded, and re-decoded; the mean of the emitted payload's "
+    "pixels is checked against a fully independent SQL oracle that "
+    "recomputes the same mean from the encode formula over the NN "
+    "source grid.",
+)
+def media_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import resize_images
+
+    rows = [(i, bytearray(png)) for i, png, _, _ in _image_fixture()]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    return (
+        resize_images(media, max_side=12)
+        .drop("out_size_bytes")
+        .orderBy("media_id")
+    )

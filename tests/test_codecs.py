@@ -238,3 +238,47 @@ def test_png_decode_rejects_16bit_and_interlaced():
         )
         with pytest.raises(ValueError):
             png_decode(bad)
+
+
+def test_png_pixel_roundtrip_all_channel_counts():
+    """encode_bytes(decode_pixels(x)) reproduces the exact sample
+    buffer for gray, RGB, and RGBA."""
+    from aws_lakehouse_spark.llm.codecs import (
+        png_decode_pixels,
+        png_encode_bytes,
+    )
+
+    for c in (1, 3, 4):
+        w, h = 7, 5
+        pixels = bytes((x * 31 + 7 * c) % 256 for x in range(w * h * c))
+        png = png_encode_bytes(w, h, c, pixels)
+        d = png_decode_pixels(png)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, c)
+        assert d["pixels"] == pixels
+
+
+def test_resize_one_downsamples_to_expected_pixels():
+    """NN resize picks exactly the (out_idx * src) // out source
+    pixels; a 4x4 block image halved keeps one pixel per block."""
+    from aws_lakehouse_spark.llm.codecs import png_encode
+    from aws_lakehouse_spark.llm.multimodal import _resize_one
+
+    # 4x4 RGB: pixel value identifies its coordinate
+    png = png_encode(4, 4, lambda x, y: (x * 10, y * 10, x + y))
+    r = _resize_one(png, max_side=2)
+    assert (r["src_width"], r["src_height"]) == (4, 4)
+    assert (r["out_width"], r["out_height"]) == (2, 2)
+    # sampled sources: xs = ys = [0, 2] -> pixels (x,y) in {0,2}^2
+    expected = [(x * 10, y * 10, x + y) for y in (0, 2) for x in (0, 2)]
+    total = sum(sum(p) for p in expected)
+    assert abs(r["out_mean_pixel"] - total / 12.0) < 1e-12
+    assert r["out_size_bytes"] > 0
+
+
+def test_resize_never_upscales():
+    from aws_lakehouse_spark.llm.codecs import png_encode
+    from aws_lakehouse_spark.llm.multimodal import _resize_one
+
+    png = png_encode(6, 3, lambda x, y: (x, y, 0))
+    r = _resize_one(png, max_side=100)
+    assert (r["out_width"], r["out_height"]) == (6, 3)
