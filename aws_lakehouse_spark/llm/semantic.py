@@ -1,0 +1,149 @@
+"""Semantic clustering and SemDeDup-style embedding dedup.
+
+Training-data ops the reference lacks (extension per SURVEY §2.14):
+
+- **cluster assignment**: every vector is assigned to its
+  max-cosine centroid — the E-step of k-means and the partitioner
+  for any downstream per-cluster work. Centroids are broadcast
+  (there are K of them, K ≪ N); the corpus is scanned once and
+  never shuffled on the vectors.
+- **SemDeDup** (Abbas et al., 2023, arXiv:2303.09540): semantic
+  near-duplicate removal = cluster first, then compare pairs ONLY
+  within a cluster, dropping all but one representative of each
+  high-similarity pair. Clustering turns the O(N²) all-pairs
+  problem into Σ_c |c|² — with K ∝ N (centroids from a corpus
+  sample) cluster sizes stay ~constant and total work is ~O(N).
+
+Scale notes (100 TB): the within-cluster self-join is an equi-join
+on ``cluster_id`` — Spark shuffles both sides on that key, so each
+cluster's pairs are produced on one reducer without any cross join.
+Skewed (over-large) clusters are the known failure mode; the
+standard remedies are more centroids or recursively re-clustering
+any cluster above a size cap, both expressible with these same two
+functions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from aws_lakehouse_spark.llm.similarity import cosine_sim_col
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid.
+
+    Returns (id_col, cluster_id, cosine_sim). Similarity is rounded
+    *before* the argmax so the winner is reproducible across
+    accumulation orders; ties break on the lower centroid id.
+
+    ``centroids`` must be small (it is broadcast). The corpus side
+    is scanned once; only (id, cluster, sim) triples move.
+    """
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    sim = F.round(
+        cosine_sim_col(F.col("__v"), F.col("__cv")), round_digits
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col, F.col("__cid"), sim.alias("cosine_sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("__cid")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__cid").alias("cluster_id"),
+            "cosine_sim",
+        )
+    )
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    assignment: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs (vec_a < vec_b, cos > t).
+
+    ``assignment`` is (id, cluster_id) from :func:`assign_clusters`.
+    The pair join is an equi-join on ``cluster_id`` — never a global
+    cross join; per-cluster pair volume is the SemDeDup cost model.
+    """
+    a = assignment.select(
+        F.col(id_col).alias("vec_a"), F.col("cluster_id")
+    ).join(
+        vectors.select(
+            F.col(id_col).alias("vec_a"),
+            F.col(vec_col).cast("array<double>").alias("__va"),
+        ),
+        "vec_a",
+    )
+    b = assignment.select(
+        F.col(id_col).alias("vec_b"), F.col("cluster_id")
+    ).join(
+        vectors.select(
+            F.col(id_col).alias("vec_b"),
+            F.col(vec_col).cast("array<double>").alias("__vb"),
+        ),
+        "vec_b",
+    )
+    pairs = a.join(b, "cluster_id").filter(
+        F.col("vec_a") < F.col("vec_b")
+    )
+    sim = F.round(
+        cosine_sim_col(F.col("__va"), F.col("__vb")), round_digits
+    )
+    return (
+        pairs.withColumn("pair_sim", sim)
+        .filter(F.col("pair_sim") > threshold)
+        .select("cluster_id", "vec_a", "vec_b", "pair_sim")
+    )
+
+
+def semdedup_summary(
+    assignment: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Per-cluster SemDeDup outcome: members vs dropped.
+
+    A vector is *dropped* when some lower-id vector in its cluster
+    sits above the similarity threshold (keep-the-first policy —
+    deterministic, no ordering sensitivity). Returns
+    (cluster_id, n_members, n_dropped), n_dropped counting distinct
+    ``vec_b`` values of the pair set.
+    """
+    members = assignment.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    dropped = pairs.groupBy("cluster_id").agg(
+        F.countDistinct("vec_b").alias("n_dropped")
+    )
+    return (
+        members.join(dropped, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

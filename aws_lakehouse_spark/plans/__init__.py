@@ -21,6 +21,7 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     llm_text,
     llm_dedup,
     llm_similarity,
+    llm_semantic,
     multimodal,
 )
 

@@ -175,6 +175,57 @@ def join_range_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    oracle="""
+    WITH big AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_totalprice > 400000
+        GROUP BY o_custkey
+    ), vip AS (
+        SELECT c_custkey, c_name
+        FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT COALESCE(b.o_custkey, v.c_custkey) AS custkey,
+           v.c_name, b.n_orders, b.sum_price
+    FROM big b
+    FULL OUTER JOIN vip v ON b.o_custkey = v.c_custkey
+    """,
+    category="2.3 joins",
+    doc="Full-outer join preserving unmatched rows on BOTH sides: "
+    "big-ticket order rollups vs high-balance customers, keyed "
+    "COALESCE surfacing whichever side matched. Full outer cannot "
+    "broadcast (null-extension needs both sides complete) — Spark "
+    "plans a shuffle sort-merge join on the key, the right call at "
+    "any scale.",
+)
+def join_full_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+    vip = customer.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_name"
+    )
+    joined = big.join(
+        vip, big["o_custkey"] == vip["c_custkey"], "full_outer"
+    )
+    return joined.select(
+        F.coalesce(big["o_custkey"], vip["c_custkey"]).alias("custkey"),
+        "c_name",
+        "n_orders",
+        "sum_price",
+    )
+
+
+@register(
     "agg_pivot",
     oracle="""
     SELECT user_id,

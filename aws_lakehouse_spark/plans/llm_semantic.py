@@ -1,0 +1,188 @@
+"""Semantic-dedup and corpus-statistics query surface.
+
+Extensions beyond the reference (SURVEY §2.14): embedding k-means
+cluster assignment, SemDeDup cluster-then-drop near-dup removal
+(Abbas et al., 2023), and rare-bigram quality scoring — the
+corpus-frequency analog of the rare-word heuristics used in
+training-data quality filters.
+
+Oracle discipline: similarities are rounded to 6 digits *before*
+any argmax/threshold on both sides (sequential left-to-right double
+accumulation matches DuckDB's list_sum evaluation); ratio features
+divide exact integers.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.llm.semantic import (
+    assign_clusters,
+    semdedup_pairs,
+    semdedup_summary,
+)
+from aws_lakehouse_spark.registry import register
+
+K_CENTROIDS = 8
+SEMDEDUP_T = 0.20
+RARE_DF = 20  # bigram corpus-count below this = "rare"
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * "
+        f"sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+_ASSIGN_CTE = f"""
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v FROM emb
+             WHERE vec_id < {K_CENTROIDS}),
+    scored AS (
+        SELECT emb.vec_id, cent.cid,
+               ROUND({_cos('emb.v', 'cent.v')}, 6) AS cosine_sim
+        FROM emb, cent
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cluster_id, cosine_sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id
+                ORDER BY cosine_sim DESC, cid) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "embed_cluster_assign",
+    oracle=f"""
+    WITH {_ASSIGN_CTE}
+    SELECT vec_id, cluster_id, cosine_sim FROM assign
+    """,
+    category="llm semantic",
+    doc="K-means E-step over the embedding corpus: assign every "
+    "vector to its max-cosine centroid (first K vectors as the "
+    "deterministic seed set). Centroids broadcast; corpus scanned "
+    "once, never shuffled on the vectors; similarity rounded before "
+    "the argmax so the winner is engine-independent. The "
+    "partitioner for all per-cluster semantic work.",
+)
+def embed_cluster_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return assign_clusters(emb, centroids)
+
+
+@register(
+    "embed_semdedup",
+    oracle=f"""
+    WITH {_ASSIGN_CTE},
+    pairs AS (
+        SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assign a
+        JOIN assign b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN emb x ON x.vec_id = a.vec_id
+        JOIN emb y ON y.vec_id = b.vec_id
+        WHERE ROUND({_cos('x.v', 'y.v')}, 6) > {SEMDEDUP_T}
+    )
+    SELECT m.cluster_id, m.n_members,
+           COALESCE(d.n_dropped, 0)::BIGINT AS n_dropped
+    FROM (SELECT cluster_id, COUNT(*) AS n_members
+          FROM assign GROUP BY cluster_id) m
+    LEFT JOIN (SELECT cluster_id,
+                      COUNT(DISTINCT vec_b) AS n_dropped
+               FROM pairs GROUP BY cluster_id) d
+      ON m.cluster_id = d.cluster_id
+    """,
+    category="llm semantic",
+    doc="SemDeDup (arXiv:2303.09540): cluster the corpus, compare "
+    "pairs ONLY within a cluster, drop every vector that has a "
+    "lower-id in-cluster neighbor above the similarity threshold. "
+    "The pair join is an equi-join on cluster_id — O(Σ|c|²) not "
+    "O(N²); with centroids sampled ∝ N, cluster sizes and thus "
+    "total work stay ~linear. Per-cluster member/dropped summary.",
+)
+def embed_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assignment = assign_clusters(emb, centroids)
+    pairs = semdedup_pairs(emb, assignment, SEMDEDUP_T)
+    return semdedup_summary(assignment, pairs)
+
+
+@register(
+    "text_bigram_rarity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), doc_bigrams AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+            ELSE [] END) AS bigram
+        FROM toks
+    ), freq AS (
+        SELECT bigram, COUNT(*) AS corpus_n
+        FROM doc_bigrams GROUP BY bigram
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(CASE WHEN f.corpus_n < {RARE_DF} THEN 1 ELSE 0
+               END)::BIGINT AS n_rare,
+           ROUND(SUM(CASE WHEN f.corpus_n < {RARE_DF} THEN 1 ELSE 0
+                 END)::DOUBLE / COUNT(*), 6) AS rare_ratio
+    FROM doc_bigrams d JOIN freq f ON d.bigram = f.bigram
+    GROUP BY d.doc_id
+    """,
+    category="llm text",
+    doc="Rare-bigram quality score: corpus bigram frequencies "
+    "(one count shuffle keyed by bigram), then each document's "
+    "share of bigrams the corpus has seen < threshold times — the "
+    "n-gram-frequency quality heuristic from training-data filter "
+    "stacks. Frequency table joined back by bigram (broadcast-able: "
+    "it is vocabulary-sized, not corpus-sized); ratio divides exact "
+    "integers.",
+)
+def text_bigram_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bigram_arr = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) "
+        "ELSE array() END"
+    )
+    doc_bigrams = docs.select(
+        "doc_id", F.explode(bigram_arr).alias("bigram")
+    )
+    freq = doc_bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("corpus_n")
+    )
+    rare_flag = F.when(F.col("corpus_n") < RARE_DF, 1).otherwise(0)
+    return (
+        doc_bigrams.join(F.broadcast(freq), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(rare_flag).cast("bigint").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            F.round(
+                F.col("n_rare").cast("double") / F.col("n_bigrams"), 6
+            ).alias("rare_ratio"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Unit tests for semantic clustering + SemDeDup (llm/semantic.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from aws_lakehouse_spark.llm.semantic import (
+    assign_clusters,
+    semdedup_pairs,
+    semdedup_summary,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+
+
+def _axes(spark):
+    # two orthogonal directions + near-copies of each
+    return _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (10, [0.9, 0.1, 0.0, 0.0]),
+            (11, [0.95, 0.05, 0.0, 0.0]),
+            (20, [0.1, 0.9, 0.0, 0.0]),
+        ],
+    )
+
+
+def test_assign_clusters_picks_max_cosine_centroid(spark):
+    vecs = _axes(spark)
+    centroids = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(vecs, centroids).collect()
+    }
+    assert got == {0: 0, 1: 1, 10: 0, 11: 0, 20: 1}
+
+
+def test_assign_clusters_tie_breaks_on_lower_centroid_id(spark):
+    vecs = _vecs(spark, [(5, [1.0, 1.0, 0.0, 0.0])])
+    centroids = _vecs(
+        spark, [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    ).select(F.col("vec_id").alias("cid"), "embedding")
+    [row] = assign_clusters(vecs, centroids).collect()
+    assert row["cluster_id"] == 0  # equal cosine both sides
+
+
+def test_semdedup_drops_only_within_cluster_above_threshold(spark):
+    vecs = _axes(spark)
+    centroids = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assignment = assign_clusters(vecs, centroids)
+    pairs = semdedup_pairs(vecs, assignment, threshold=0.95)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    # cross-cluster near-orthogonal pairs never appear; in-cluster
+    # near-copies do (0~10, 0~11, 10~11 in cluster 0; 1~20 in 1)
+    assert (0, 10) in got and (10, 11) in got and (1, 20) in got
+    assert all(a < b for a, b in got)
+    assert not any({a, b} == {10, 20} for a, b in got)
+
+    summary = {
+        r["cluster_id"]: (r["n_members"], r["n_dropped"])
+        for r in semdedup_summary(assignment, pairs).collect()
+    }
+    # keep-the-first: cluster 0 keeps vec 0, drops 10 and 11;
+    # cluster 1 keeps vec 1, drops 20
+    assert summary[0] == (3, 2)
+    assert summary[1] == (2, 1)
+
+
+def test_semdedup_similarity_is_symmetric_exact(spark):
+    vecs = _vecs(
+        spark,
+        [
+            (0, [3.0, 4.0, 0.0, 0.0]),
+            (1, [6.0, 8.0, 0.0, 0.0]),  # same direction, scaled
+        ],
+    )
+    centroids = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assignment = assign_clusters(vecs, centroids)
+    [p] = semdedup_pairs(vecs, assignment, threshold=0.5).collect()
+    assert math.isclose(p["pair_sim"], 1.0, abs_tol=1e-6)
+
+
+def test_cluster_assign_plan_broadcasts_centroids(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    plan = assign_clusters(emb, centroids)._jdf.queryExecution().executedPlan().toString()
+    # centroid side broadcast, never shuffled
+    assert "BroadcastExchange" in plan
+    # argmax pushed down as a group-limit before the single
+    # window shuffle — the only exchange in the plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
