@@ -274,19 +274,24 @@ def connected_components(
     truncation every round's plan embeds all prior rounds' joins —
     O(rounds²) re-execution and an eventually-overflowing plan tree.
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        .distinct()
+    # no .distinct() on edges: every downstream use is a min
+    # aggregation, which duplicate edges cannot perturb — the
+    # dedup shuffle would be pure overhead
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # round-0 labels by direct aggregation — label(node) =
+    # min(node, min neighbor) — instead of joining an identity
+    # label map (same result, one less join+checkpoint round)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__m")).alias("component"),
+        )
     )
     edges = edges.localCheckpoint(eager=False)
     labels = labels.localCheckpoint(eager=False)
@@ -307,6 +312,7 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("neighbor_component"), F.col("component")),
                 ).alias("component"),
+                F.col("component").alias("__prev"),
             )
         )
         # pointer jumping: follow the label one more hop (labels are
@@ -315,6 +321,9 @@ def connected_components(
         parent = updated.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_comp")
         )
+        # carry the pre-round label through the plan so the
+        # convergence probe is a filter over the checkpointed frame —
+        # no extra join job against the previous labels
         new_labels = (
             updated.join(parent, updated.component == parent.p_node, "left")
             .select(
@@ -322,17 +331,16 @@ def connected_components(
                 F.coalesce(F.col("p_comp"), F.col("component")).alias(
                     "component"
                 ),
+                "__prev",
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("__prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
     return labels

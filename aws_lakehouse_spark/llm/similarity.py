@@ -195,25 +195,35 @@ def hyperplane_weight(seed: str, b: int, d: int) -> float:
 
 
 def hyperplane_signature(
-    vec: Column, dim: int, bits: int = 8, seed: str = "lsh"
+    vec_name: str, dim: int, bits: int = 8, seed: str = "lsh"
 ) -> Column:
-    """Deterministic random-hyperplane LSH signature (int bucket id).
+    """Deterministic random-hyperplane LSH signature (int bucket id)
+    of the array column named ``vec_name``.
 
     Weights are computed driver-side (:func:`hyperplane_weight`) and
     emitted as plain double literals: an earlier revision derived
     each weight with in-plan md5/conv expressions, and folding those
     bits×dim literal subtrees cost ~6-8 s of ANALYSIS time per fresh
-    plan — pure driver overhead re-paid on every query build.
+    plan — pure driver overhead re-paid on every query build. The
+    whole signature is ONE ``F.expr`` string (not bits×dim ``F.lit``
+    Column objects): each py4j Column construction costs ~1 ms on
+    the driver, and 2 sides × bits × dim of them added >1 s of pure
+    query-BUILD time per run — parsing one SQL string is JVM-side
+    and ~free. Dot products keep the same sequential
+    zip_with+aggregate shape as :func:`dot_col`, so oracle literals
+    still match bit-for-bit.
     """
-    sig = None
+    terms = []
     for b in range(bits):
-        weights = F.array(
-            *[F.lit(hyperplane_weight(seed, b, d)) for d in range(dim)]
+        arr = ", ".join(
+            f"{hyperplane_weight(seed, b, d)!r}D" for d in range(dim)
         )
-        proj = dot_col(vec, weights)
-        term = F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sig.cast("int")
+        proj = (
+            f"aggregate(zip_with({vec_name}, array({arr}), "
+            f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0.0D THEN {1 << b} ELSE 0 END)")
+    return F.expr(f"CAST({' + '.join(terms)} AS INT)")
 
 
 def lsh_bucket_topk(
@@ -235,11 +245,11 @@ def lsh_bucket_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("bucket", hyperplane_signature(F.col("c_vec"), dim, bits))
+    ).withColumn("bucket", hyperplane_signature("c_vec", dim, bits))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("bucket", hyperplane_signature(F.col("q_vec"), dim, bits))
+    ).withColumn("bucket", hyperplane_signature("q_vec", dim, bits))
 
     scored = (
         c.join(F.broadcast(q), ["bucket"])
@@ -435,11 +445,11 @@ def lsh_bucket_topk_multiprobe(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("bucket", hyperplane_signature(F.col("c_vec"), dim, bits))
+    ).withColumn("bucket", hyperplane_signature("c_vec", dim, bits))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("home", hyperplane_signature(F.col("q_vec"), dim, bits))
+    ).withColumn("home", hyperplane_signature("q_vec", dim, bits))
     probes = F.array(
         F.col("home"), *[
             F.col("home").bitwiseXOR(F.lit(1 << b)) for b in range(bits)
