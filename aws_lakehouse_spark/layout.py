@@ -78,3 +78,23 @@ def sink_parquet_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def widen_if_narrow(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Round-robin repartition ``df`` to the cluster's default
+    parallelism — but ONLY when the input arrived narrower than
+    that.
+
+    The case this exists for: compute-bound operators (shingling +
+    digests, per-row cosine scoring, decode) reading a SMALL file.
+    The parquet split planner sizes partitions by bytes, so a
+    sub-split-size input becomes ONE task and the whole CPU-heavy
+    pipeline runs on one core of an otherwise idle cluster. At real
+    scale (file count ≫ cores) the guard makes this a no-op — no
+    accidental full-corpus shuffle is ever introduced — while small
+    inputs pay one tiny exchange to light up every core.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -363,11 +363,15 @@ def near_duplicate_survivors(
     via array_intersect/union on the two shingle sets — O(candidates),
     never the all-shared-shingle-pairs blowup.
     """
+    from aws_lakehouse_spark.layout import widen_if_narrow
+
     # shingle arrays are computed ONCE, checkpointed, and shared by
     # candidate generation (bands derive from the materialized `sh`
     # attribute) and verification (sh_a/sh_b joins) — without the
-    # checkpoint every reference would re-run tokenize+shingle
-    sh = df.select(
+    # checkpoint every reference would re-run tokenize+shingle.
+    # widen first: shingling is compute-bound, and a small input file
+    # otherwise pins the whole pipeline to one scan task
+    sh = widen_if_narrow(df).select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col), shingle_k).alias("sh"),
     ).localCheckpoint(eager=False)

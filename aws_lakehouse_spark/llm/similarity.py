@@ -58,7 +58,9 @@ def brute_force_topk(
     similarity *before* ranking so rank order is reproducible across
     engines/accumulation orders (pass None for raw doubles).
     """
-    c = corpus.select(
+    from aws_lakehouse_spark.layout import widen_if_narrow
+
+    c = widen_if_narrow(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
@@ -145,6 +147,10 @@ def brute_force_topk_vectorized(
                     }
                 )
 
+    # no widen here: each Arrow batch is ONE BLAS matmul; the
+    # per-partition Python-worker spin-up costs more than the matmul
+    # until partitions carry ~millions of rows, and at real scale the
+    # scan is already wide
     scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -242,7 +248,9 @@ def lsh_bucket_topk(
     Recall < 1.0 by construction; raise ``bits`` tables or multi-probe
     for higher recall.
     """
-    c = corpus.select(
+    from aws_lakehouse_spark.layout import widen_if_narrow
+
+    c = widen_if_narrow(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     ).withColumn("bucket", hyperplane_signature("c_vec", dim, bits))
@@ -442,7 +450,9 @@ def lsh_bucket_topk_multiprobe(
     (measured against brute force in tests). The corpus index is
     untouched; only the probe side fans out, so the extra cost scales
     with queries, not corpus."""
-    c = corpus.select(
+    from aws_lakehouse_spark.layout import widen_if_narrow
+
+    c = widen_if_narrow(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     ).withColumn("bucket", hyperplane_signature("c_vec", dim, bits))
