@@ -454,3 +454,40 @@ def incremental_agg_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.round("sum_totalprice", 2).alias("sum_totalprice"),
     )
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.25) AS q25,
+           quantile_disc(l_quantity, 0.50) AS q50,
+           quantile_disc(l_quantity, 0.75) AS q75,
+           quantile_disc(l_quantity, 0.99) AS q99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="2.4 aggregates (sketch)",
+    doc="Sketch-based grouped quantiles via approx_percentile "
+    "(Greenwald-Khanna): mergeable fixed-size per-group summaries — "
+    "partial sketches combine map-side, only the sketch crosses the "
+    "exchange, never the values. THE quantile plan at 100 TB, where "
+    "exact per-group sorting is a full-data shuffle. Accuracy "
+    "parameter is sized above the per-group row count at test SF, "
+    "where G-K degenerates to exact discrete quantiles — so the "
+    "DuckDB quantile_disc oracle checks the sketch path end-to-end.",
+)
+def agg_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_quantity, "
+            "array(0.25D, 0.50D, 0.75D, 0.99D), 1000000)"
+        ).alias("__q")
+    )
+    return sk.select(
+        "l_returnflag",
+        F.col("__q")[0].alias("q25"),
+        F.col("__q")[1].alias("q50"),
+        F.col("__q")[2].alias("q75"),
+        F.col("__q")[3].alias("q99"),
+    )

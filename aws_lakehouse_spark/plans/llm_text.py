@@ -973,3 +973,66 @@ def text_char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "char_entropy_bits",
         (F.col("char_entropy_bits") < 3.0).alias("is_low_entropy"),
     ).orderBy("doc_id")
+
+
+WINNOW_K = 8  # char-gram width
+WINNOW_W = 4  # winnowing window (selects one min-hash per window)
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1),
+                   i -> md5(substr(text, i, {WINNOW_K}))) AS hs
+        FROM documents
+    ), w AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(hs) - {WINNOW_W - 1}, 1) + 1),
+                   i -> list_min(hs[i:i + {WINNOW_W - 1}]))) AS fps
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(list_sort(fps), '')) AS fp_digest
+    FROM w
+    """,
+    category="llm text",
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson, "
+    "Aiken 2003 — the MOSS algorithm): hash every 8-char gram, keep "
+    "the minimum hash of each 4-gram sliding window. Guarantees any "
+    "shared substring of length ≥ k+w-1 contributes a shared "
+    "fingerprint, at ~2/(w+1) sampling density — the local-dedup / "
+    "plagiarism sketch between exact-hash and MinHash. One pass of "
+    "in-row array expressions (no explode, no shuffle); the digest "
+    "summarises the sorted fingerprint set for direct equality "
+    "checks. Lexicographic md5 minima are engine-agnostic.",
+)
+def text_winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # one fused expression: grams are hashed once, bound through a
+    # single-element transform lambda (same trick as the LSH bands)
+    wins = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {WINNOW_W - 1}, 1)), "
+        f"i -> array_min(slice(hs, i, {WINNOW_W}))))"
+    )
+    expr = f"""
+    element_at(transform(array(
+        transform(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1)),
+                  i -> md5(substring(text, i, {WINNOW_K})))
+    ), hs -> element_at(transform(array({wins}), fps -> named_struct(
+        'n', size(fps),
+        'dg', md5(concat_ws('', array_sort(fps)))
+    )), 1)), 1)
+    """
+    return docs.select(
+        "doc_id",
+        F.expr(expr).alias("__w"),
+    ).select(
+        "doc_id",
+        F.col("__w.n").cast("bigint").alias("n_fingerprints"),
+        F.col("__w.dg").alias("fp_digest"),
+    )

@@ -106,3 +106,59 @@ def test_cluster_assign_plan_broadcasts_centroids(spark, sf_dir):
     # window shuffle — the only exchange in the plan
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winnow_fingerprint_detects_shared_substrings(spark):
+    import pyspark.sql.functions as FF
+
+    import aws_lakehouse_spark.plans.llm_text as LT
+
+    # identical docs -> identical fingerprint set; unrelated docs
+    # share nothing (same gram/window constants as the registered
+    # text_winnow_fingerprint query)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "completely different words with nothing in common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    k, w = LT.WINNOW_K, LT.WINNOW_W
+    wins = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+        f"i -> array_min(slice(hs, i, {w}))))"
+    )
+    expr = (
+        "element_at(transform(array(transform(sequence(1, "
+        f"greatest(length(text) - {k - 1}, 1)), i -> md5(substring(text, i, {k})))"
+        f"), hs -> {wins}), 1)"
+    )
+    rows = {
+        r["doc_id"]: set(r["fps"])
+        for r in docs.select(
+            "doc_id", FF.expr(expr).alias("fps")
+        ).collect()
+    }
+    assert rows[1] == rows[2]
+    # winnowing guarantee: shared substring >= k+w-1 chars -> shared
+    # fingerprint; docs 1 and 3 share none that long
+    assert rows[1].isdisjoint(rows[3])
+
+
+def test_quantile_sketch_exact_at_high_accuracy(spark):
+    import pyspark.sql.functions as FF
+
+    df = spark.range(0, 1001).select(
+        FF.lit("g").alias("grp"), FF.col("id").cast("double").alias("v")
+    )
+    [row] = (
+        df.groupBy("grp")
+        .agg(
+            FF.expr(
+                "approx_percentile(v, array(0.25D, 0.5D, 0.75D), 100000)"
+            ).alias("q")
+        )
+        .collect()
+    )
+    assert list(row["q"]) == [250.0, 500.0, 750.0]
