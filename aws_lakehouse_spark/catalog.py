@@ -46,6 +46,16 @@ BROADCAST_DIMS: frozenset[str] = frozenset(
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
+# (applicationId, sf_dir, name) -> DataFrame. A DataFrame is an
+# immutable logical plan, so handing the same object to every query
+# builder is semantically free — what it saves is the py4j file
+# listing + footer schema read that `spark.read.parquet` pays per
+# call (~30-80 ms), repaid on every one of the ~150 registered
+# queries and every bench trial. Keyed by applicationId so a stopped
+# session's stale plans can never leak into a new one.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table; normalizes the ``events`` table.
 
@@ -55,6 +65,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when casting ns→µs, so oracle comparisons line up.
     """
     configure_runtime(spark)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, not float division: ns epochs (~1.7e18) exceed
@@ -63,6 +77,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
+    _TABLE_CACHE[key] = df
     return df
 
 

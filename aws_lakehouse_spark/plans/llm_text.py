@@ -1036,3 +1036,111 @@ def text_winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__w.n").cast("bigint").alias("n_fingerprints"),
         F.col("__w.dg").alias("fp_digest"),
     )
+
+
+@register(
+    "text_train_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang,
+               CASE
+                 WHEN CAST('0x' || substring(
+                     md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 7)
+                     AS BIGINT) % 100 < 90 THEN 'train'
+                 WHEN CAST('0x' || substring(
+                     md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 7)
+                     AS BIGINT) % 100 < 95 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               len(str_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM assigned GROUP BY split, lang
+    """,
+    category="llm text",
+    doc="Deterministic 90/5/5 train/val/test split: the split is a "
+    "pure function of md5(doc_id), so it is reproducible across "
+    "runs, engines and partitioning, and any doc's membership can "
+    "be recomputed without the assignment table (the property that "
+    "makes decontamination and incremental re-splits tractable). "
+    "Reported per (split, language) with token mass — the "
+    "stratification check. Scan + one small keyed shuffle.",
+)
+def text_train_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+@register(
+    "text_global_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS k,
+               CAST('0x' || substring(
+                   md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 7)
+                   AS BIGINT) % 8 AS shard_id
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard_id AS INTEGER) AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard_id ORDER BY k, doc_id
+           ) AS INTEGER) AS position
+    FROM keyed
+    """,
+    category="llm text",
+    doc="Deterministic global corpus shuffle into training shards: "
+    "every doc gets a pseudorandom-but-reproducible md5 sort key "
+    "(salted by epoch — change the salt, get an independent "
+    "permutation), a hash shard assignment, and a dense position "
+    "within its shard. ONE shuffle keyed by shard; within-shard "
+    "order comes from the sort key, so the permutation is "
+    "independent of input partitioning. At scale shards ≫ cores "
+    "(here 8 for oracle-size output) and each reducer streams one "
+    "shard out in sorted order.",
+)
+def text_global_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0")))
+    shard = (
+        F.conv(F.substring(k, 1, 7), 16, 10).cast("bigint") % 8
+    ).cast("int")
+    keyed = docs.select("doc_id", k.alias("k"), shard.alias("shard_id"))
+    w = Window.partitionBy("shard_id").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("int").alias("position"),
+    )

@@ -59,12 +59,17 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
 
     Never raises: a conf rejected by this Spark build is skipped (the
     code paths that need it fail loudly later with a clearer error).
+    Each conf.set is a py4j round trip and this runs on EVERY table
+    load, so a per-session marker makes repeat calls free.
     """
+    if getattr(spark, "_lakehouse_runtime_configured", False):
+        return spark
     for key, value in RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf unsupported
             pass
+    spark._lakehouse_runtime_configured = True
     return spark
 
 
