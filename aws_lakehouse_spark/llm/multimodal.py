@@ -347,3 +347,63 @@ def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
             )
 
     return media.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+def _dhash_one(payload: bytes, grid_w: int = 8, grid_h: int = 8) -> str:
+    """64-bit difference hash of one PNG payload, as 16 hex chars.
+
+    Decode → integer luma (``(299r + 587g + 114b) // 1000`` — exact
+    arithmetic, no float) → nearest-neighbor downsample to a
+    ``(grid_w+1) × grid_h`` grid with ``src = (out * src_dim) //
+    out_dim`` indices → bit per cell: left luma > right neighbor.
+    Every step is integer-exact, so the hash is reproducible across
+    platforms, and invariant under exact k× NN upscaling
+    (``floor(floor(k·x·w / 9) / k) == floor(x·w / 9)``) — a resized
+    copy of an image collides with the original by construction.
+    """
+    import numpy as np
+
+    from aws_lakehouse_spark.llm.codecs import png_decode_pixels
+
+    d = png_decode_pixels(payload)
+    w, h, c = d["width"], d["height"], d["channels"]
+    arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, c)
+    if c >= 3:
+        a = arr.astype(np.int64)
+        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    else:
+        luma = arr[:, :, 0].astype(np.int64)
+    xs = (np.arange(grid_w + 1) * w) // (grid_w + 1)
+    ys = (np.arange(grid_h) * h) // grid_h
+    g = luma[np.ix_(ys, xs)]
+    bits = (g[:, :grid_w] > g[:, 1:]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, "016x")
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing: (media_id, dhash) per image.
+
+    The hash is 8 bytes per image regardless of resolution — the
+    shuffle that groups duplicates moves hashes, never pixels."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pdf["content"].map(lambda b: _dhash_one(bytes(b))),
+                }
+            )
+
+    return media.mapInPandas(
+        _hash,
+        StructType(
+            [
+                StructField("media_id", LongType()),
+                StructField("dhash", StringType()),
+            ]
+        ),
+    )

@@ -1144,3 +1144,234 @@ def text_global_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         F.row_number().over(w).cast("int").alias("position"),
     )
+
+
+def _positional_ngrams(toks: F.Column, k: int) -> F.Column:
+    """All positional (overlapping, non-distinct) k-token windows of
+    a token array — ``[]`` when the document is shorter than k.
+
+    ``sequence(1, n-k+1)`` must be guarded: Spark's ``sequence(1, 0)``
+    yields a DESCENDING ``[1, 0]``, not an empty array.
+    """
+
+    def _win(i: F.Column) -> F.Column:  # closure, not default-arg capture
+        return F.concat_ws(" ", F.slice(toks, i, k))
+
+    n = F.size(toks)
+    return F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)), _win)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, lang, t[u.i] AS w1, t[u.i] || ' ' || t[u.i+1] AS big
+        FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+    ), cb AS (
+        SELECT big, COUNT(*) AS c12 FROM bg GROUP BY big
+    ), cw AS (
+        SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+    ), vocab AS (
+        SELECT COUNT(DISTINCT u.tok) AS v
+        FROM toks, UNNEST(t) AS u(tok)
+    ), agg AS (
+        SELECT b.doc_id, b.lang,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(ln(cb.c12 + 1) - ln(cw.c1 + vocab.v)), 4)
+                 AS avg_logprob
+        FROM bg b JOIN cb USING (big) JOIN cw USING (w1), vocab
+        GROUP BY b.doc_id, b.lang
+    )
+    SELECT doc_id, lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           avg_logprob,
+           CASE ntile(3) OVER (
+               PARTITION BY lang ORDER BY avg_logprob DESC, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM agg
+    """,
+    category="llm text",
+    doc="CCNet-style corpus-LM quality scoring: an add-one-smoothed "
+    "bigram model is trained on the corpus itself (p = (c(w1,w2)+1)"
+    "/(c(w1·)+V) over positional bigrams — unsmoothed MLE would "
+    "hand every one-off bigram p=1 and score gibberish perfectly), "
+    "each doc scored by mean log-probability (the negative of "
+    "per-token log-perplexity), and docs cut into head/middle/tail "
+    "tertiles per language — the exact shape of CCNet's perplexity "
+    "buckets, with the corpus n-gram model standing in for KenLM. "
+    "Plan: one explode, two count aggregations whose outputs are "
+    "at most vocab^2 rows (tiny vs the corpus — AQE broadcasts "
+    "them back), a broadcast scalar for V, one per-doc agg. The "
+    "tertile window partitions by language; at extreme scale the "
+    "cut would come from approx quantile thresholds instead of a "
+    "per-lang sort, trading exactness for no global order.",
+)
+def text_bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(_positional_ngrams(toks, 2)).alias("big"),
+    ).withColumn("w1", F.split(F.col("big"), " ")[0])
+    cb = bg.groupBy("big").agg(F.count(F.lit(1)).alias("c12"))
+    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+    agg = (
+        bg.join(cb, "big")
+        .join(cw, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.col("v"))),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    tertile = F.ntile(3).over(w)
+    return agg.select(
+        "doc_id",
+        "lang",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "avg_logprob",
+        F.when(tertile == 1, "head")
+        .when(tertile == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+@register(
+    "text_span_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), spans AS (
+        SELECT doc_id,
+               substring(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 16)
+                 AS dg
+        FROM toks, UNNEST(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+    ), cnt AS (
+        SELECT doc_id, COUNT(*) OVER (PARTITION BY dg) AS c FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_frac
+    FROM cnt GROUP BY doc_id
+    """,
+    category="llm text",
+    doc="Exact-substring dedup signal (the fixed-width approximation "
+    "of Lee et al.'s suffix-array dedup): every positional 8-token "
+    "span is digested scan-side, a window count over the digest "
+    "finds spans occurring more than once ANYWHERE in the corpus, "
+    "and each doc reports its duplicated-span fraction — the "
+    "per-document signal used to drop or trim boilerplate-heavy "
+    "docs. Two shuffles, both keyed by uniform 16-hex digests "
+    "(never span text): one for the global span count, one for the "
+    "per-doc rollup. Span count >1 includes intra-doc repeats, "
+    "matching the 'any repeated passage' training-data criterion.",
+)
+def text_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    spans = docs.select(
+        "doc_id",
+        F.explode(_positional_ngrams(toks, 8)).alias("span"),
+    ).select("doc_id", F.substring(F.md5("span"), 1, 16).alias("dg"))
+    counted = spans.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("dg")).alias("c")
+    )
+    n_dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        n_dup.cast("bigint").alias("n_dup_spans"),
+        (n_dup.cast("double") / F.count(F.lit(1))).alias("dup_frac"),
+    )
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        FROM documents
+    ), vocab AS (
+        SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM tok GROUP BY token
+    ), total AS (
+        SELECT SUM(tf) AS tt FROM vocab
+    ), top AS (
+        SELECT token, tf, df FROM vocab ORDER BY tf DESC, token LIMIT 200
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS INTEGER)
+             AS rank,
+           token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(SUM(tf) OVER (ORDER BY tf DESC, token) AS DOUBLE)
+             / (SELECT tt FROM total) AS cum_share
+    FROM top
+    """,
+    category="llm text",
+    doc="Vocabulary building for tokenizer training: corpus-wide "
+    "term frequency and document frequency per token, top-200 by "
+    "frequency, with each token's cumulative share of total token "
+    "mass (the coverage curve that sizes a vocab). The first agg "
+    "runs per (doc, token) — partial-combine-friendly, no "
+    "count-distinct expand — then re-aggregates per token "
+    "(tf = sum of per-doc counts, df = group size). Top-k is "
+    "TakeOrdered (no global sort); the cumulative window runs over "
+    "k=200 rows on one partition, which is bounded regardless of "
+    "corpus size. cum_share is an exact int/int ratio — "
+    "bit-identical across engines, no rounding needed.",
+)
+def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    total = vocab.agg(F.sum("tf").alias("tt"))
+    top = vocab.orderBy(F.col("tf").desc(), "token").limit(200)
+    w = Window.orderBy(F.col("tf").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("tf").desc(), "token"))
+            .cast("int")
+            .alias("rank"),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.sum("tf").over(w).cast("double") / F.col("tt")).alias(
+                "cum_share"
+            ),
+        )
+    )

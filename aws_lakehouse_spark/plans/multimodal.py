@@ -351,3 +351,113 @@ def media_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("out_size_bytes")
         .orderBy("media_id")
     )
+
+
+def _dhash_fixture() -> list[tuple[int, bytes]]:
+    """20 sawtooth-patterned PNGs + a 2× NN-upscaled clone of every
+    4th one: the clones are byte-different, resolution-different
+    files whose 9×8 luma downsample grid is IDENTICAL to their base
+    (``floor(floor(2xw/9)/2) == floor(xw/9)``), i.e. true visual
+    duplicates. Monotone gradients are useless here — dHash of any
+    monotone image is all-zero — so the pattern wraps mod 256 at
+    short periods to put rising and falling luma edges everywhere.
+    """
+    out = []
+    for i in range(20):
+        w, h = 24 + i, 16 + (i % 7)
+
+        def px(x: int, y: int, i: int = i) -> tuple[int, int, int]:
+            return (
+                (x * 73 + y * 29 + i * 11) % 256,
+                (x * 151 + i * 7) % 256,
+                (y * 97 + x * 13 + i * 3) % 256,
+            )
+
+        out.append((i, png_encode(w, h, px)))
+        if i % 4 == 0:
+
+            def px2(x: int, y: int, px=px) -> tuple[int, int, int]:
+                return px(x // 2, y // 2)
+
+            out.append((100 + i, png_encode(2 * w, 2 * h, px2)))
+    return out
+
+
+def _dhash_expected() -> dict[int, str]:
+    """Expected dHash per fixture id, computed straight from the
+    pixel FORMULA in pure Python (no numpy, no PNG codec) — fully
+    independent of the distributed decode-and-hash path it checks."""
+    expected: dict[int, str] = {}
+    for i in range(20):
+        for mid, factor in ((i, 1), (100 + i, 2)) if i % 4 == 0 else ((i, 1),):
+            w, h = (24 + i) * factor, (16 + (i % 7)) * factor
+            xs = [(x * w) // 9 for x in range(9)]
+            ys = [(y * h) // 8 for y in range(8)]
+            val = 0
+            for y in ys:
+                row = []
+                for x in xs:
+                    sx, sy = x // factor, y // factor
+                    r = (sx * 73 + sy * 29 + i * 11) % 256
+                    g = (sx * 151 + i * 7) % 256
+                    b = (sy * 97 + sx * 13 + i * 3) % 256
+                    row.append((299 * r + 587 * g + 114 * b) // 1000)
+                for j in range(8):
+                    val = (val << 1) | (1 if row[j] > row[j + 1] else 0)
+            expected[mid] = format(val, "016x")
+    return expected
+
+
+def _dhash_oracle() -> str:
+    groups: dict[str, list[int]] = {}
+    for mid, hx in _dhash_expected().items():
+        groups.setdefault(hx, []).append(mid)
+    rows = []
+    for hx, mids in groups.items():
+        mids.sort()
+        rows.append(
+            f"('{hx}', {min(mids)}, {len(mids)}, "
+            f"'{','.join(str(m) for m in mids)}')"
+        )
+    values = ",\n        ".join(sorted(rows))
+    return f"""
+    SELECT dhash, CAST(keep_id AS BIGINT) AS keep_id,
+           CAST(n_copies AS BIGINT) AS n_copies, member_ids
+    FROM (VALUES
+        {values}
+    ) t(dhash, keep_id, n_copies, member_ids)
+    """
+
+
+@register(
+    "media_image_dhash",
+    oracle=_dhash_oracle(),
+    category="llm multimodal",
+    doc="Perceptual image dedup via 64-bit dHash: every PNG is "
+    "decoded in Arrow batches, reduced to an integer-exact 9×8 "
+    "luma grid, and hashed on horizontal luma edges; grouping on "
+    "the hash clusters visually-identical images across different "
+    "resolutions and byte encodings (the fixture plants 2× "
+    "NN-upscaled clones, which collide with their base by the "
+    "floor-composition identity). The dedup shuffle carries 8-byte "
+    "hashes, never pixels — at 100 TB of images the grouping "
+    "stage moves gigabytes, not the corpus. The oracle recomputes "
+    "every expected hash from the pixel formula in pure Python, "
+    "independent of the PNG codec and the numpy path.",
+)
+def media_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import image_dhash
+
+    rows = [(i, bytearray(png)) for i, png in _dhash_fixture()]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    return (
+        image_dhash(media)
+        .groupBy("dhash")
+        .agg(
+            F.min("media_id").cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("media_id"))
+            ).alias("member_ids"),
+        )
+    )

@@ -454,3 +454,100 @@ def test_multiprobe_lsh_beats_single_probe_recall(spark, sf_dir):
     assert multi >= single
     assert multi >= 2 * single or multi >= 0.25
     assert multi > 0
+
+
+def test_image_dhash_resolution_invariant_and_discriminative(spark):
+    from aws_lakehouse_spark.llm.codecs import png_encode
+    from aws_lakehouse_spark.llm.multimodal import _dhash_one, image_dhash
+
+    def px(x, y):
+        return ((x * 73 + y * 29) % 256, (x * 151) % 256, (y * 97 + x * 13) % 256)
+
+    base = png_encode(24, 16, px)
+    up3 = png_encode(72, 48, lambda x, y: px(x // 3, y // 3))  # 3x clone
+    other = png_encode(24, 16, lambda x, y: px(x + 5, y + 2))  # shifted content
+    assert _dhash_one(base) == _dhash_one(up3)
+    assert _dhash_one(base) != _dhash_one(other)
+
+    media = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(up3)), (2, bytearray(other))],
+        "media_id bigint, content binary",
+    )
+    rows = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert rows[0] == rows[1] != rows[2]
+
+
+def test_span_dedup_flags_copied_passage(spark):
+    from aws_lakehouse_spark.plans.llm_text import _positional_ngrams
+
+    passage = " ".join(f"w{i}" for i in range(12))  # 12 tokens → 5 8-spans
+    unique_a = " ".join(f"a{i}" for i in range(8))
+    unique_b = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (0, passage + " " + unique_a),
+            (1, passage + " " + unique_b),
+            (2, "short doc"),  # under 8 tokens → zero spans, no row
+        ],
+        "doc_id bigint, text string",
+    )
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    spans = docs.select(
+        "doc_id", F.explode(_positional_ngrams(toks, 8)).alias("span")
+    ).select("doc_id", F.md5("span").alias("dg"))
+    counted = spans.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("dg")).alias("c")
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup"])
+        for r in counted.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .collect()
+    }
+    # 20 tokens → 13 spans; the 5 spans fully inside the shared
+    # 12-token passage are duplicated across docs, the rest unique
+    assert out[0] == (13, 5) and out[1] == (13, 5)
+    assert 2 not in out
+
+
+def test_bigram_lm_scores_rank_formulaic_text_higher(spark):
+    common = "the cat sat on the mat " * 20
+    docs = spark.createDataFrame(
+        [(i, common.strip()) for i in range(4)]
+        + [(4, "zeta xylo qoph vex jumble quartz")],
+        "doc_id bigint, text string",
+    )
+    docs.createOrReplaceTempView("___bigram_docs")
+    from aws_lakehouse_spark.plans.llm_text import _positional_ngrams
+
+    toks = F.split(F.col("text"), " ")
+    bg = docs.select(
+        "doc_id", F.explode(_positional_ngrams(toks, 2)).alias("big")
+    ).withColumn("w1", F.split(F.col("big"), " ")[0])
+    cb = bg.groupBy("big").agg(F.count(F.lit(1)).alias("c12"))
+    cw = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+    scores = {
+        r["doc_id"]: r["s"]
+        for r in bg.join(cb, "big")
+        .join(cw, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.avg(
+                F.log(F.col("c12") + 1) - F.log(F.col("c1") + F.col("v"))
+            ).alias("s")
+        )
+        .collect()
+    }
+    # under add-one smoothing, the repeated formulaic docs' bigrams
+    # have high counts in a high-count context; the one-off doc's
+    # singleton bigrams get p ≈ 2/(1+V) — far lower
+    assert all(scores[i] > scores[4] for i in range(4))
