@@ -33,6 +33,7 @@ from aws_lakehouse_spark.operators.aggregates import (
 )
 from aws_lakehouse_spark.operators.windows import (
     dedupe_by_key,
+    dedupe_by_key_agg,
     rank_per_group,
     windowed_running,
 )
@@ -61,6 +62,7 @@ __all__ = [
     "distinct_projection",
     "group_topk",
     "dedupe_by_key",
+    "dedupe_by_key_agg",
     "rank_per_group",
     "windowed_running",
     "union_relations",

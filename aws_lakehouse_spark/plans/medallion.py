@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_lakehouse_spark.catalog import load_table
 from aws_lakehouse_spark.operators import (
-    dedupe_by_key,
+    dedupe_by_key_agg,
     filter_range_quality,
     group_agg,
     join_fact_dim,
@@ -72,10 +72,22 @@ def star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_discount") <= 0.1,
         ],
     )
-    orders_dedup = dedupe_by_key(
-        orders.withColumn("__d", F.col("o_orderdate").cast("date")),
+    # min_by hash-agg dedup, not a window: partial-combines map-side
+    # so the exchange carries ~one row per (key, mapper) instead of
+    # the whole orders table, and no per-partition sort runs.
+    # o_orderkey is unique, so the ordering is total and the result
+    # matches ROW_NUMBER()=1 exactly. Project to the survivor-
+    # determining + downstream columns FIRST: min_by's payload
+    # struct references every column it carries, which would defeat
+    # Catalyst's column pruning on the orders scan.
+    orders_dedup = dedupe_by_key_agg(
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("__d"),
+        ),
         ["o_custkey", "__d"],
-        [F.asc("o_orderkey")],
+        ["o_orderkey"],
     ).drop("__d")
 
     joined = clean_li.join(

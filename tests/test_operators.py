@@ -11,6 +11,7 @@ from aws_lakehouse_spark.operators import (
     anti_join,
     asof_join,
     dedupe_by_key,
+    dedupe_by_key_agg,
     range_join,
     semi_join,
 )
@@ -62,6 +63,27 @@ def test_dedupe_tiebreak_deterministic(spark):
     )
     out = dedupe_by_key(df, ["k"], [F.asc("v")]).collect()
     assert {(r["k"], r["v"]) for r in out} == {("a", 1), ("b", 9)}
+
+
+def test_dedupe_agg_matches_window(spark):
+    df = spark.createDataFrame(
+        [("a", 3, "x"), ("a", 1, "y"), ("a", 2, "z"), ("b", 9, "w")],
+        "k string, v int, payload string",
+    )
+    win = dedupe_by_key(df, ["k"], [F.asc("v")])
+    agg = dedupe_by_key_agg(df, ["k"], ["v"])
+    assert sorted(map(tuple, win.collect())) == sorted(map(tuple, agg.collect()))
+    assert win.columns == agg.columns
+
+
+def test_dedupe_agg_multi_key_order(spark):
+    # multi-column ordering == lexicographic struct comparison
+    df = spark.createDataFrame(
+        [("a", 2, 1), ("a", 1, 9), ("a", 1, 2), ("b", 5, 5)],
+        "k string, v1 int, v2 int",
+    )
+    out = dedupe_by_key_agg(df, ["k"], ["v1", "v2"]).collect()
+    assert {(r["k"], r["v1"], r["v2"]) for r in out} == {("a", 1, 2), ("b", 5, 5)}
 
 
 def test_quality_filter_ok_values(spark):

@@ -40,7 +40,15 @@ def test_flagship_plan_shape(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_quantity)" in plan
     assert plan.count("BroadcastHashJoin Inner BuildRight") == 3  # fact never shuffles
     assert "SortMergeJoin" not in plan
-    assert "WindowGroupLimit" in plan  # map-side partial dedup
+    # dedup is a min_by hash aggregate with a map-side partial —
+    # not a window (which would shuffle+sort every orders row)
+    assert "partial_min_by" in plan
+    assert "Window" not in plan
+    # the payload struct must not defeat column pruning: the orders
+    # scan reads only the 3 survivor-determining/downstream columns
+    assert (
+        "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderdate" in plan
+    )
 
 
 def test_q6_all_predicates_pushed(spark, sf_dir):
