@@ -583,3 +583,131 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def incremental_exact_status(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Classify each NEW-BATCH document against an existing corpus
+    without ever shuffling the corpus — the production shape of
+    incremental ingest dedup (dedupe today's crawl against the 100 TB
+    historical corpus; re-running :func:`exact_dedup` over
+    corpus+batch would re-shuffle 100 TB for a 0.1% delta).
+
+    Returns (doc_id, digest, status) for every batch doc, status in
+    {'dup_in_corpus', 'dup_in_batch', 'new'} — within-batch ties keep
+    the min id, and corpus presence wins over batch novelty.
+
+    Scale shape: the corpus is SCANNED ONCE and only streamed — the
+    semi join builds its hash table from the (small, broadcast) batch
+    digest set, so no corpus row ever enters an exchange; the hit set
+    it emits is ≤ |batch| digests. Every other join is broadcast on a
+    batch-derived side. In a deployed pipeline the corpus side reads
+    a persisted digest index (digest-only parquet), making the probe
+    column-pruned to ~50 B/row.
+    """
+    b = batch.select(
+        F.col(id_col).alias("doc_id"),
+        content_digest(F.col(text_col)).alias("digest"),
+    )
+    batch_min = b.groupBy("digest").agg(F.min("doc_id").alias("__keep"))
+    hits = (
+        corpus.select(content_digest(F.col(text_col)).alias("digest"))
+        .join(F.broadcast(b.select("digest").distinct()), "digest", "leftsemi")
+        .distinct()
+        .withColumn("__in_corpus", F.lit(True))
+    )
+    return (
+        b.join(F.broadcast(batch_min), "digest")
+        .join(F.broadcast(hits), "digest", "left")
+        .select(
+            "doc_id",
+            "digest",
+            F.when(F.col("__in_corpus").isNotNull(), F.lit("dup_in_corpus"))
+            .when(F.col("doc_id") != F.col("__keep"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+def incremental_lsh_matches(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 4,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup probe of a new batch against an existing corpus:
+    MinHash-LSH band collisions → exact Jaccard verification → per
+    batch doc, how many corpus docs it near-duplicates.
+
+    Returns (doc_id, n_corpus_matches, first_match) for EVERY batch
+    doc — n_corpus_matches = 0 / first_match NULL when the doc is
+    genuinely new; first_match = min matching corpus id otherwise.
+
+    Scale shape: the corpus band index is one narrow scan-side
+    projection (in production it is precomputed and persisted — the
+    probe then reads only the band columns); batch bands are
+    broadcast into it, so the corpus is never exchanged. Candidates
+    (≪ |corpus|) flow through broadcast joins; corpus shingle sets
+    are recomputed ONLY for candidate docs via a broadcast semi
+    filter, never corpus-wide.
+    """
+    band_rows = lsh_band_rows_sql(text_col, shingle_k, num_hashes, band_size)
+
+    def _bands(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.expr(band_rows)).alias("band"),
+        ).select(out_id, "band.band_id", "band.band_hash")
+
+    cand = (
+        _bands(corpus, "corpus_id")
+        .join(F.broadcast(_bands(batch, "doc_id")), ["band_id", "band_hash"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    sh_batch = batch.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), shingle_k).alias("sh_b"),
+    )
+    sh_corpus_cand = corpus.join(
+        F.broadcast(cand.select(F.col("corpus_id").alias(id_col)).distinct()),
+        id_col,
+        "leftsemi",
+    ).select(
+        F.col(id_col).alias("corpus_id"),
+        shingles_col(F.col(text_col), shingle_k).alias("sh_c"),
+    )
+    verified = (
+        cand.join(F.broadcast(sh_batch), "doc_id")
+        .join(sh_corpus_cand, "corpus_id")
+        .filter(
+            F.size(F.array_intersect("sh_b", "sh_c"))
+            / F.size(F.array_union("sh_b", "sh_c"))
+            >= threshold
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus_matches"),
+            F.min("corpus_id").alias("first_match"),
+        )
+    )
+    return (
+        sh_batch.select("doc_id")
+        .join(F.broadcast(verified), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0)).alias(
+                "n_corpus_matches"
+            ),
+            "first_match",
+        )
+    )

@@ -311,3 +311,105 @@ def dedup_simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(
         docs, "doc_id", "text", SIMHASH_BANDS, SIMHASH_BAND_BITS, 3
     )
+
+
+# Incremental ingest split: the "new batch" is every 5th doc, the
+# "existing corpus" is the rest — deterministic, so the oracle
+# reproduces the exact same partition.
+_BATCH_PRED = "doc_id % 5 = 0"
+_CORPUS_PRED = "doc_id % 5 != 0"
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, md5(text) AS digest
+        FROM documents WHERE {_BATCH_PRED}
+    ), k AS (
+        SELECT digest, MIN(doc_id) AS keep FROM b GROUP BY digest
+    ), h AS (
+        SELECT DISTINCT md5(text) AS digest
+        FROM documents WHERE {_CORPUS_PRED}
+    )
+    SELECT b.doc_id, b.digest,
+           CASE WHEN b.digest IN (SELECT digest FROM h)
+                  THEN 'dup_in_corpus'
+                WHEN b.doc_id != k.keep THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM b JOIN k USING (digest)
+    """,
+    category="llm dedup",
+    doc="Incremental exact dedup: classify a new ingest batch "
+    "against the existing corpus ('dup_in_corpus' / 'dup_in_batch' "
+    "/ 'new') with the corpus only STREAMED through a broadcast "
+    "semi join — never shuffled. The production shape for daily "
+    "crawl ingest against a 100 TB historical corpus.",
+)
+def dedup_incremental_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import incremental_exact_status
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_exact_status(
+        docs.filter(F.expr(_BATCH_PRED)),
+        docs.filter(F.expr(_CORPUS_PRED)),
+        "doc_id",
+        "text",
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH sig AS ({DUCK_SIG}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id,
+               md5(minhash_0 || '|' || minhash_1) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_id,
+               md5(minhash_2 || '|' || minhash_3) AS band_hash FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS corpus_id
+        FROM bands b JOIN bands c
+          ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+        WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+    ),
+    sh AS (SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents),
+    verified AS (
+        SELECT cand.doc_id, cand.corpus_id
+        FROM cand
+        JOIN sh a ON a.doc_id = cand.doc_id
+        JOIN sh c ON c.doc_id = cand.corpus_id
+        WHERE len(list_intersect(a.shingles, c.shingles))
+              / len(list_distinct(list_concat(a.shingles, c.shingles)))
+              >= 0.5
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n, MIN(corpus_id) AS fm
+        FROM verified GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n, 0) AS n_corpus_matches,
+           agg.fm AS first_match
+    FROM (SELECT doc_id FROM documents WHERE {_BATCH_PRED}) d
+    LEFT JOIN agg USING (doc_id)
+    """,
+    category="llm dedup",
+    doc="Incremental near-dup probe: new-batch docs LSH-banded and "
+    "broadcast against the corpus band index (one narrow corpus "
+    "scan, no corpus exchange); band collisions verified with exact "
+    "shingle Jaccard computed only for candidate corpus docs. Per "
+    "batch doc: how many corpus docs it near-duplicates.",
+)
+def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import incremental_lsh_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_lsh_matches(
+        docs.filter(F.expr(_BATCH_PRED)),
+        docs.filter(F.expr(_CORPUS_PRED)),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    )

@@ -551,3 +551,75 @@ def test_bigram_lm_scores_rank_formulaic_text_higher(spark):
     # have high counts in a high-count context; the one-off doc's
     # singleton bigrams get p ≈ 2/(1+V) — far lower
     assert all(scores[i] > scores[4] for i in range(4))
+
+
+def test_incremental_exact_status_classification(spark):
+    from aws_lakehouse_spark.llm.dedup import incremental_exact_status
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),   # exact dup of corpus doc 1
+            (11, "eta theta iota"),     # new
+            (12, "eta theta iota"),     # dup of 11 within batch
+            (13, "kappa lambda mu"),    # new
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_exact_status(
+            batch, corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert out == {
+        10: "dup_in_corpus",
+        11: "new",
+        12: "dup_in_batch",
+        13: "new",
+    }
+
+
+def test_incremental_lsh_finds_corpus_neardup(spark):
+    from aws_lakehouse_spark.llm.dedup import incremental_lsh_matches
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark shuffles")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # doc 10 = corpus doc 1 with one word changed (high Jaccard);
+        # doc 11 shares nothing
+        [(10, base.replace("dog", "cat")), (11, "unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_corpus_matches"], r["first_match"])
+        for r in incremental_lsh_matches(
+            batch, corpus, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    assert out[10] == (1, 1)
+    assert out[11] == (0, None)
+
+
+def test_incremental_exact_corpus_never_exchanged(spark):
+    from aws_lakehouse_spark.llm.dedup import incremental_exact_status
+
+    corpus = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), "id").alias("text")
+    )
+    batch = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), "id").alias("text")
+    )
+    plan = incremental_exact_status(
+        batch, corpus, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the corpus side reaches its semi join through a broadcast of
+    # batch digests — a shuffle of the corpus would show up as more
+    # than the single batch-side digest aggregation exchange
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
