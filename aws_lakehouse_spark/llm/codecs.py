@@ -215,6 +215,9 @@ def wav_decode(data: bytes) -> dict:
         raise ValueError(f"corrupt WAV payload: {e}") from e
     if sampwidth != 2:
         raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    # a corrupt data chunk can hand back an odd byte count; drop the
+    # truncated trailing half-sample instead of surfacing struct.error
+    frames = frames[: (len(frames) // 2) * 2]
     samples = struct.unpack(f"<{len(frames) // 2}h", frames)
     n = len(samples)
     return {

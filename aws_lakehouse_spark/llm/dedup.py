@@ -269,10 +269,16 @@ def connected_components(
     driver-side graph state; only a scalar convergence count leaves
     the cluster. ``max_iterations`` bounds adversarial inputs.
 
-    Each round's result is eagerly ``localCheckpoint``-ed: the frame
-    is used twice (convergence probe + next round) and without
-    truncation every round's plan embeds all prior rounds' joins —
-    O(rounds²) re-execution and an eventually-overflowing plan tree.
+    Each round runs exactly ONE Spark job: the round's result is a
+    *lazy* ``localCheckpoint`` whose partitions are all materialized
+    by the changed-count aggregate — the same action that reports
+    convergence also persists the round and truncates lineage
+    (without truncation every round's plan would embed all prior
+    rounds' joins: O(rounds²) re-execution and an eventually-
+    overflowing plan tree). The count is a full scan on purpose: an
+    early-exiting ``limit(1)`` probe would leave unvisited partitions
+    unmaterialized, silently re-attaching their lineage to the next
+    round.
     """
     # no .distinct() on edges: every downstream use is a min
     # aggregation, which duplicate edges cannot perturb — the
@@ -333,13 +339,16 @@ def connected_components(
                 ),
                 "__prev",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.filter(F.col("component") != F.col("__prev"))
-            .limit(1)
-            .count()
-        )
+        # one job: materializes every checkpoint partition AND
+        # returns the convergence count (F.count(when) is 0, never
+        # NULL, on an empty frame)
+        changed = new_labels.agg(
+            F.count(
+                F.when(F.col("component") != F.col("__prev"), F.lit(1))
+            ).alias("n_changed")
+        ).first()[0]
         labels = new_labels.drop("__prev")
         if changed == 0:
             break
@@ -603,11 +612,14 @@ def incremental_exact_status(
 
     Scale shape: the corpus is SCANNED ONCE and only streamed — the
     semi join builds its hash table from the (small, broadcast) batch
-    digest set, so no corpus row ever enters an exchange; the hit set
-    it emits is ≤ |batch| digests. Every other join is broadcast on a
-    batch-derived side. In a deployed pipeline the corpus side reads
-    a persisted digest index (digest-only parquet), making the probe
-    column-pruned to ~50 B/row.
+    digest set, so every corpus row is semi-join-bounded to ≤ |batch|
+    digests BEFORE the hit set's dedup aggregation (its partial agg
+    runs scan-side; only batch-sized partials enter the exchange).
+    The probe set is the already-aggregated ``batch_min`` digest
+    column, so the batch is hashed exactly once. Every other join is
+    broadcast on a batch-derived side. In a deployed pipeline the
+    corpus side reads a persisted digest index (digest-only parquet),
+    making the probe column-pruned to ~50 B/row.
     """
     b = batch.select(
         F.col(id_col).alias("doc_id"),
@@ -616,9 +628,9 @@ def incremental_exact_status(
     batch_min = b.groupBy("digest").agg(F.min("doc_id").alias("__keep"))
     hits = (
         corpus.select(content_digest(F.col(text_col)).alias("digest"))
-        .join(F.broadcast(b.select("digest").distinct()), "digest", "leftsemi")
-        .distinct()
-        .withColumn("__in_corpus", F.lit(True))
+        .join(F.broadcast(batch_min.select("digest")), "digest", "leftsemi")
+        .groupBy("digest")
+        .agg(F.first(F.lit(True)).alias("__in_corpus"))
     )
     return (
         b.join(F.broadcast(batch_min), "digest")

@@ -419,6 +419,82 @@ def cdc_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_time_travel_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 != 0
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'T'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 4 != 1
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'update' END) IS NOT NULL
+    """,
+    category="2.9 maintenance (M5 snapshot log)",
+    doc="End-to-end snapshot-log lifecycle (M5, the engine's "
+    "Iceberg-semantics layer, sources/snapshots.py): commit version "
+    "0 (overwrite), commit version 1 with planted deletes/inserts/"
+    "updates, TIME-TRAVEL back to version 0 via its manifest file "
+    "list, and CDC-diff the two time-travel reads. The oracle "
+    "recomputes the same diff straight from the source parquet, so "
+    "a green row certifies write -> manifest commit -> time-travel "
+    "read -> diff, not just the diff algebra. Each call commits to "
+    "a fresh temp table dir (left on disk for the caller's collect; "
+    "bounded by |orders| at test SF). Reference parity: Iceberg "
+    "snapshots + time travel the reference relies on "
+    "(glue-jobs/noaa_ghcn_bronze_to_silver.py:108-143).",
+)
+def snapshot_time_travel_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.operators.cdc import snapshot_diff
+    from aws_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    v0 = base.filter(F.col("o_orderkey") % 4 != 0)
+    v1 = base.filter(F.col("o_orderkey") % 4 != 1).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("T"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_snap_tt_"), "orders_snap"
+    )
+    assert snapshot_write(spark, v0, table, mode="overwrite") == 0
+    assert snapshot_write(spark, v1, table, mode="overwrite") == 1
+    old = read_snapshot(spark, table, version=0)
+    new = read_snapshot(spark, table, version=1)
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
     "incremental_agg_merge",
     oracle="""
     SELECT o_orderpriority,

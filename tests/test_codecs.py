@@ -275,6 +275,132 @@ def test_resize_one_downsamples_to_expected_pixels():
     assert r["out_size_bytes"] > 0
 
 
+def test_png_degenerate_widths_roundtrip():
+    """Adversarial shapes: widths 1 and 2 (the Sub/Average/Paeth
+    filters have no left neighbor for most or all samples), height 1
+    (no up neighbor), and the 1x1 minimum."""
+    cases = [(1, 8), (2, 8), (1, 1), (2, 1), (8, 1), (1, 2)]
+    for w, h in cases:
+        def px(x, y, w=w, h=h):
+            return ((x * 37 + y * 11) % 256, (x + y) % 256, (x * y + 3) % 256)
+
+        d = png_decode(png_encode(w, h, px))
+        expected = sum(sum(px(x, y)) for x in range(w) for y in range(h))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3), (w, h)
+        assert d["pixel_sum"] == expected, (w, h)
+        assert d["n_samples"] == w * h * 3, (w, h)
+
+
+def test_png_width1_all_filter_types():
+    """Width-1 rows where every filter type appears: left and
+    upper-left neighbors are always absent, so Sub is identity,
+    Average halves the up neighbor, Paeth reduces to up."""
+    channels, width = 3, 1
+    rows = [bytes([100, 150, 200]), bytes([10, 20, 30]),
+            bytes([250, 5, 60]), bytes([40, 80, 120]), bytes([7, 9, 11])]
+
+    def sub(line):
+        return line  # no left neighbor at width 1
+
+    def up(line, prev):
+        return bytes((line[i] - prev[i]) & 0xFF for i in range(channels))
+
+    def avg(line, prev):
+        return bytes((line[i] - (prev[i] >> 1)) & 0xFF for i in range(channels))
+
+    def paeth(line, prev):
+        return bytes((line[i] - prev[i]) & 0xFF for i in range(channels))
+
+    raw = bytearray()
+    raw += b"\x00" + rows[0]
+    raw += b"\x01" + sub(rows[1])
+    raw += b"\x02" + up(rows[2], rows[1])
+    raw += b"\x03" + avg(rows[3], rows[2])
+    raw += b"\x04" + paeth(rows[4], rows[3])
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    d = png_decode(png)
+    assert d["pixel_sum"] == sum(sum(r) for r in rows)
+
+
+def test_wav_8bit_sample_width_rejected():
+    """8-bit PCM is explicitly unsupported — must fail loudly as
+    ValueError, never mis-decode bytes as 16-bit samples."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 200, 55, 0]))
+    with pytest.raises(ValueError, match="sample width"):
+        wav_decode(buf.getvalue())
+
+
+def test_wav_odd_length_data_chunk():
+    """A data chunk with an odd byte count (truncated final sample)
+    must decode the whole frames and drop the dangling half-sample —
+    not crash with struct.error."""
+    n_samples, rate = 5, 8000
+    frames = b"".join(struct.pack("<h", v) for v in (100, -200, 300, -400, 500))
+    data = frames + b"\x7f"  # dangling half-sample
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    d = wav_decode(wav)
+    assert d["n_frames"] == n_samples
+    assert d["peak_amplitude"] == 500
+    assert d["mean_abs_amplitude"] == (100 + 200 + 300 + 400 + 500) / 5
+
+
+def test_wav_zero_frames():
+    wav = wav_encode(0, 16000, lambda i: 0)
+    d = wav_decode(wav)
+    assert d["n_frames"] == 0
+    assert d["peak_amplitude"] == 0
+    assert d["mean_abs_amplitude"] == 0.0
+    assert d["duration_ms"] == 0
+
+
+def test_salted_group_agg_avg_ignores_nulls(spark):
+    """ADVICE item: avg_<c> must divide by the per-column NON-NULL
+    count (SQL AVG semantics), not the group row count."""
+    from aws_lakehouse_spark.operators.skew import salted_group_agg
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 20.0), ("b", None)],
+        "k string, v double",
+    )
+    out = {
+        r["k"]: r
+        for r in salted_group_agg(
+            df, ["k"], avg_of=["v"], salt_buckets=4
+        ).collect()
+    }
+    assert out["a"]["avg_v"] == 15.0  # (10+20)/2, not /3
+    assert out["a"]["n_rows"] == 3
+    assert out["b"]["avg_v"] is None  # all-NULL group -> NULL like F.avg
+
+
 def test_resize_never_upscales():
     from aws_lakehouse_spark.llm.codecs import png_encode
     from aws_lakehouse_spark.llm.multimodal import _resize_one

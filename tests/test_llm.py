@@ -619,7 +619,40 @@ def test_incremental_exact_corpus_never_exchanged(spark):
     plan = incremental_exact_status(
         batch, corpus, "doc_id", "text"
     )._jdf.queryExecution().executedPlan().toString()
-    # the corpus side reaches its semi join through a broadcast of
-    # batch digests — a shuffle of the corpus would show up as more
-    # than the single batch-side digest aggregation exchange
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+    # Exchanges over batch-derived digest sets are fine (they carry
+    # ≤ |batch| rows); what must NEVER happen is the corpus feeding a
+    # shuffle before the broadcast semi join bounds it. Walk each
+    # hashpartitioning-exchange subtree: if the corpus scan (the
+    # Range(0,1000) leaf) appears inside it, a LeftSemi broadcast
+    # join must sit between the exchange and that scan.
+    def node_depth(line):
+        i = 0
+        while i < len(line) and line[i] in " :+-":
+            i += 1
+        return i
+
+    lines = plan.splitlines()
+    corpus_marker = "Range (0, 1000"
+    assert any(corpus_marker in ln for ln in lines), plan
+    n_exchanges = 0
+    for idx, line in enumerate(lines):
+        if "Exchange hashpartitioning" not in line:
+            continue
+        n_exchanges += 1
+        d = node_depth(line)
+        subtree = []
+        for nxt in lines[idx + 1 :]:
+            if node_depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        corpus_at = [i for i, ln in enumerate(subtree) if corpus_marker in ln]
+        for ci in corpus_at:
+            # the semi join must appear above (printed before) the
+            # corpus scan within this exchange's subtree
+            assert any(
+                "LeftSemi" in ln for ln in subtree[:ci]
+            ), f"corpus enters exchange unbounded:\n{line}\n" + "\n".join(subtree)
+    # batch_min digest agg + bounded hit-set agg; anything more means
+    # the plan grew an unplanned shuffle
+    assert n_exchanges <= 3, plan
