@@ -54,16 +54,26 @@ def run() -> dict:
     for t in ("region", "lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # n>=5 trials per query: with n=2 a ±50% swing is unreadable
+    # (round-2 lesson); best-of-n stays the headline number (first
+    # run pays codegen compile, spikes are host-load noise), stddev
+    # over the warm trials (all but the first) quantifies that noise
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in headline.items():
-        best = float("inf")
-        for _ in range(3):  # best-of-3: first run pays codegen compile,
-            # and one extra trial absorbs host-load noise spikes
+        samples: list[float] = []
+        for _ in range(trials):
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        warm = samples[1:] or samples
+        mean = sum(warm) / len(warm)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(
+            (sum((s - mean) ** 2 for s in warm) / len(warm)) ** 0.5, 3
+        )
 
     spark.stop()
     return {
@@ -71,6 +81,8 @@ def run() -> dict:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "stddev": spreads,
+        "trials": trials,
         "sf": sf,
     }
 
