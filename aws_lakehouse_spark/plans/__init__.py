@@ -10,6 +10,7 @@ medallion pipeline queries, and the LLM training-data extensions
 from aws_lakehouse_spark.plans import (  # noqa: F401
     core,
     core_ext,
+    formats,
     scalar,
     events_windows,
     medallion,

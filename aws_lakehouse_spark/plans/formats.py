@@ -1,0 +1,116 @@
+"""Source/sink format round-trips beyond parquet.
+
+The reference's storage is parquet-only (snappy parquet set
+explicitly as the Iceberg write format,
+``glue-jobs/noaa_ghcn_bronze_to_silver.py:133-136``), but a
+lakehouse ingests whatever lands in bronze; the engine's readers
+cover text/CSV/JSON (``sources/readers.py``) and Spark ships ORC
+natively. These queries certify the WRITE→READ cycle for ORC and
+CSV under the oracle gate: each writes a slice of the synthetic
+star schema to a temp dir in the target format, reads it back, and
+aggregates — the oracle computes the same aggregate straight from
+the source parquet, so a green row proves the format round-trip is
+lossless for the exercised types (ints, doubles, strings).
+
+Scale notes: both round-trips write through the normal distributed
+writer (one task per partition, no driver materialization); ORC
+gets the same predicate-pushdown/column-pruning treatment as
+parquet from Spark's vectorized reader, which is why it is the
+fallback interchange format when a peer system cannot read parquet.
+CSV is schema-on-read: the read-back supplies an EXPLICIT schema
+(inference costs an extra full scan and guesses types — the
+engine's CSV reader discipline, ``sources/readers.py:56``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.registry import register
+
+
+@register(
+    "format_roundtrip_orc",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.1 sources (format ext)",
+    doc="ORC write→read round-trip: orders projected to key/priority/"
+    "price columns, written as ORC (distributed writer, one file per "
+    "partition), read back through Spark's vectorized ORC reader, "
+    "aggregated by priority. Oracle aggregates the source parquet "
+    "directly — a green row certifies lossless bigint/double/string "
+    "transit through the ORC cycle.",
+)
+def format_roundtrip_orc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_orc_"), "orders_orc"
+    )
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "format_roundtrip_csv",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal,
+           MIN(c_custkey) AS min_key
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    category="2.1 sources (format ext)",
+    doc="CSV write→read round-trip with explicit-schema read-back "
+    "(no inference scan): customer projected to key/segment/balance, "
+    "written as headered CSV, re-read with a declared schema, "
+    "aggregated by segment. Doubles survive because Spark writes "
+    "round-trippable shortest representations; the oracle aggregates "
+    "the source parquet directly.",
+)
+def format_roundtrip_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_csv_"), "customer_csv"
+    )
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(
+        "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).option("header", "true").csv(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.min("c_custkey").alias("min_key"),
+        )
+        .orderBy("c_mktsegment")
+    )

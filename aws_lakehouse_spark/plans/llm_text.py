@@ -1375,3 +1375,169 @@ def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_shard_plan",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((run - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+    FROM (
+        SELECT doc_id,
+               CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens,
+               SUM(CAST(len({DUCK_TOKS}) AS BIGINT))
+                 OVER (ORDER BY doc_id) AS run
+        FROM documents
+    )
+    """,
+    category="llm text",
+    doc="Token-budget shard planning: assign each document a shard id "
+    "so consecutive (by doc_id) shards hold ~2000 tokens each — the "
+    "export step that turns a curated corpus into training shards of "
+    "uniform token mass. Scale shape: a DISTRIBUTED two-level prefix "
+    "sum — per-range-bucket token totals (one small agg), exclusive "
+    "bucket offsets via a window over the bucket-count-sized frame, "
+    "broadcast back, then a PARTITIONED window for the local cumsum; "
+    "the full corpus never passes through a single-partition global "
+    "window. Bucket width is a knob: deployments size it so the "
+    "bucket-total frame stays driver-broadcastable (e.g. one bucket "
+    "per input split at 100 TB).",
+)
+def text_shard_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    budget = 2000
+    bucket_width = 64
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / bucket_width).alias("__bucket"),
+    )
+    per_bucket = d.groupBy("__bucket").agg(
+        F.sum("n_tokens").alias("__btoks")
+    )
+    # exclusive running offset over the (tiny) bucket frame
+    off_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "__bucket",
+        F.coalesce(F.sum("__btoks").over(off_w), F.lit(0)).alias("__offset"),
+    )
+    local_w = (
+        Window.partitionBy("__bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), "__bucket")
+        .withColumn("__run", F.sum("n_tokens").over(local_w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.col("__offset") + F.col("__run") - F.col("n_tokens"))
+                / F.lit(float(budget))
+            ).alias("shard_id"),
+        )
+    )
+
+
+# planted-PII augmentation, identical on both engines: the synthetic
+# documents contain no emails/phones/IPs, so deterministic fixtures
+# are appended by doc_id residue to make the redaction observable
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\d{3}-\\d{3}-\\d{4}"
+_PII_IP = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || (CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+                        || CAST(doc_id AS VARCHAR) || '@example.com now'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.3.'
+                        || CAST(doc_id % 255 AS VARCHAR) ELSE '' END)
+               AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT)
+             AS n_ips,
+           md5(regexp_replace(regexpreplace_ip, '{_PII_EMAIL}',
+               '<EMAIL>', 'g')) AS redacted_digest
+    FROM (
+        SELECT doc_id, text,
+               regexp_replace(regexp_replace(text, '{_PII_IP}', '<IP>',
+                   'g'), '{_PII_PHONE}', '<PHONE>', 'g')
+                 AS regexpreplace_ip
+        FROM aug
+    )
+    """,
+    category="llm text",
+    doc="PII scrubbing: count and redact emails / phone numbers / "
+    "IPv4 addresses (RE2-and-Java-compatible patterns, no "
+    "lookaround), emitting per-doc counts plus the md5 of the "
+    "redacted text so the oracle certifies the exact replacement "
+    "output, not just the counts. Pure scan+project — no shuffle; "
+    "the mandatory compliance pass every training corpus runs "
+    "before export.",
+)
+def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567"))
+            .otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0.3."),
+                    (F.col("doc_id") % 255).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_IP, "<IP>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_EMAIL,
+        "<EMAIL>",
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
+        .cast("int")
+        .alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE))
+        .cast("int")
+        .alias("n_phones"),
+        F.regexp_count(F.col("text"), F.lit(_PII_IP))
+        .cast("int")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_digest"),
+    )
