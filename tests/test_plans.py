@@ -230,3 +230,27 @@ def test_repetition_score_mapside_combine(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_repetition_score")
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shard_plan_no_global_window_over_corpus(spark, sf_dir):
+    """The shard planner's distributed prefix sum: the only
+    single-partition exchange feeds the bucket-offset window (a
+    bucket-count-sized frame), while the per-doc cumsum runs under a
+    hash partitioning on the bucket key — the corpus itself never
+    funnels through one partition."""
+    df = REGISTRY["text_shard_plan"].fn(spark, sf_dir)
+    # count in "simple" mode — formatted explain prints nodes twice
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    # exactly one SinglePartition exchange: the tiny bucket offsets
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # the corpus-side window is partitioned by the range bucket
+    assert "hashpartitioning(__bucket" in plan, plan
+
+
+def test_pii_redact_scan_project_only(spark, sf_dir):
+    """PII redaction is a pure scan+project: no exchange, no join."""
+    plan = _plan(spark, sf_dir, "text_pii_redact")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
