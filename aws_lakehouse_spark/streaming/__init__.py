@@ -9,6 +9,10 @@ stateful dedup) whose batch faces are oracle-checked in
 ``plans.events_windows``.
 """
 
+from aws_lakehouse_spark.streaming.apply import (
+    apply_merge_batch,
+    streaming_upsert,
+)
 from aws_lakehouse_spark.streaming.incremental import incremental_process
 from aws_lakehouse_spark.streaming.windows import (
     streaming_tumbling_counts,
@@ -17,8 +21,10 @@ from aws_lakehouse_spark.streaming.windows import (
 )
 
 __all__ = [
+    "apply_merge_batch",
     "incremental_process",
     "streaming_tumbling_counts",
     "streaming_session_agg",
     "streaming_dedup",
+    "streaming_upsert",
 ]

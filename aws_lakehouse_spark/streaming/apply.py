@@ -1,0 +1,106 @@
+"""Streaming CDC-apply: merge each micro-batch into a versioned table.
+
+The reference's pipeline appends (facts) or overwrites (dims) whole
+tables per daily run; the streaming generalization is MERGE-per-
+micro-batch — the pattern Delta documents as "streaming merge" and
+Iceberg as "MERGE INTO from a stream" — which neither plain
+``writeStream.format('parquet')`` (append-only) nor the reference's
+Glue bookmarks can express. Built here from engine primitives:
+
+- source: file-source ``readStream`` + ``Trigger.AvailableNow`` +
+  checkpoint (the bookmark semantics of ``streaming.incremental``);
+- sink: ``foreachBatch`` applying a keyed SCD-1 merge into a
+  snapshot-logged table (``sources.snapshots``) — every micro-batch
+  commits one manifest version, so the CDC history is time-travelable
+  and diffable with ``operators.cdc.snapshot_diff``.
+
+Delivery semantics: foreachBatch is at-least-once across restarts; a
+replayed batch re-applies the same keyed merge, which is idempotent
+(same keys replace themselves), so the table converges to
+exactly-once CONTENT even when a commit is retried — the documented
+contract of every foreachBatch-merge deployment. At 100 TB the
+per-batch cost is one anti-join shuffle keyed on the merge key over
+|current| + |batch| rows; the snapshot manifest keeps rewrites at
+the file level, not the table level, once the table is partitioned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from aws_lakehouse_spark.session import configure_runtime
+from aws_lakehouse_spark.sources import snapshots
+
+
+def apply_merge_batch(
+    batch: DataFrame,
+    table_path: str,
+    key_cols: Sequence[str],
+    order_col: str | None = None,
+) -> int:
+    """Merge ONE batch into the snapshot-logged table at
+    ``table_path``; returns the committed version.
+
+    Within-batch conflicts resolve last-writer-wins by ``order_col``
+    (max wins; ties broken arbitrarily-but-deterministically by the
+    aggregate) when given, else any single row per key survives.
+    Rows in the batch replace current rows with the same key; all
+    other current rows carry over into the new snapshot version.
+    """
+    spark = batch.sparkSession
+    keys = list(key_cols)
+    if order_col is not None:
+        others = [c for c in batch.columns if c not in keys]
+        b = batch.groupBy(*keys).agg(
+            *[F.max_by(c, order_col).alias(c) for c in others]
+        )
+        # max_by of the order col itself IS the max
+        b = b.select(*batch.columns)
+    else:
+        others = [c for c in batch.columns if c not in keys]
+        b = batch.groupBy(*keys).agg(
+            *[F.first(c).alias(c) for c in others]
+        ).select(*batch.columns)
+    if snapshots.versions(table_path):
+        current = snapshots.read_snapshot(spark, table_path)
+        merged = current.join(
+            b.select(*keys), keys, "left_anti"
+        ).unionByName(b)
+    else:
+        merged = b
+    return snapshots.snapshot_write(spark, merged, table_path, "overwrite")
+
+
+def streaming_upsert(
+    spark: SparkSession,
+    source_path: str,
+    schema: StructType | str,
+    checkpoint_dir: str,
+    table_path: str,
+    key_cols: Sequence[str],
+    order_col: str | None = None,
+) -> None:
+    """Drain all new files under ``source_path`` (AvailableNow +
+    checkpoint = process-only-new-files across invocations) and MERGE
+    each micro-batch into the snapshot-logged table — one committed,
+    time-travelable version per batch."""
+    configure_runtime(spark)
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        apply_merge_batch(batch, table_path, key_cols, order_col)
+
+    query = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
