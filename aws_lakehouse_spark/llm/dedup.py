@@ -723,3 +723,79 @@ def incremental_lsh_matches(
             "first_match",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    max_shingle_df: int | None = 50,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Directional containment scoring over shared-shingle candidates:
+    for each candidate pair, ``containment_a = |A∩B| / |A|`` and
+    ``containment_b = |A∩B| / |B|`` (Broder's containment). Catches
+    the near-SUPERSET duplicates Jaccard misses — a document embedded
+    whole inside a 10× larger one has Jaccard ≈ 0.1 but containment
+    ≈ 1.0 — which is exactly the quote/boilerplate-inclusion shape a
+    training-corpus dedup must flag.
+
+    Pairs survive when max(containment_a, containment_b) ≥
+    ``threshold``. Candidate generation reuses the df-capped shared-
+    shingle equi-join (linear in corpus size, see
+    :func:`jaccard_pairs`); the exact intersection is computed only
+    for candidates, from full shingle sets.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), shingle_k).alias("shingles"),
+    )
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    out = (
+        candidates.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / F.size("sh_a")).alias("containment_a"),
+            (inter / F.size("sh_b")).alias("containment_b"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(
+            F.greatest("containment_a", "containment_b") >= threshold
+        )
+    return out

@@ -413,3 +413,58 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         threshold=0.5,
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS shingles
+        FROM documents WHERE doc_id % 4 = 0
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), rare AS (
+        SELECT shingle FROM e GROUP BY shingle
+        HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ), ec AS (
+        SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ec a JOIN ec b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))
+                 / len(sa.shingles) AS containment_a,
+               len(list_intersect(sa.shingles, sb.shingles))
+                 / len(sb.shingles) AS containment_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT * FROM scored
+    WHERE greatest(containment_a, containment_b) >= 0.1
+    """,
+    category="llm dedup",
+    doc="Directional containment (Broder): |A∩B|/|A| and |A∩B|/|B| "
+    "per shared-shingle candidate pair, kept when either direction "
+    "≥ 0.1 — flags near-SUPERSET duplicates (a doc quoted whole "
+    "inside a larger one has Jaccard ≈ |A|/|B| but containment "
+    "≈ 1.0), the inclusion shape Jaccard-threshold dedup misses. "
+    "Candidates reuse the df-capped shingle join (linear in corpus "
+    "size); intersections computed exactly per candidate.",
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    return containment_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_k=3,
+        max_shingle_df=NGRAM_DF_CAP,
+        threshold=0.1,
+    )

@@ -116,3 +116,64 @@ def quality_referential_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return referential_violations(o, c, "o_custkey", "c_custkey").agg(
         F.count(F.lit(1)).alias("n_orphans")
     )
+
+
+@register(
+    "quality_partition_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY d
+    ), scored AS (
+        SELECT d, n_events,
+               AVG(n_events) OVER w AS trail_avg,
+               stddev_samp(n_events) OVER w AS trail_sd
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, n_events,
+           ROUND(trail_avg, 4) AS trail_avg,
+           CASE WHEN trail_sd > 0
+                THEN ROUND((n_events - trail_avg) / trail_sd, 4)
+           END AS z_score,
+           CASE WHEN trail_sd > 0
+                THEN ABS((n_events - trail_avg) / trail_sd) > 2.0
+           END AS is_drift
+    FROM scored
+    ORDER BY d
+    """,
+    category="quality",
+    doc="Partition-volume drift detection: per-day event counts "
+    "scored against their own trailing-7-day window (z-score of "
+    "today's count vs trailing mean/stddev) — the freshness/volume "
+    "monitor a lakehouse runs after every ingest to catch silent "
+    "upstream drops or floods before they poison downstream tables. "
+    "Scale shape: the raw table collapses to one row per day in the "
+    "first aggregate; the trailing window then runs over the "
+    "day-count-sized frame (a bounded, single-partition sort at any "
+    "event volume — same pattern as the shard planner's bucket "
+    "offsets).",
+)
+def quality_partition_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    scored = daily.select(
+        "d",
+        "n_events",
+        F.avg("n_events").over(w).alias("trail_avg"),
+        F.stddev_samp("n_events").over(w).alias("trail_sd"),
+    )
+    z = (F.col("n_events") - F.col("trail_avg")) / F.col("trail_sd")
+    return scored.select(
+        "d",
+        "n_events",
+        F.round("trail_avg", 4).alias("trail_avg"),
+        F.when(F.col("trail_sd") > 0, F.round(z, 4)).alias("z_score"),
+        F.when(F.col("trail_sd") > 0, F.abs(z) > 2.0).alias("is_drift"),
+    ).orderBy("d")
