@@ -567,3 +567,50 @@ def agg_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__q")[2].alias("q75"),
         F.col("__q")[3].alias("q99"),
     )
+
+
+@register(
+    "maintenance_compact_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.9 maintenance (M2 compaction)",
+    doc="Compaction (M2) under the oracle gate: orders written as 64 "
+    "deliberately-small files, binpacked by compact_path (size the "
+    "live files, repartition-rewrite toward the 256 MB target, swap "
+    "directories — the plain-parquet equivalent of Iceberg "
+    "rewrite_data_files binpack, iceberg_maintenance.py:58-70), then "
+    "read back and aggregated. The in-query assert proves the file "
+    "count actually dropped; the green oracle row proves compaction "
+    "lost and duplicated nothing.",
+)
+def maintenance_compact_roundtrip_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.maintenance import compact_path
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_compact_"), "orders_small_files"
+    )
+    orders.repartition(64).write.mode("overwrite").parquet(path)
+    stats = compact_path(spark, path)
+    assert stats["files_before"] >= 64, stats
+    assert stats["files_after"] < stats["files_before"], stats
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -128,6 +128,44 @@ def compact_files(
             "target_files": n_files}
 
 
+def compact_path(
+    spark: SparkSession, path: str, target_bytes: int = TARGET_FILE_BYTES
+) -> dict:
+    """M2, path flavor — binpack a parquet DIRECTORY (no catalog
+    entry needed): size the live files, rewrite with
+    ``repartition(ceil(bytes/target))`` into a sibling temp dir, then
+    swap directories. Same outcome as Iceberg rewrite_data_files for
+    an unpartitioned location; used where data lands as raw paths
+    (bronze) before any table registration.
+    """
+    import os
+    import shutil
+
+    files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    size_bytes = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_target = max(1, math.ceil(size_bytes / target_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).repartition(n_target).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = len([
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ])
+    return {
+        "op": "compact_path",
+        "applied": True,
+        "files_before": len(files),
+        "files_after": after,
+        "bytes": size_bytes,
+    }
+
+
 def remove_orphans(
     spark: SparkSession, table: str, older_than_days: int = 7,
     table_path: str | None = None,

@@ -115,3 +115,19 @@ def test_cdc_diff_between_snapshot_versions(spark, table_path):
         ).collect()
     }
     assert diff == {1: "delete", 2: "update", 4: "insert"}  # 3 unchanged
+
+
+def test_compact_path_binpacks_directory(spark, tmp_path):
+    """Path-flavor M2: 32 small files binpack to the byte-target
+    count with content preserved exactly."""
+    from aws_lakehouse_spark.sources.maintenance import compact_path
+
+    path = str(tmp_path / "small_files")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    stats = compact_path(spark, path)
+    assert stats["applied"] and stats["files_before"] == 32
+    assert stats["files_after"] == 1  # tiny table, one target file
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == 10000 * 9999
