@@ -436,16 +436,47 @@ def agg_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # approximate → rows-only check
+    # the sketch estimate itself is engine-specific, so the oracle
+    # checks the EXACT cardinalities plus a certified error bound:
+    # Spark emits (|approx-exact|/exact <= 5%) computed from its own
+    # HLL++ result, the oracle emits literal TRUE — a hash match
+    # proves the sketch landed within tolerance (measured ~1% at
+    # rsd=0.02), not merely that some row came back
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem
+    """,
     category="2.4 aggregates",
     doc="Engine extension — HyperLogLog++ approximate count-distinct "
-    "(the 100 TB path where exact distinct is a full shuffle).",
+    "(the 100 TB path where exact distinct is a full shuffle): one "
+    "query computes both the exact and the sketch cardinality and "
+    "certifies the sketch's relative error ≤ 5% in-band, turning an "
+    "unavoidably-approximate op into an oracle-checkable row.",
 )
 def agg_approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+
+    def within(approx, exact):
+        return (
+            F.abs(approx - exact) / exact <= F.lit(0.05)
+        )
+
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__ao"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        within(F.col("__ap"), F.col("exact_parts")).alias("parts_within_5pct"),
+        within(F.col("__ao"), F.col("exact_orders")).alias(
+            "orders_within_5pct"
+        ),
     )
 
 

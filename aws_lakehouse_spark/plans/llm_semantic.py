@@ -186,3 +186,33 @@ def text_bigram_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_ratio"),
         )
     )
+
+
+OUTLIER_T = 0.07  # ~5% of sf0.01 vectors fall below (probed)
+
+
+@register(
+    "embed_outliers",
+    oracle=f"""
+    WITH {_ASSIGN_CTE}
+    SELECT vec_id, cluster_id, cosine_sim,
+           cosine_sim < {OUTLIER_T} AS is_outlier
+    FROM assign
+    """,
+    category="llm semantic",
+    doc="Embedding-space outlier detection: each vector's max cosine "
+    "to the seed centroid set; vectors far from EVERY centroid "
+    f"(best sim < {OUTLIER_T}) are flagged — the semantic-quality "
+    "filter that drops off-distribution samples (mojibake, wrong "
+    "modality, adversarial junk) which text heuristics cannot see. "
+    "Same broadcast-centroid scan shape as cluster assignment: "
+    "corpus scanned once, never shuffled on the vectors.",
+)
+def embed_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return assign_clusters(emb, centroids).withColumn(
+        "is_outlier", F.col("cosine_sim") < OUTLIER_T
+    )

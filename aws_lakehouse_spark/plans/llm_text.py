@@ -1402,6 +1402,7 @@ def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window. Bucket width is a knob: deployments size it so the "
     "bucket-total frame stays driver-broadcastable (e.g. one bucket "
     "per input split at 100 TB).",
+    bench=True,
 )
 def text_shard_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
