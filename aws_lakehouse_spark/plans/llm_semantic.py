@@ -118,7 +118,13 @@ def embed_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    assignment = assign_clusters(emb, centroids)
+    # the assignment feeds THREE consumers (both pair sides + the
+    # member count); checkpoint it so the corpus-vs-centroid scoring
+    # scan runs once, not three times — at 100 TB that is two whole
+    # corpus scans saved
+    assignment = assign_clusters(emb, centroids).localCheckpoint(
+        eager=False
+    )
     pairs = semdedup_pairs(emb, assignment, SEMDEDUP_T)
     return semdedup_summary(assignment, pairs)
 
