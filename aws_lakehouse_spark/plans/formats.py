@@ -114,3 +114,41 @@ def format_roundtrip_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    SELECT i AS doc_id,
+           md5('doc:' || CAST(i AS VARCHAR)) AS digest,
+           (['web', 'books', 'code', 'wiki'])[
+               (CAST('0x' || substring(
+                   md5('doc:' || CAST(i AS VARCHAR)), 1, 2) AS INT) % 4) + 1
+           ] AS source,
+           CAST(50 + CAST('0x' || substring(
+               md5('doc:' || CAST(i AS VARCHAR)), 3, 2) AS INT) % 200
+               AS INT) AS n_words
+    FROM range(0, 500) t(i)
+    """,
+    category="2.1 sources (Python Data Source API)",
+    doc="Custom Python Data Source under the oracle gate: a "
+    "from-scratch pyspark.sql.datasource implementation whose rows "
+    "derive deterministically from md5('doc:'||id), read through the "
+    "real partition-planning -> per-task read -> Arrow transport "
+    "cycle (8 independent range slices, no driver materialization). "
+    "The DuckDB oracle regenerates the identical rows with SQL md5 "
+    "arithmetic, so a green row certifies the source produced "
+    "exactly the declared data across every partition — the "
+    "non-file ingestion shape (API/queue/generator) the reference's "
+    "Lambda-copy path cannot express.",
+)
+def source_python_datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.sources.pydatasource import register_synthdocs
+
+    register_synthdocs(spark)
+    return (
+        spark.read.format("synthdocs")
+        .option("n", 500)
+        .option("partitions", 8)
+        .load()
+    )
