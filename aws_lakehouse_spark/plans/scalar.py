@@ -395,3 +395,42 @@ def scalar_json_struct_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_decile")
     )
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.8 scalar (VARIANT extension)",
+    doc="Spark 4 VARIANT ingestion of semi-structured data: props "
+    "parsed once into the binary VARIANT encoding (parse_json), "
+    "fields typed out with variant_get — the open-table-format "
+    "answer to schema-on-read JSON at scale (VARIANT decodes ~an "
+    "order of magnitude faster than repeated JSON string parsing "
+    "and is the Parquet/Iceberg/Delta shredded-variant storage "
+    "type). Filter + aggregate on the extracted field; oracle via "
+    "DuckDB JSON path extraction.",
+)
+def scalar_variant_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
