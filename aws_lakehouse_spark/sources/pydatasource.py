@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 SOURCES = ("web", "books", "code", "wiki")
@@ -85,7 +86,39 @@ class SyntheticDocsDataSource(DataSource):
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
 
 def register_synthdocs(spark) -> None:
     """Idempotent registration of the source under ``synthdocs``."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the synthetic source: offsets are row ids;
+    each micro-batch emits the next ``batch_size`` rows until ``n``
+    is exhausted. ``readBetweenOffsets`` regenerates any committed
+    range deterministically, which is what makes checkpoint replay
+    exactly-once for this source (same contract a real queue source
+    meets by re-reading its log between offsets)."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", "1000"))
+        self.batch_size = int(options.get("batch_size", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_size, self.n)
+        # lists, not generators: the engine copies the prefetch-cache
+        # iterator when planning partitions, and generators don't copy
+        return [synth_row(i) for i in range(lo, hi)], {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [
+            synth_row(i)
+            for i in range(int(start["next"]), int(end["next"]))
+        ]

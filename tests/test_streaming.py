@@ -401,3 +401,51 @@ def test_streaming_upsert_rerun_is_noop(spark, tmp_path):
     before = snapshots.versions(table)
     streaming_upsert(spark, src, schema, ckpt, table, ["k"], "seq")
     assert snapshots.versions(table) == before
+
+
+def test_python_datasource_streaming_batches(spark, tmp_path):
+    """The synthdocs streaming face drains n rows in batch_size
+    micro-batches through a real streaming query (offset tracking,
+    checkpoint, AvailableNow), matching the batch face exactly."""
+    from aws_lakehouse_spark.sources.pydatasource import (
+        register_synthdocs,
+        synth_row,
+    )
+
+    import time
+
+    register_synthdocs(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("synthdocs")
+        .option("n", 100)
+        .option("batch_size", 30)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # 100 rows at 30/batch arrive over >=4 micro-batches; poll the
+    # sink until the source is exhausted, then stop the query
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 100:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert rows == sorted(synth_row(i) for i in range(100))
+    n_batches = len(
+        spark.read.parquet(out).select(
+            F.input_file_name()
+        ).distinct().collect()
+    )
+    assert n_batches >= 2  # genuinely incremental, not one big batch
