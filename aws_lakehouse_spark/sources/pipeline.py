@@ -154,3 +154,113 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict:
     tables = cfg.maintenance_tables or (silver_table,)
     manifest["maintenance"] = run_maintenance(spark, list(tables))
     return manifest
+
+
+# --- C3: schedule_cron ------------------------------------------------
+# The reference schedules the pipeline with EventBridge crons — ingest
+# at 0 2 * * ? * and the Step Functions state machine at 0 3 * * ? *
+# (terraform/lambda.tf:94, terraform/stepfunctions.tf:185-191). The
+# engine equivalent is a driver-side scheduler: a 5-field cron parser
+# plus a run loop with an injectable clock so the cadence logic is
+# unit-testable without wall-clock sleeps.
+
+
+def _cron_field(spec: str, lo: int, hi: int) -> set[int]:
+    """Parse one cron field: '*', lists, ranges, steps ('*/6',
+    '10-20/5', '1,15'). AWS's 6-field '?' is accepted as '*'."""
+    if spec in ("*", "?"):
+        return set(range(lo, hi + 1))
+    vals: set[int] = set()
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+        if part in ("*", "?", ""):
+            rng = range(lo, hi + 1, step)
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            rng = range(int(a), int(b) + 1, step)
+        else:
+            a = int(part)
+            rng = range(a, hi + 1, step) if step > 1 else range(a, a + 1)
+        vals.update(rng)
+    if not vals or min(vals) < lo or max(vals) > hi:
+        raise ValueError(f"cron field {spec!r} out of range [{lo},{hi}]")
+    return vals
+
+
+def cron_next(expr: str, after):
+    """Next fire time strictly after ``after`` for a 5-field cron
+    ``minute hour day-of-month month day-of-week`` (0=Sunday, 7 also
+    accepted as Sunday). Standard cron day semantics: when BOTH
+    day-of-month and day-of-week are restricted, either may match.
+    """
+    from datetime import datetime, timedelta
+
+    f = expr.split()
+    if len(f) != 5:
+        raise ValueError(f"need 5 cron fields, got {expr!r}")
+    minutes = _cron_field(f[0], 0, 59)
+    hours = _cron_field(f[1], 0, 23)
+    doms = _cron_field(f[2], 1, 31)
+    months = _cron_field(f[3], 1, 12)
+    dows = {d % 7 for d in _cron_field(f[4], 0, 7)}
+    dom_any = f[2] in ("*", "?")
+    dow_any = f[4] in ("*", "?")
+
+    t = (after.replace(second=0, microsecond=0) + timedelta(minutes=1))
+    for _ in range(366 * 24 * 60):  # bounded scan, minute resolution
+        if t.month in months and t.minute in minutes and t.hour in hours:
+            dom_ok = t.day in doms
+            dow_ok = (t.isoweekday() % 7) in dows
+            # cron's quirky day rule: with BOTH day fields restricted,
+            # either matching fires; otherwise the unrestricted side
+            # is vacuously true and both must hold
+            day_ok = (
+                (dom_ok or dow_ok)
+                if not (dom_any or dow_any)
+                else (dom_ok and dow_ok)
+            )
+            if day_ok:
+                return t
+        t += timedelta(minutes=1)
+    raise ValueError(f"no fire time within a year for {expr!r}")
+
+
+def run_scheduled(
+    fn: Callable[[], object],
+    cron: str,
+    max_runs: int,
+    now=None,
+    sleep_until=None,
+) -> list:
+    """C3 — run ``fn`` on a cron cadence, ``max_runs`` times.
+
+    ``now()`` and ``sleep_until(dt)`` are injectable for tests (and
+    for deployments that want their own wait primitive); defaults use
+    the wall clock. Each run is isolated: an exception is recorded,
+    the schedule continues — the per-state retry/continue posture of
+    the reference's Step Functions states.
+    """
+    import time as _time
+    from datetime import datetime
+
+    now = now or datetime.now
+    if sleep_until is None:
+        def sleep_until(dt):
+            delta = (dt - datetime.now()).total_seconds()
+            if delta > 0:
+                _time.sleep(delta)
+
+    results = []
+    t = now()
+    for _ in range(max_runs):
+        fire = cron_next(cron, t)
+        sleep_until(fire)
+        try:
+            results.append({"at": fire, "result": fn(), "error": None})
+        except Exception as exc:  # isolate, keep cadence
+            results.append({"at": fire, "result": None, "error": str(exc)})
+        t = fire
+    return results

@@ -292,3 +292,64 @@ def test_upsert_table_scd1(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS upsert_target")
         spark.sql("DROP TABLE IF EXISTS upsert_target__upsert_staging")
+
+
+def test_cron_next_reference_cadence():
+    """C3: the reference's EventBridge crons (ingest 2 AM, pipeline
+    3 AM daily) compute correct next-fire times."""
+    from datetime import datetime
+
+    from aws_lakehouse_spark.sources.pipeline import cron_next
+
+    after = datetime(2026, 8, 13, 2, 30)
+    assert cron_next("0 2 * * *", after) == datetime(2026, 8, 14, 2, 0)
+    assert cron_next("0 3 * * *", after) == datetime(2026, 8, 13, 3, 0)
+    # lists, ranges, steps
+    assert cron_next("*/15 * * * *", datetime(2026, 1, 1, 0, 0)) == (
+        datetime(2026, 1, 1, 0, 15)
+    )
+    assert cron_next("30 9-17 * * *", datetime(2026, 1, 1, 18, 0)) == (
+        datetime(2026, 1, 2, 9, 30)
+    )
+    # weekly: Sunday=0 (2026-08-16 is a Sunday)
+    assert cron_next("0 4 * * 0", datetime(2026, 8, 13, 0, 0)) == (
+        datetime(2026, 8, 16, 4, 0)
+    )
+    # both day fields restricted -> either fires (standard cron OR):
+    # dom=15 OR friday; from Aug 13 2026 (Thu), Friday Aug 14 wins
+    assert cron_next("0 0 15 * 5", datetime(2026, 8, 13, 0, 0)) == (
+        datetime(2026, 8, 14, 0, 0)
+    )
+
+
+def test_run_scheduled_injectable_clock_and_isolation():
+    """The schedule loop fires at cron times under a fake clock and
+    keeps cadence across a failing run (per-state isolate-and-
+    continue, like the reference's Step Functions retry posture)."""
+    from datetime import datetime
+
+    from aws_lakehouse_spark.sources.pipeline import run_scheduled
+
+    fired = []
+    calls = {"n": 0}
+
+    def job():
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("transient")
+        return f"run{calls['n']}"
+
+    results = run_scheduled(
+        job,
+        "0 3 * * *",
+        max_runs=3,
+        now=lambda: datetime(2026, 8, 13, 0, 0),
+        sleep_until=fired.append,
+    )
+    assert fired == [
+        datetime(2026, 8, 13, 3, 0),
+        datetime(2026, 8, 14, 3, 0),
+        datetime(2026, 8, 15, 3, 0),
+    ]
+    assert [r["result"] for r in results] == ["run1", None, "run3"]
+    assert results[1]["error"] == "transient"
