@@ -527,3 +527,57 @@ def events_gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    ORDER BY prev_type, next_type
+    """,
+    category="2.10 streaming (batch face)",
+    doc="User-journey transition matrix: per-user event sequences "
+    "(lag over ts, event_id tie-break) collapsed into first-order "
+    "Markov transition counts and row-normalized probabilities — the "
+    "funnel-free way to see where sessions actually flow. Scale "
+    "shape: ONE shuffle on user_id for the sequence window, then a "
+    "type-pair aggregate (|types|² rows at most) and a window over "
+    "that bounded frame; the raw stream never feeds a global sort.",
+)
+def events_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
