@@ -205,3 +205,56 @@ def test_banded_range_join_equals_nested_loop(spark, points, intervals, width):
         if lo <= p <= lo + w
     }
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    minute=st.sampled_from(["*", "*/5", "0,30", "17", "10-20", "50-59/3"]),
+    hour=st.sampled_from(["*", "3", "2,14", "9-17", "*/6"]),
+    dom=st.sampled_from(["*", "1", "15", "1-10", "?"]),
+    month=st.sampled_from(["*", "8", "1-6", "*/3"]),
+    dow=st.sampled_from(["*", "0", "5", "1-5", "?"]),
+    start_min=st.integers(min_value=0, max_value=60 * 24 * 3),
+)
+def test_cron_next_is_minimal_and_matching(
+    minute, hour, dom, month, dow, start_min
+):
+    """cron_next returns the FIRST minute after `after` satisfying
+    every field (verified by an independent brute-force scan applying
+    the field sets and the standard dom/dow either-matches rule)."""
+    from datetime import datetime, timedelta
+
+    from aws_lakehouse_spark.sources.pipeline import _cron_field, cron_next
+
+    expr = f"{minute} {hour} {dom} {month} {dow}"
+    after = datetime(2026, 8, 1) + timedelta(minutes=start_min)
+    got = cron_next(expr, after)
+
+    minutes = _cron_field(minute, 0, 59)
+    hours = _cron_field(hour, 0, 23)
+    doms = _cron_field(dom, 1, 31)
+    months = _cron_field(month, 1, 12)
+    dows = {d % 7 for d in _cron_field(dow, 0, 7)}
+    dom_any = dom in ("*", "?")
+    dow_any = dow in ("*", "?")
+
+    def fires(t):
+        if t.minute not in minutes or t.hour not in hours \
+                or t.month not in months:
+            return False
+        dom_ok, dow_ok = t.day in doms, (t.isoweekday() % 7) in dows
+        if not (dom_any or dow_any):
+            return dom_ok or dow_ok
+        return dom_ok and dow_ok
+
+    assert got > after
+    assert fires(got), (expr, after, got)
+    # minimality: no earlier minute in (after, got) fires — scan is
+    # bounded because every sampled expr fires within a few months
+    t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+    scanned = 0
+    while t < got:
+        assert not fires(t), (expr, after, t, got)
+        t += timedelta(minutes=1)
+        scanned += 1
+        assert scanned < 400_000
