@@ -349,17 +349,39 @@ def scalar_hash_fns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scalar_input_file_name",
-    oracle=None,  # file paths differ between engines → rows-only
+    # absolute paths are machine-specific, but the provenance FACTS
+    # are not: every row's path ends in the table's file name, and the
+    # per-file counts must sum to the table count — certify those
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_leaf,
+           TRUE AS all_rows_attributed,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
     category="2.8 scalar",
     doc="F15 — provenance column from the scanned file path (ref "
-    "noaa_ghcn_bronze_to_silver.py:67).",
+    "noaa_ghcn_bronze_to_silver.py:67): the path itself is "
+    "machine-specific, so the oracle certifies the invariant facts — "
+    "the basename of every source file, that every row carries a "
+    "non-null provenance path with that basename, and that per-file "
+    "row counts sum back to the table count.",
 )
 def scalar_input_file_name_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    per_file = (
         li.withColumn("source_file", F.input_file_name())
         .groupBy("source_file")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return per_file.agg(
+        F.max(F.element_at(F.split("source_file", "/"), -1)).alias(
+            "file_leaf"
+        ),
+        F.min(
+            F.col("source_file").isNotNull()
+            & F.col("source_file").endswith("lineitem.parquet")
+        ).alias("all_rows_attributed"),
+        F.sum("n_rows").alias("n_rows"),
     )
 
 

@@ -215,12 +215,21 @@ def set_union_missing_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_incremental_bookmark",
-    oracle=None,  # stateful file-stream side effects → rows-only
+    # the drained sink content IS deterministic (one run over a fresh
+    # checkpoint processes exactly the source rows + the transform),
+    # so the stream's OUTPUT is oracle-checkable even though the
+    # bookmark state machine itself is not SQL; two-run only-new-files
+    # semantics proven in tests/test_streaming.
+    oracle="""
+    SELECT r_regionkey, r_name, TRUE AS processed FROM region
+    """,
     category="2.10 streaming",
     doc="Bookmark-equivalent incremental processing (Glue job "
     "bookmarks, terraform/glue.tf:158): AvailableNow file stream + "
-    "checkpoint drains only-new files per run; returns the drained "
-    "batch. Full two-run semantics proven in tests/test_streaming.",
+    "checkpoint drains only-new files per run through a transform "
+    "into a parquet sink; the oracle certifies the drained content "
+    "row-for-row. Full two-run semantics proven in "
+    "tests/test_streaming.",
 )
 def streaming_incremental_bookmark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
