@@ -13,6 +13,13 @@ Join strategy: bounded dims (nation) are broadcast-hinted; tables
 that scale with the fact (orders, customer) carry NO hint — Spark's
 size estimates broadcast them at test SF, AQE shuffle-joins them at
 cluster scale.
+
+Perf floor (measured, sf0.1 local[32], best-of-5 noop sink): full
+plan ~1.12 s = filtered-lineitem scan 0.18 + orders dedup agg 0.36
++ join/agg 0.42 + residue; the executed plan holds exactly TWO
+hashpartitioning exchanges (dedup agg, final agg — see PLANS.md)
+and all three joins broadcast. Under this protocol the remaining
+wall time is scan + local task-scheduling cost, not plan slack.
 """
 
 from __future__ import annotations
