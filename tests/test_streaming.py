@@ -449,3 +449,24 @@ def test_python_datasource_streaming_batches(spark, tmp_path):
         ).distinct().collect()
     )
     assert n_batches >= 2  # genuinely incremental, not one big batch
+
+
+def test_apply_merge_batch_without_order_col(spark, tmp_path):
+    """Without an order column, exactly one row per key survives the
+    in-batch collapse and the merge still upserts correctly."""
+    from aws_lakehouse_spark.sources import snapshots
+    from aws_lakehouse_spark.streaming.apply import apply_merge_batch
+
+    table = str(tmp_path / "t")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    assert apply_merge_batch(b1, table, ["k"]) == 0
+    # duplicate keys in-batch: one survivor, value from the batch
+    b2 = spark.createDataFrame(
+        [(2, "b2"), (2, "b2"), (3, "c")], "k bigint, v string"
+    )
+    assert apply_merge_batch(b2, table, ["k"]) == 1
+    got = {
+        r["k"]: r["v"]
+        for r in snapshots.read_snapshot(spark, table).collect()
+    }
+    assert got == {1: "a", 2: "b2", 3: "c"}
