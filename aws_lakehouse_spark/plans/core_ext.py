@@ -614,3 +614,94 @@ def maintenance_compact_roundtrip_q(
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "snapshot_delete_update",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 != 0
+    """,
+    category="2.9 maintenance (M5 row-level ops)",
+    doc="Row-level DELETE + UPDATE with copy-on-write snapshots (the "
+    "Iceberg/Delta DML the reference's ACID tables provide; the "
+    "GDPR-delete workflow every lakehouse runs): seed a snapshot "
+    "table from orders, DELETE keys %10==0, UPDATE keys %7==0, read "
+    "the final version. Each DML commits its own time-travelable "
+    "version — deleted rows remain readable at prior versions until "
+    "expiry (pytest covers the time-travel face). Oracle recomputes "
+    "the surviving rows straight from source parquet.",
+)
+def snapshot_delete_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        delete_where,
+        read_snapshot,
+        snapshot_write,
+        update_where,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_dml_"), "orders_snap"
+    )
+    assert snapshot_write(spark, orders, table, "overwrite") == 0
+    d = delete_where(spark, table, F.col("o_orderkey") % 10 == 0)
+    assert d["version"] == 1 and d["rows_deleted"] > 0, d
+    u = update_where(
+        spark,
+        table,
+        F.col("o_orderkey") % 7 == 0,
+        {"o_orderstatus": F.lit("U")},
+    )
+    assert u["version"] == 2, u
+    return read_snapshot(spark, table)
+
+
+@register(
+    "snapshot_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    category="2.9 maintenance (M5 schema evolution)",
+    doc="Schema evolution across snapshot versions (Iceberg/Delta "
+    "add-column semantics): version 0 lands two columns, an append "
+    "commit adds files carrying a third; the evolved read "
+    "(union-by-name via mergeSchema over the manifest's file list) "
+    "surfaces old files with the new column NULL-backfilled. Oracle "
+    "reconstructs the same union from source parquet.",
+)
+def snapshot_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        read_snapshot_evolved,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_evolve_"), "orders_snap"
+    )
+    v0 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    assert snapshot_write(spark, v0, table, "overwrite") == 0
+    assert snapshot_write(spark, v1, table, "append") == 1
+    return read_snapshot_evolved(spark, table)

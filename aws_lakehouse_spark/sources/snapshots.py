@@ -167,3 +167,83 @@ def remove_orphans(table_path: str) -> dict:
     for f in orphans:
         os.remove(os.path.join(table_path, f))
     return {"op": "remove_orphans", "applied": True, "removed_files": len(orphans)}
+
+
+def delete_where(
+    spark: SparkSession, table_path: str, predicate
+) -> dict:
+    """Row-level DELETE with copy-on-write semantics (the
+    Iceberg/Delta ``DELETE FROM t WHERE ...`` the reference's ACID
+    layer provides): rows matching ``predicate`` (a Column or SQL
+    string) disappear from the NEW snapshot version; prior versions
+    still time-travel to the undeleted data.
+
+    Copy-on-write: survivors are rewritten as new part files and the
+    manifest commits only those — the deleted rows' files stay on
+    disk for time travel until ``expire_snapshots`` + ``remove_
+    orphans`` reclaim them. At scale the rewrite cost is bounded by
+    the files that CONTAIN matches when the predicate aligns with
+    the partition/file layout (min/max pruning); this implementation
+    rewrites the live set, the honest local equivalent.
+    """
+    import pyspark.sql.functions as F  # noqa: F401 (Column coercion)
+
+    current = read_snapshot(spark, table_path)
+    cond = predicate if not isinstance(predicate, str) else F.expr(predicate)
+    survivors = current.filter(~cond)
+    n_before = current.count()
+    version = snapshot_write(spark, survivors, table_path, "overwrite")
+    return {
+        "op": "delete_where",
+        "version": version,
+        "rows_before": n_before,
+        "rows_deleted": n_before - read_snapshot(spark, table_path).count(),
+    }
+
+
+def update_where(
+    spark: SparkSession,
+    table_path: str,
+    predicate,
+    assignments: dict,
+) -> dict:
+    """Row-level UPDATE, copy-on-write: rows matching ``predicate``
+    get ``assignments`` (col -> Column/SQL expr) applied in the new
+    snapshot version; everything else carries over unchanged. Same
+    cost model and time-travel behavior as :func:`delete_where`.
+    """
+    import pyspark.sql.functions as F
+
+    current = read_snapshot(spark, table_path)
+    cond = predicate if not isinstance(predicate, str) else F.expr(predicate)
+    updated = current
+    for col, expr in assignments.items():
+        val = expr if not isinstance(expr, str) else F.expr(expr)
+        updated = updated.withColumn(
+            col, F.when(cond, val).otherwise(F.col(col))
+        )
+    version = snapshot_write(spark, updated, table_path, "overwrite")
+    return {"op": "update_where", "version": version}
+
+
+def read_snapshot_evolved(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read with SCHEMA EVOLUTION: part files written
+    under older schemas surface with the union-by-name schema, new
+    columns NULL-backfilled (Iceberg/Delta add-column semantics).
+    Plain ``read_snapshot`` hands Catalyst one file list and lets
+    parquet's own schema resolution pick a winner; this variant sets
+    ``mergeSchema`` so heterogeneous manifests read correctly."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"no snapshots at {table_path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    files = _read_manifest(table_path, v)["files"]
+    if not files:
+        return spark.read.parquet(table_path).limit(0)
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_path, f) for f in files]
+    )

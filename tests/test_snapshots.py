@@ -131,3 +131,69 @@ def test_compact_path_binpacks_directory(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10000
     assert back.agg(F.sum("v")).first()[0] == 10000 * 9999
+
+
+def test_delete_update_time_travel(spark, tmp_path):
+    """Copy-on-write DML: every statement commits a version; deleted
+    rows stay readable at prior versions until expiry reclaims them."""
+    from aws_lakehouse_spark.sources.snapshots import (
+        delete_where,
+        read_snapshot,
+        snapshot_write,
+        update_where,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    )
+    assert snapshot_write(spark, df, table, "overwrite") == 0
+    d = delete_where(spark, table, "k >= 7")
+    assert d["rows_deleted"] == 3 and d["version"] == 1
+    u = update_where(spark, table, "k = 0", {"v": "'zero'"})
+    assert u["version"] == 2
+    latest = {r["k"]: r["v"] for r in read_snapshot(spark, table).collect()}
+    assert len(latest) == 7 and latest[0] == "zero" and 9 not in latest
+    # deleted rows still readable at the pre-delete version
+    v0 = {r["k"] for r in read_snapshot(spark, table, 0).collect()}
+    assert v0 == set(range(10))
+
+
+def test_update_where_sql_expression(spark, tmp_path):
+    from aws_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+        update_where,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+    )
+    snapshot_write(spark, df, table, "overwrite")
+    update_where(spark, table, "k = 2", {"v": "v * 10"})
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, table).collect()}
+    assert got == {1: 10.0, 2: 200.0, 3: 30.0}
+    # prior version untouched
+    got0 = {r["k"]: r["v"] for r in read_snapshot(spark, table, 0).collect()}
+    assert got0 == {1: 10.0, 2: 20.0, 3: 30.0}
+
+
+def test_schema_evolution_null_backfill(spark, tmp_path):
+    from aws_lakehouse_spark.sources.snapshots import (
+        read_snapshot_evolved,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "t")
+    v0 = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    v1 = spark.createDataFrame([(2, "b", 9.5)], "k bigint, v string, w double")
+    snapshot_write(spark, v0, table, "overwrite")
+    snapshot_write(spark, v1, table, "append")
+    rows = {r["k"]: (r["v"], r["w"]) for r in
+            read_snapshot_evolved(spark, table).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # time travel to v0: only the old schema's files, evolved read
+    # still works and shows just the old rows
+    rows0 = [tuple(r) for r in read_snapshot_evolved(spark, table, 0).collect()]
+    assert rows0 == [(1, "a")]
