@@ -57,7 +57,10 @@ from aws_lakehouse_spark.registry import REGISTRY
 #   dedup_containment, quality_partition_drift,
 #   maintenance_compact_roundtrip, embed_outliers,
 #   scalar_variant_json, events_transition_matrix,
-#   agg_approx_count_distinct (upgraded rows-only -> oracle in r3).
+#   snapshot_delete_update, snapshot_schema_evolution,
+#   agg_approx_count_distinct, streaming_incremental_bookmark,
+#   scalar_input_file_name (the last three upgraded rows-only ->
+#   full oracle in r3).
 _PRIORITY = [
     # the one query ever to record a red driver row (r1 hash fail,
     # fixed + judge-verified in r2) — close it out first
