@@ -77,28 +77,37 @@ def png_decode_pixels(data: bytes) -> dict:
     pos = 8
     width = height = bit_depth = color_type = None
     idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if bit_depth != 8 or color_type not in _CHANNELS or interlace:
-                raise ValueError(
-                    f"unsupported PNG: depth={bit_depth} "
-                    f"color={color_type} interlace={interlace}"
+    # corrupt payloads surface as struct/zlib errors mid-parse; the
+    # decoder's contract (it runs inside executor tasks) is ValueError
+    # for ANY malformed input, never a leaked third-party exception
+    try:
+        while pos < len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                width, height, bit_depth, color_type, _, _, interlace = (
+                    struct.unpack(">IIBBBBB", body)
                 )
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
+                if bit_depth != 8 or color_type not in _CHANNELS or interlace:
+                    raise ValueError(
+                        f"unsupported PNG: depth={bit_depth} "
+                        f"color={color_type} interlace={interlace}"
+                    )
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+    except struct.error as e:
+        raise ValueError(f"corrupt PNG chunk structure: {e}") from e
     if width is None:
         raise ValueError("PNG missing IHDR")
     channels = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")

@@ -468,3 +468,88 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_df=NGRAM_DF_CAP,
         threshold=0.1,
     )
+
+
+@register(
+    "dedup_lsh_quality",
+    oracle=f"""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), sig AS (
+        SELECT doc_id,
+               {", ".join(
+                   "list_min(list_transform("
+                   f"list_transform({DUCK_SHINGLES}, s -> md5(s)), "
+                   f"h -> substring(h, {1 + 8 * j}, 8))) AS minhash_{j}"
+                   for j in range(4)
+               )}
+        FROM sub
+    ), bands AS (
+        SELECT doc_id, 0 AS band_id,
+               md5(minhash_0 || '|' || minhash_1) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_id,
+               md5(minhash_2 || '|' || minhash_3) AS band_hash FROM sig
+    ), cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    ), sh AS (
+        SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM sub
+    ), truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.4
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT COUNT(*) FROM cand JOIN truth USING (doc_a, doc_b))
+               AS BIGINT) AS n_true_positives,
+           ROUND((SELECT COUNT(*) FROM cand JOIN truth USING (doc_a, doc_b))
+               / GREATEST((SELECT COUNT(*) FROM cand), 1), 6) AS precision,
+           ROUND((SELECT COUNT(*) FROM cand JOIN truth USING (doc_a, doc_b))
+               / GREATEST((SELECT COUNT(*) FROM truth), 1), 6) AS recall
+    """,
+    category="llm dedup (evaluation)",
+    doc="LSH banding quality report: candidate pairs from the 2x2 "
+    "band scheme scored against exhaustive exact Jaccard (J >= 0.4) "
+    "over a 100-doc evaluation sample — the precision/recall tuning "
+    "pass run BEFORE committing a band configuration to a 100 TB "
+    "corpus (recall misses are silent at scale; this is how you "
+    "catch them). The exhaustive all-pairs truth is deliberately "
+    "sample-bounded: 100 docs -> 4950 pairs, broadcast-joined; the "
+    "production LSH path itself never goes all-pairs.",
+)
+def dedup_lsh_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    cand = lsh_band_pairs(sub, "doc_id", "text", 3, 4, 2)
+    truth = jaccard_pairs(sub, "doc_id", "text", 3, threshold=0.4)
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    t = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    tp = cand.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_true_positives")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_true_positives",
+            F.round(
+                F.col("n_true_positives")
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("n_true_positives")
+                / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )

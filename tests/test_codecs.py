@@ -408,3 +408,49 @@ def test_resize_never_upscales():
     png = png_encode(6, 3, lambda x, y: (x, y, 0))
     r = _resize_one(png, max_side=100)
     assert (r["out_width"], r["out_height"]) == (6, 3)
+
+
+def test_png_decoder_never_crashes_on_fuzz():
+    """Robustness: arbitrary byte soup must either decode (if it
+    happens to be valid) or raise ValueError — never segfault, hang,
+    or leak another exception type (the decoder runs inside executor
+    tasks where an unexpected error fails the whole stage)."""
+    import hashlib
+    import zlib as _zlib
+
+    from aws_lakehouse_spark.llm.codecs import png_decode, wav_decode
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for case in range(200):
+        h = hashlib.md5(f"fuzz:{case}".encode()).digest()
+        payload = (h * (1 + h[0] % 7))[: 8 + h[1] % 48]
+        candidates = [
+            payload,                          # garbage
+            sig + payload,                    # signature + garbage
+            sig + payload[:4],                # truncated header
+        ]
+        if case % 3 == 0:
+            # plausible chunk structure with corrupt compressed body
+            import struct as _s
+
+            body = _zlib.compress(payload)[: max(1, h[2] % 20)]
+            chunk = (
+                _s.pack(">I", 13) + b"IHDR"
+                + _s.pack(">IIBBBBB", 1 + h[3] % 9, 1 + h[4] % 9,
+                          8, 2, 0, 0, 0)
+                + _s.pack(">I", 0)
+                + _s.pack(">I", len(body)) + b"IDAT" + body
+                + _s.pack(">I", 0)
+            )
+            candidates.append(sig + chunk)
+        for data in candidates:
+            try:
+                d = png_decode(data)
+                assert isinstance(d, dict)
+            except ValueError:
+                pass
+            try:
+                w = wav_decode(data)
+                assert isinstance(w, dict)
+            except ValueError:
+                pass
