@@ -254,3 +254,48 @@ def test_pii_redact_scan_project_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_pii_redact")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale posture: a hot key that dwarfs every other partition is
+    split by AQE's skew-join handling (OptimizeSkewedJoin) — the
+    runtime defense the engine's docs lean on for skewed fact joins.
+    Thresholds are lowered to make test-scale data look skewed; the
+    assertion is on the EXECUTED adaptive plan."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # key 0 carries 100k rows; keys 1..1000 one row each
+        hot = F.when(F.col("id") < 100_000, 0).otherwise(
+            F.col("id") - 100_000 + 1
+        )
+        left = spark.range(0, 101_000).select(
+            hot.alias("k"), F.col("id").alias("payload")
+        )
+        right = spark.range(0, 1_001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        joined = left.join(right, "k")
+        # materialize THIS DataFrame's own QueryExecution — a count()
+        # would execute a derived aggregate plan and leave this one
+        # unadapted (isFinalPlan=false)
+        assert len(joined.collect()) == 101_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
