@@ -152,3 +152,55 @@ def source_python_datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 8)
         .load()
     )
+
+
+@register(
+    "partition_pruned_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-03 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-05 00:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.1 sources (S9 partition layout)",
+    doc="Hive-style partition pruning under the oracle gate (S9, the "
+    "reference's YEAR=/ELEMENT= bronze layout): events written "
+    "partitionBy(event_date) to a temp dir, read back with a 2-day "
+    "filter. The in-query assert requires PartitionFilters (real "
+    "directory pruning — untouched days are never opened, THE "
+    "mechanism that keeps a 100 TB date-ranged scan proportional to "
+    "days touched); the oracle certifies the filtered aggregate from "
+    "source parquet.",
+)
+def partition_pruned_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_partlayout_"), "events_by_day"
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_date").isin("2024-01-03", "2024-01-04")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan, plan
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

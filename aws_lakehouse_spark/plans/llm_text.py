@@ -1542,3 +1542,142 @@ def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(redacted).alias("redacted_digest"),
     )
+
+
+@register(
+    "text_curation_pipeline",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id, lang,
+               md5(text) AS digest,
+               CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens,
+               len(list_distinct({DUCK_TOKS}))
+                 / greatest(len({DUCK_TOKS}), 1) AS distinct_ratio,
+               list_distinct(list_transform(range(1, greatest(len(str_split(text, ' ')) - 4, 1) + 1), i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1] || ' ' || str_split(text, ' ')[i+2] || ' ' || str_split(text, ' ')[i+3] || ' ' || str_split(text, ' ')[i+4])) AS shingles
+        FROM documents
+    ), qualified AS (
+        SELECT * FROM enriched
+        WHERE n_tokens >= 5 AND distinct_ratio > 0.3
+    ), survivors AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY digest ORDER BY doc_id) AS rn
+            FROM qualified
+        ) WHERE rn = 1
+    ), eval_sh AS (
+        SELECT DISTINCT unnest(shingles) AS shingle
+        FROM enriched
+        WHERE {_DUCK_BUCKET} < 10
+    ), clean AS (
+        SELECT s.doc_id, s.lang, s.n_tokens
+        FROM survivors s
+        WHERE {_DUCK_BUCKET.replace('doc_id', 's.doc_id')} >= 10
+          AND NOT EXISTS (
+              SELECT 1 FROM eval_sh e
+              WHERE list_contains(s.shingles, e.shingle)
+          )
+    ), sharded AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id)
+                           - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+        FROM clean
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM sharded
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+    category="llm text (composite)",
+    doc="The WHOLE curation pipeline as ONE Catalyst plan — quality "
+    "gate (token count + repetition ratio) -> exact dedup (min-id "
+    "survivor per md5 digest) -> eval-set decontamination (drop "
+    "train docs sharing any 5-shingle with the held-out 10% hash "
+    "bucket, plus the bucket itself) -> token-budget shard "
+    "assignment -> per-shard composition stats. Every stage reuses "
+    "the registered single-op semantics, so the composite is "
+    "oracle-checked end-to-end; one engine, one plan, no "
+    "materialization between stages. Scale shape: one digest "
+    "shuffle (map-side group-limit), one broadcast of the bounded "
+    "eval shingle set, one bucketed prefix-sum for shards — the "
+    "corpus is scanned once and never globally sorted.",
+)
+def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from aws_lakehouse_spark.llm.dedup import shingles_col
+    from aws_lakehouse_spark.operators import dedupe_by_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 100
+    )
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("digest"),
+        n.cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))).alias(
+            "distinct_ratio"
+        ),
+        shingles_col(F.col("text"), 5).alias("shingles"),
+        bucket.alias("__bucket"),
+    )
+    qualified = enriched.filter(
+        (F.col("n_tokens") >= 5) & (F.col("distinct_ratio") > 0.3)
+    )
+    survivors = dedupe_by_key(qualified, ["digest"], [F.asc("doc_id")])
+    eval_shingles = (
+        enriched.filter(F.col("__bucket") < 10)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train_pairs = survivors.filter(F.col("__bucket") >= 10).select(
+        "doc_id", "lang", "n_tokens", F.explode("shingles").alias("shingle")
+    )
+    contaminated = train_pairs.join(
+        F.broadcast(eval_shingles), "shingle", "left_semi"
+    ).select("doc_id").distinct()
+    clean = (
+        survivors.filter(F.col("__bucket") >= 10)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+    )
+    # two-level prefix sum (same shape as text_shard_plan)
+    d = clean.withColumn("__b", F.floor(F.col("doc_id") / 64))
+    off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__bt"))
+        .select("__b", F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off"))
+    )
+    local_w = (
+        Window.partitionBy("__b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sharded = (
+        d.join(F.broadcast(offsets), "__b")
+        .withColumn("__run", F.sum("n_tokens").over(local_w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(
+                (F.col("__off") + F.col("__run") - F.col("n_tokens")) / F.lit(2000.0)
+            ).alias("shard_id"),
+        )
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("shard_id")
+    )
