@@ -65,10 +65,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when casting ns→µs, so oracle comparisons line up.
     """
     configure_runtime(spark)
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # long test runs cycle many sessions: when a NEW application shows
+    # up, evict dead applications' plans so the cache stays bounded
+    if all(k[0] != app_id for k in _TABLE_CACHE):
+        _TABLE_CACHE.clear()
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, not float division: ns epochs (~1.7e18) exceed
