@@ -43,24 +43,23 @@ from aws_lakehouse_spark.registry import REGISTRY
 # already banked), and rows-only specs (oracle=None) stay dead last
 # so no `err: no_oracle` rows appear in the gate.
 #
-# Round-4 window TODO (queries with no driver row after round 3's
-# rotation — put these 20 first next round):
-# deferred from r3 (judge-green in JUDGE_ORACLE_r2.json):
-#   ann_embedding_neardup (vacuous 0-row at sf0.01),
-#   scalar_null_empty_logic, scalar_json_get, scalar_hash_fns,
-#   scalar_json_struct_agg, medallion_dim_code_map,
-#   set_union_missing_columns, incremental_agg_merge;
-# registered new in r3 (local check_parity green, never windowed;
-# snapshot_time_travel_diff already sits in the r3 window):
-#   format_roundtrip_orc, format_roundtrip_csv,
-#   source_python_datasource, text_shard_plan, text_pii_redact,
-#   dedup_containment, quality_partition_drift,
-#   maintenance_compact_roundtrip, embed_outliers,
-#   scalar_variant_json, events_transition_matrix,
+# Round-4 window TODO: after round 3's rotation, exactly 26 queries
+# have never had a driver CORRECTNESS row (8 deferred from r3 +
+# 18 registered or upgraded-to-oracle during r3) — all are
+# check_parity-green locally; put them first next round, then refresh
+# high-value banked rows with the remaining 24 slots:
+#   incremental_agg_merge, maintenance_compact_roundtrip,
 #   snapshot_delete_update, snapshot_schema_evolution,
-#   agg_approx_count_distinct, streaming_incremental_bookmark,
-#   scalar_input_file_name (the last three upgraded rows-only ->
-#   full oracle in r3).
+#   format_roundtrip_orc, format_roundtrip_csv,
+#   source_python_datasource, partition_pruned_roundtrip,
+#   scalar_null_empty_logic, scalar_json_get, scalar_hash_fns,
+#   scalar_input_file_name, scalar_json_struct_agg,
+#   scalar_variant_json, events_transition_matrix,
+#   medallion_dim_code_map, set_union_missing_columns,
+#   streaming_incremental_bookmark, quality_partition_drift,
+#   text_shard_plan, text_pii_redact, text_curation_pipeline,
+#   dedup_containment, dedup_lsh_quality, ann_embedding_neardup,
+#   embed_outliers.
 _PRIORITY = [
     # the one query ever to record a red driver row (r1 hash fail,
     # fixed + judge-verified in r2) — close it out first
