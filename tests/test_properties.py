@@ -258,3 +258,68 @@ def test_cron_next_is_minimal_and_matching(
         t += timedelta(minutes=1)
         scanned += 1
         assert scanned < 400_000
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_docs=st.integers(min_value=1, max_value=120),
+    budget=st.sampled_from([50, 200, 1000]),
+)
+def test_shard_plan_matches_sequential_reference(
+    spark, seed, n_docs, budget
+):
+    """The distributed two-level prefix sum must assign the same
+    shard ids as a trivial sequential pass over doc_id order —
+    regardless of bucket boundaries, doc sizes, or gaps in the id
+    space."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = []
+    i = 0
+    for k in range(n_docs):
+        h = hashlib.md5(f"{seed}:{k}".encode()).digest()
+        i += 1 + h[0] % 9  # gappy, increasing doc ids
+        rows.append((i, 1 + h[1] % 80))  # 1..80 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    # distributed: same shape as text_shard_plan (bucket width 16)
+    d = df.withColumn("__b", F.floor(F.col("doc_id") / 16))
+    off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__b")
+        .agg(F.sum("n_tokens").alias("__bt"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off"),
+        )
+    )
+    local_w = (
+        Window.partitionBy("__b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in d.join(F.broadcast(offsets), "__b")
+        .withColumn("__run", F.sum("n_tokens").over(local_w))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("__off") + F.col("__run") - F.col("n_tokens"))
+                / F.lit(float(budget))
+            ).alias("shard_id"),
+        )
+        .collect()
+    }
+
+    # sequential reference
+    run = 0
+    expected = {}
+    for doc_id, n_tokens in sorted(rows):
+        expected[doc_id] = run // budget
+        run += n_tokens
+    assert got == expected
