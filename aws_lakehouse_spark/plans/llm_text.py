@@ -1598,11 +1598,13 @@ def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket, plus the bucket itself) -> token-budget shard "
     "assignment -> per-shard composition stats. Every stage reuses "
     "the registered single-op semantics, so the composite is "
-    "oracle-checked end-to-end; one engine, one plan, no "
-    "materialization between stages. Scale shape: one digest "
-    "shuffle (map-side group-limit), one broadcast of the bounded "
-    "eval shingle set, one bucketed prefix-sum for shards — the "
-    "corpus is scanned once and never globally sorted.",
+    "oracle-checked end-to-end. The enriched, survivor, and clean "
+    "frames are lazily checkpointed at their fan-out points, so "
+    "the corpus parquet is scanned ONCE — when the enriched "
+    "checkpoint materializes; every later stage reads its cached "
+    "partitions — and tokenize+shingle runs once per doc; the "
+    "eval shingle set broadcasts, shards come from the bucketed "
+    "prefix sum — nothing is ever globally sorted.",
 )
 def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1627,11 +1629,13 @@ def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         shingles_col(F.col("text"), 5).alias("shingles"),
         bucket.alias("__bucket"),
-    )
+    ).localCheckpoint(eager=False)
     qualified = enriched.filter(
         (F.col("n_tokens") >= 5) & (F.col("distinct_ratio") > 0.3)
     )
-    survivors = dedupe_by_key(qualified, ["digest"], [F.asc("doc_id")])
+    survivors = dedupe_by_key(
+        qualified, ["digest"], [F.asc("doc_id")]
+    ).localCheckpoint(eager=False)
     eval_shingles = (
         enriched.filter(F.col("__bucket") < 10)
         .select(F.explode("shingles").alias("shingle"))
@@ -1647,6 +1651,7 @@ def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.filter(F.col("__bucket") >= 10)
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tokens")
+        .localCheckpoint(eager=False)
     )
     # two-level prefix sum (same shape as text_shard_plan)
     d = clean.withColumn("__b", F.floor(F.col("doc_id") / 64))
