@@ -164,7 +164,9 @@ def lsh_band_pairs(
     bands = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(band_rows)).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash").localCheckpoint(
+        eager=False
+    )  # self-joined below: one signature pass, not two
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -206,10 +208,12 @@ def jaccard_pairs(
     shingle exceeds the cap are not candidates (they are boilerplate
     overlaps, not near-dups). ``None`` disables the cap.
     """
+    # 3 consumers (explode + both per-pair set joins): checkpoint so
+    # tokenize+shingle runs once per doc, not once per consumer
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col), shingle_k).alias("shingles"),
-    )
+    ).localCheckpoint(eager=False)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
         rare = (
@@ -747,10 +751,12 @@ def containment_pairs(
     :func:`jaccard_pairs`); the exact intersection is computed only
     for candidates, from full shingle sets.
     """
+    # 3 consumers (explode + both per-pair set joins): checkpoint so
+    # tokenize+shingle runs once per doc, not once per consumer
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col), shingle_k).alias("shingles"),
-    )
+    ).localCheckpoint(eager=False)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
         rare = (

@@ -527,8 +527,14 @@ def dedup_lsh_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0
     )
-    cand = lsh_band_pairs(sub, "doc_id", "text", 3, 4, 2)
-    truth = jaccard_pairs(sub, "doc_id", "text", 3, threshold=0.4)
+    # each frame feeds its own count AND the tp join — checkpoint so
+    # candidates/truth compute once
+    cand = lsh_band_pairs(sub, "doc_id", "text", 3, 4, 2).localCheckpoint(
+        eager=False
+    )
+    truth = jaccard_pairs(
+        sub, "doc_id", "text", 3, threshold=0.4
+    ).localCheckpoint(eager=False)
     c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     t = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     tp = cand.join(truth.select("doc_a", "doc_b"), ["doc_a", "doc_b"]).agg(
