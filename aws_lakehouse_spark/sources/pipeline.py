@@ -264,3 +264,24 @@ def run_scheduled(
             results.append({"at": fire, "result": None, "error": str(exc)})
         t = fire
     return results
+
+
+def with_observed_metrics(df, name: str, **metric_exprs):
+    """C5, zero-extra-job flavor — attach named aggregate metrics to
+    a DataFrame via Spark's Observation API: the metrics are computed
+    BY THE SAME JOB that executes the frame (accumulator-backed),
+    unlike the reference's ``df.count()`` progress logging which
+    re-runs the whole plan per metric
+    (``glue-jobs/noaa_ghcn_bronze_to_silver.py:52,56,92`` — the
+    triple-count inefficiency SURVEY §4.3.1 flags).
+
+    Returns ``(observed_df, observation)``; read
+    ``observation.get`` AFTER an action on ``observed_df``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[
+        expr.alias(alias) for alias, expr in metric_exprs.items()
+    ])
+    return observed, obs

@@ -353,3 +353,29 @@ def test_run_scheduled_injectable_clock_and_isolation():
     ]
     assert [r["result"] for r in results] == ["run1", None, "run3"]
     assert results[1]["error"] == "transient"
+
+
+def test_observed_metrics_single_job(spark, sf_dir):
+    """C5 via the Observation API: row counts and quality tallies
+    arrive from the SAME job that writes the data — no re-execution
+    of the plan per metric (the reference's triple-count bug)."""
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.catalog import load_table
+    from aws_lakehouse_spark.sources.pipeline import with_observed_metrics
+
+    li = load_table(spark, sf_dir, "lineitem")
+    observed, obs = with_observed_metrics(
+        li.filter(F.col("l_quantity") > 0),
+        "cleanse_metrics",
+        n_rows=F.count(F.lit(1)),
+        n_null_ship=F.count(
+            F.when(F.col("l_shipdate").isNull(), F.lit(1))
+        ),
+        total_qty=F.sum("l_quantity"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == li.filter(F.col("l_quantity") > 0).count()
+    assert m["n_null_ship"] == 0
+    assert m["total_qty"] > 0
