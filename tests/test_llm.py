@@ -656,3 +656,106 @@ def test_incremental_exact_corpus_never_exchanged(spark):
     # batch_min digest agg + bounded hit-set agg; anything more means
     # the plan grew an unplanned shuffle
     assert n_exchanges <= 3, plan
+
+
+def _bpe_reference(word_counts, n_merges, min_pair_count=2):
+    """Independent sequential BPE (Sennrich): returns ordered merge
+    rules [(a, b, count)] with the same determinism contract as the
+    distributed version (max count, then lexicographic tie-break)."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for w, syms in seqs.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_pair_count:
+            break
+        merges.append((a, b, n))
+        for w, syms in seqs.items():
+            out, jm = [], False
+            for x in syms:
+                if out and not jm and out[-1] == a and x == b:
+                    out[-1] = a + b
+                    jm = True
+                else:
+                    out.append(x)
+                    jm = False
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    from aws_lakehouse_spark.llm.bpe import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, "text", n_merges=8)
+
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    expected = _bpe_reference(counts, 8)
+    assert [(m["left"], m["right"], m["pair_count"]) for m in got] == expected
+    # classic Sennrich example: 'es', 'est' family merges must appear
+    assert any(m["left"] + m["right"] == "es" for m in got)
+
+
+def test_bpe_apply_tokenizes_with_learned_rules(spark):
+    from aws_lakehouse_spark.llm.bpe import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab aaab"), (1, "ab ab")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, "text", n_merges=3)
+    out = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_apply(docs, merges).collect()
+    }
+    # rules learned on 'aaab': ('a','a')->'aa' (count 6... weighted),
+    # then more; whatever the rules, applying them must reproduce the
+    # training segmentation: all words concat back to the original
+    for doc_id, (tokens, n) in out.items():
+        assert n == len(tokens)
+    assert "".join(out[1][0]) == "abab"
+
+
+def test_bpe_simultaneous_pass_no_remerge(spark):
+    """A merged symbol must not immediately re-merge as the LEFT side
+    within the same round: with rule (a, aa) on 'aaaa' the result is
+    [aaa, a] (greedy left-to-right, fresh 'aaa' doesn't re-merge) —
+    not [aaaa]."""
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.llm.bpe import _merge_pair
+
+    df = spark.createDataFrame([(["a", "a", "a", "a"],)], "syms array<string>")
+    got = df.select(
+        _merge_pair(F.col("syms"), "a", "aa").alias("m")
+    ).first()["m"]
+    # left-to-right: [a,a,a,a]: a+aa? pairs are (left='a', right='aa');
+    # no element equals 'aa' so nothing merges
+    assert got == ["a", "a", "a", "a"]
+
+    df2 = spark.createDataFrame([(["a", "aa", "aa", "a"],)], "syms array<string>")
+    got2 = df2.select(
+        _merge_pair(F.col("syms"), "a", "aa").alias("m")
+    ).first()["m"]
+    # first (a, aa) merges -> 'aaa' (jm set); fresh 'aaa' is not 'a',
+    # so the following 'aa' survives; then (aa, a) is not the rule
+    assert got2 == ["aaa", "aa", "a"]
