@@ -1605,6 +1605,7 @@ def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitions — and tokenize+shingle runs once per doc; the "
     "eval shingle set broadcasts, shards come from the bucketed "
     "prefix sum — nothing is ever globally sorted.",
+    bench=True,
 )
 def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
