@@ -1687,3 +1687,79 @@ def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "text_url_canonical_dedup",
+    oracle="""
+    WITH raw AS (
+        -- deterministic planted URLs: mixed-case hosts, tracking
+        -- params, fragments, trailing slashes — 20 canonical targets
+        SELECT doc_id,
+               'https://Site' || (doc_id % 4) || '.Example.org/page/'
+               || (doc_id % 20)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?utm_source=feed&utm_campaign=x' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+               AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, 'https?://([^/?#]+)', 1))
+               || rtrim(regexp_replace(
+                      regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1),
+                      '/+$', ''), '/')
+               AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS keep_doc
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    category="llm text",
+    doc="URL canonicalization + dedup: lowercase the host, strip "
+    "query strings (tracking params), fragments, and trailing "
+    "slashes, then group crawl records by canonical URL keeping the "
+    "min doc — the fetch-dedup step every crawler runs BEFORE "
+    "content dedup (the same page fetched via 6 tracking-param "
+    "variants is one document, and catching it at the URL level "
+    "skips 5 fetches + 5 content hashes). Pure scan + one shuffle "
+    "on the canonical key. Planted variants cover case, utm, "
+    "fragment, and trailing-slash noise over 20 canonical targets.",
+)
+def text_url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://Site"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".Example.org/page/"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("?utm_source=feed&utm_campaign=x"),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#section-2")).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(""),
+    )
+    host = F.lower(F.regexp_extract(url, r"https?://([^/?#]+)", 1))
+    path = F.rtrim(
+        F.regexp_replace(
+            F.regexp_extract(url, r"https?://[^/?#]+([^?#]*)", 1),
+            r"/+$",
+            "",
+        ),
+    )
+    canonical = F.concat(host, path)
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .orderBy("canonical_url")
+    )
