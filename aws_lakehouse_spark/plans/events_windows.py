@@ -581,3 +581,94 @@ def events_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+@register(
+    "events_burst_runs",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+        SELECT user_id, event_id, ts,
+               SUM(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS burst_id
+        FROM seq
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS burst_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+               AS BIGINT) AS duration_s
+    FROM islands
+    GROUP BY user_id, burst_id
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, burst_start
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Burst detection via gaps-and-islands: per-user event gaps "
+    "over a lag window, island ids from a running count of "
+    ">1-hour gaps, bursts = islands of >=3 events with start and "
+    "duration — the activity-spike detector (abuse, scraping, "
+    "incident load) that watermarked windows can't express because "
+    "burst boundaries are DATA-driven, not aligned to a grid. Scale "
+    "shape: both windows partition by user_id — one shuffle, no "
+    "global ordering; microsecond-epoch arithmetic keeps the gap "
+    "math integer-exact across engines.",
+)
+def events_burst_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ (nanos-parquet conversion); unix_micros
+    # requires TIMESTAMP — the session is pinned UTC, so the cast
+    # is wall-clock-identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = seq.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(
+                F.col("gap_us").isNull() | (F.col("gap_us") > 3_600_000_000),
+                1,
+            ).otherwise(0)
+        )
+        .over(run_w)
+        .alias("burst_id"),
+    )
+    return (
+        islands.groupBy("user_id", "burst_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "burst_start"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                (F.unix_micros(F.max("ts").cast("timestamp"))
+                 - F.unix_micros(F.min("ts").cast("timestamp")))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("duration_s"),
+        )
+        .filter(F.col("n_events") >= 3)
+        .drop("burst_id")
+        .orderBy("user_id", "burst_start")
+    )
