@@ -772,3 +772,53 @@ def join_fuzzy_levenshtein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.levenshtein("c_name", "d_name").cast("int").alias("edit_distance"),
     )
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_disc(l_extendedprice,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+        FROM lineitem
+    )
+    SELECT CAST(len(list_filter(cuts.c, x -> x < l.l_extendedprice))
+               AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM lineitem l, cuts
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    category="2.4 aggregates",
+    doc="Equi-DEPTH histogram (deciles): cut points from one "
+    "mergeable-sketch pass (approx_percentile sized exact at test "
+    "SF — the same sketch-parity contract as agg_quantile_sketch), "
+    "broadcast back, bucket derived scan-side as count-of-cuts-"
+    "below. Two bounded passes and one small shuffle — never the "
+    "ntile global sort, which is how equi-depth binning stays "
+    "feasible at 100 TB. Complements the fixed-width "
+    "agg_histogram.",
+)
+def agg_histogram_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = ", ".join(f"{q / 10:.1f}D" for q in range(1, 10))
+    cuts = li.agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({qs}), 1000000)"
+        ).alias("c")
+    )
+    bucket = F.size(
+        F.filter(F.col("c"), lambda x: x < F.col("l_extendedprice"))
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
