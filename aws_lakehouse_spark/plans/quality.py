@@ -177,3 +177,39 @@ def quality_partition_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("trail_sd") > 0, F.round(z, 4)).alias("z_score"),
         F.when(F.col("trail_sd") > 0, F.abs(z) > 2.0).alias("is_drift"),
     ).orderBy("d")
+
+
+@register(
+    "quality_column_mask",
+    oracle="""
+    SELECT c_custkey,
+           md5(CAST(c_name AS VARCHAR)) AS c_name,
+           CASE WHEN length(CAST(c_mktsegment AS VARCHAR)) <= 4 THEN '****'
+                ELSE substring(CAST(c_mktsegment AS VARCHAR), 1, 2) || '****'
+                     || substring(CAST(c_mktsegment AS VARCHAR),
+                                  length(CAST(c_mktsegment AS VARCHAR)) - 1, 2)
+           END AS c_mktsegment,
+           CAST(NULL AS DOUBLE) AS c_acctbal,
+           c_nationkey
+    FROM customer
+    """,
+    category="quality (governance)",
+    doc="Column-level masking for governed exports: md5 "
+    "pseudonymization keeps the name joinable without exposing it, "
+    "partial masking leaves the segment eyeball-checkable, the "
+    "balance nulls out entirely — the per-column policy trio a "
+    "governed export applies before data crosses a trust boundary. "
+    "Pure scan-side projection, no shuffle; the oracle applies the "
+    "identical policies in SQL so a green row certifies the exact "
+    "masked output.",
+)
+def quality_column_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.quality import mask_columns
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal", "c_nationkey"
+    )
+    return mask_columns(
+        cust,
+        {"c_name": "hash", "c_mktsegment": "partial", "c_acctbal": "null"},
+    )

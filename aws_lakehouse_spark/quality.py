@@ -75,3 +75,71 @@ def referential_violations(
     """Referential-integrity check: child rows whose foreign key has
     no parent (anti-join — one shuffle on the key, AQE-sized)."""
     return child.join(parent, child[fk] == parent[pk], "left_anti")
+
+
+def mask_columns(df, policies: dict):
+    """Column-level masking for governed exports: apply per-column
+    policies before data leaves the boundary. Policies: ``"hash"``
+    (md5 — join-stable pseudonymization), ``"null"`` (drop the
+    value), ``"partial"`` (keep first 2 + last 2 chars, mask the
+    middle) — the standard trio for PII-bearing columns where the
+    downstream still needs joinability, presence, or eyeball
+    redaction respectively. Pure scan-side projection; no shuffle.
+    """
+    import pyspark.sql.functions as F
+
+    out = df
+    for col, policy in policies.items():
+        if policy == "hash":
+            out = out.withColumn(col, F.md5(F.col(col).cast("string")))
+        elif policy == "null":
+            out = out.withColumn(
+                col, F.lit(None).cast(dict(df.dtypes)[col])
+            )
+        elif policy == "partial":
+            c = F.col(col).cast("string")
+            out = out.withColumn(
+                col,
+                F.when(F.length(c) <= 4, F.lit("****")).otherwise(
+                    F.concat(
+                        F.substring(c, 1, 2),
+                        F.lit("****"),
+                        F.substring(c, -2, 2),
+                    )
+                ),
+            )
+        else:
+            raise ValueError(f"unknown masking policy {policy!r} for {col}")
+    return out
+
+
+def validated_write(df, expectations: dict, writer_fn):
+    """Write gate: run ``writer_fn(observed_df)`` (any action-taking
+    writer) with ``expectations`` (name -> boolean-per-row Column)
+    tallied BY THE WRITE JOB itself via the Observation API, then
+    raise ``ValueError`` listing every violated expectation. One
+    job total — the data lands, the gate costs nothing extra, and a
+    violation surfaces immediately after (callers roll back via the
+    snapshot log's previous version when writing versioned tables).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    obs = Observation("write_gate")
+    metrics = [
+        F.count(F.when(~cond, F.lit(1))).alias(f"viol_{name}")
+        for name, cond in expectations.items()
+    ]
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"), *metrics)
+    writer_fn(observed)
+    got = obs.get
+    violations = {
+        name: got[f"viol_{name}"]
+        for name in expectations
+        if got[f"viol_{name}"] > 0
+    }
+    if violations:
+        raise ValueError(
+            f"write gate failed ({got['n_rows']} rows): {violations}"
+        )
+    return got
