@@ -407,3 +407,80 @@ def image_dhash(media: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+AUDIO_SILENCE_SCHEMA = (
+    "media_id bigint, n_frames bigint, n_silent bigint, "
+    "silence_ratio double, leading_silence_ms bigint, "
+    "trailing_silence_ms bigint"
+)
+
+
+def extract_audio_silence(
+    media: DataFrame, threshold: int = 50
+) -> DataFrame:
+    """Silence analysis over mono 16-bit WAV payloads (Arrow
+    batches): per clip, the silent-frame ratio plus leading and
+    trailing silence durations — the trim/filter pass an audio
+    training pipeline runs before chunking (leading/trailing dead
+    air carries no signal; mostly-silent clips are dropped).
+
+    A frame is silent when ``|amplitude| < threshold``; durations
+    use integer ``frames * 1000 // rate`` (exact cross-engine
+    arithmetic, same convention as ``duration_ms``).
+    """
+    import struct as _struct
+
+    from aws_lakehouse_spark.llm.codecs import wav_decode
+
+    def analyze(payload: bytes) -> dict:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            frames = w.readframes(n)
+        samples = _struct.unpack(f"<{len(frames) // 2}h", frames)
+        silent = [abs(s) < threshold for s in samples]
+        n_silent = sum(silent)
+        lead = 0
+        for flag in silent:
+            if not flag:
+                break
+            lead += 1
+        trail = 0
+        for flag in reversed(silent):
+            if not flag:
+                break
+            trail += 1
+        if n_silent == len(silent):
+            trail = 0  # fully-silent clip: report everything as lead
+            lead = len(silent)
+        return {
+            "n_frames": len(silent),
+            "n_silent": n_silent,
+            "silence_ratio": n_silent / max(len(silent), 1),
+            "leading_silence_ms": lead * 1000 // rate,
+            "trailing_silence_ms": trail * 1000 // rate,
+        }
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["content"].map(analyze)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": feats.map(lambda d: d["n_frames"]),
+                    "n_silent": feats.map(lambda d: d["n_silent"]),
+                    "silence_ratio": feats.map(lambda d: d["silence_ratio"]),
+                    "leading_silence_ms": feats.map(
+                        lambda d: d["leading_silence_ms"]
+                    ),
+                    "trailing_silence_ms": feats.map(
+                        lambda d: d["trailing_silence_ms"]
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_extract, AUDIO_SILENCE_SCHEMA)

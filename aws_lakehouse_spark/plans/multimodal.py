@@ -461,3 +461,70 @@ def media_image_dhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("member_ids"),
         )
     )
+
+
+def _audio_silence_fixture() -> list[tuple[int, bytes, int, int, int]]:
+    """10 mono WAVs with PLANTED leading/trailing silence; returns
+    (id, wav, n, lead, trail) with the plant parameters."""
+    out = []
+    for i in range(10):
+        rate = 8000
+        n = 400 + 80 * i
+        lead = 40 + 10 * i
+        trail = 20 + 5 * i
+
+        def amp(j: int, i: int = i, n: int = n, lead: int = lead,
+                trail: int = trail) -> int:
+            if j < lead or j >= n - trail:
+                return 0
+            # guaranteed non-silent body: magnitude >= 100
+            return 100 + ((j * 31 + i * 7) % 1500)
+
+        out.append((i, wav_encode(n, rate, amp), n, lead, trail))
+    return out
+
+
+def _audio_silence_oracle() -> str:
+    """Analytic oracle: expected values computed from the PLANT
+    parameters (not from decoding) — independent of the codec path."""
+    rows = []
+    for i, _wav, n, lead, trail in _audio_silence_fixture():
+        ratio = (lead + trail) / n
+        rows.append(
+            f"({i}, {n}, {lead + trail}, {ratio!r}, "
+            f"{lead * 1000 // 8000}, {trail * 1000 // 8000})"
+        )
+    values = ",\n        ".join(rows)
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_silent AS BIGINT) AS n_silent,
+           CAST(silence_ratio AS DOUBLE) AS silence_ratio,
+           CAST(leading_silence_ms AS BIGINT) AS leading_silence_ms,
+           CAST(trailing_silence_ms AS BIGINT) AS trailing_silence_ms
+    FROM (VALUES
+        {values}
+    ) t(media_id, n_frames, n_silent, silence_ratio,
+        leading_silence_ms, trailing_silence_ms)
+    """
+
+
+@register(
+    "media_audio_silence",
+    oracle=_audio_silence_oracle(),
+    category="llm multimodal",
+    doc="Silence analysis over real PCM samples (Arrow batches): "
+    "silent-frame ratio + leading/trailing silence durations — the "
+    "trim/filter pass audio pipelines run before chunking. WAVs "
+    "carry PLANTED silence spans, and the oracle derives expected "
+    "values from the plant parameters alone, so a green row "
+    "certifies encode → decode → frame analysis end-to-end against "
+    "ground truth the codec never touched.",
+)
+def media_audio_silence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import extract_audio_silence
+
+    rows = [(i, bytearray(wav)) for i, wav, _n, _l, _t in
+            _audio_silence_fixture()]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    return extract_audio_silence(media)
