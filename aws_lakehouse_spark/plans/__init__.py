@@ -43,23 +43,24 @@ from aws_lakehouse_spark.registry import REGISTRY
 # already banked), and rows-only specs (oracle=None) stay dead last
 # so no `err: no_oracle` rows appear in the gate.
 #
-# Round-4 window TODO: after round 3's rotation, exactly 26 queries
-# have never had a driver CORRECTNESS row (8 deferred from r3 +
-# 18 registered or upgraded-to-oracle during r3) — all are
-# check_parity-green locally; put them first next round, then refresh
-# high-value banked rows with the remaining 24 slots:
-#   incremental_agg_merge, maintenance_compact_roundtrip,
-#   snapshot_delete_update, snapshot_schema_evolution,
-#   format_roundtrip_orc, format_roundtrip_csv,
-#   source_python_datasource, partition_pruned_roundtrip,
-#   scalar_null_empty_logic, scalar_json_get, scalar_hash_fns,
-#   scalar_input_file_name, scalar_json_struct_agg,
-#   scalar_variant_json, events_transition_matrix,
-#   medallion_dim_code_map, set_union_missing_columns,
-#   streaming_incremental_bookmark, quality_partition_drift,
-#   text_shard_plan, text_pii_redact, text_curation_pipeline,
-#   dedup_containment, dedup_lsh_quality, ann_embedding_neardup,
-#   embed_outliers.
+# Round-4 window TODO: after round 3's rotation, 32 queries
+# have never had a driver CORRECTNESS row (8 deferred from r3, the
+# rest registered or upgraded-to-oracle during r3) — all are
+# check_parity-green locally. Put them first next round; fill the
+# remaining 18 slots by re-checking high-value banked rows
+# (flagship, TPC-H heads):
+#   agg_histogram_equidepth, ann_embedding_neardup, dedup_containment,
+#   dedup_lsh_quality, embed_outliers, events_burst_runs,
+#   events_transition_matrix, format_roundtrip_csv, format_roundtrip_orc,
+#   incremental_agg_merge, join_fuzzy_levenshtein,
+#   maintenance_compact_roundtrip, medallion_dim_code_map,
+#   media_audio_silence, partition_pruned_roundtrip, quality_column_mask,
+#   quality_partition_drift, scalar_hash_fns, scalar_input_file_name,
+#   scalar_json_get, scalar_json_struct_agg, scalar_null_empty_logic,
+#   scalar_variant_json, set_union_missing_columns, snapshot_delete_update,
+#   snapshot_schema_evolution, source_python_datasource,
+#   streaming_incremental_bookmark, text_curation_pipeline, text_pii_redact,
+#   text_shard_plan, text_url_canonical_dedup
 _PRIORITY = [
     # the one query ever to record a red driver row (r1 hash fail,
     # fixed + judge-verified in r2) — close it out first
