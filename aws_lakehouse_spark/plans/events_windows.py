@@ -672,3 +672,58 @@ def events_burst_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("burst_id")
         .orderBy("user_id", "burst_start")
     )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+    WITH day_user AS (
+        SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                   AS DATE) AS d,
+               user_id
+        FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM day_user
+    ), contrib AS (
+        SELECT du.d + CAST(o.o AS INTEGER) AS target_d, du.user_id
+        FROM day_user du, (SELECT unnest(range(0, 7)) AS o) o
+    )
+    SELECT strftime(c.target_d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN days ON days.d = c.target_d
+    GROUP BY c.target_d
+    ORDER BY day
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Rolling 7-day active users per day (WAU): rolling COUNT "
+    "DISTINCT cannot be a window aggregate (distincts don't sum "
+    "across frames), so each (day, user) contribution EXPLODES to "
+    "the 7 target days it supports and distinct users are counted "
+    "per target day — turning an uncomputable sliding distinct into "
+    "one dedup shuffle + a 7x bounded explode + one count-distinct "
+    "shuffle. THE product-engagement metric, and the standard "
+    "pattern for any sliding-window distinct at scale. Target days "
+    "clamp to days observed in the data.",
+)
+def events_rolling_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = day_user.select("d").distinct()
+    contrib = day_user.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+        "user_id",
+    ).select(F.date_add(F.col("d"), F.col("o")).alias("target_d"), "user_id")
+    return (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("d", "target_d")), "target_d"
+        )
+        .groupBy("target_d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(
+            F.date_format("target_d", "yyyy-MM-dd").alias("day"), "wau"
+        )
+        .orderBy("day")
+    )
