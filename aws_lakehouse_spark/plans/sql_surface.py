@@ -249,3 +249,74 @@ def streaming_incremental_bookmark_q(spark: SparkSession, sf_dir: str) -> DataFr
         sink,
     )
     return spark.read.parquet(sink)
+
+
+@register(
+    "streaming_cdc_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS seq
+        FROM orders WHERE o_orderkey <= 10000
+    ), updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, 1 AS seq
+        FROM orders WHERE o_orderkey <= 10000 AND o_orderkey % 4 = 0
+    ), unioned AS (
+        SELECT * FROM base UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM unioned
+    ) WHERE rn = 1
+    """,
+    category="2.10 streaming (CDC merge)",
+    doc="Streaming CDC-apply under the oracle gate: two file batches "
+    "(a base load, then keyed updates) land in a source dir; two "
+    "AvailableNow drains run streaming_upsert — checkpointed file "
+    "stream, foreachBatch keyed SCD-1 merge into the snapshot log, "
+    "one time-travelable version per batch — and the final snapshot "
+    "is read back. The oracle recomputes last-writer-wins straight "
+    "from source parquet, so a green row certifies checkpoint "
+    "bookmarking, the per-batch merge, and the manifest commit "
+    "end-to-end through a REAL streaming query, not a batch "
+    "simulation.",
+)
+def streaming_cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import read_snapshot
+    from aws_lakehouse_spark.streaming.apply import streaming_upsert
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 10000
+    )
+    work = tempfile.mkdtemp(prefix="lakehouse_cdc_stream_")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    table = os.path.join(work, "merged")
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, "
+        "o_totalprice double, seq int"
+    )
+
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("seq")
+    )
+    base.coalesce(1).write.mode("append").parquet(src)
+    streaming_upsert(spark, src, schema, ckpt, table, ["o_orderkey"], "seq")
+
+    updates = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+    )
+    updates.coalesce(1).write.mode("append").parquet(src)
+    streaming_upsert(spark, src, schema, ckpt, table, ["o_orderkey"], "seq")
+
+    return read_snapshot(spark, table).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
