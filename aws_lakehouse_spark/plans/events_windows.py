@@ -727,3 +727,117 @@ def events_rolling_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+    WITH wu AS (
+        SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                   AS DATE) AS wk,
+               user_id
+        FROM events
+    ), weeks AS (
+        SELECT DISTINCT wk FROM wu
+    ), pairs AS (
+        SELECT w1.wk AS wk, w1.wk + 7 AS next_wk FROM weeks w1
+        WHERE EXISTS (SELECT 1 FROM weeks w2 WHERE w2.wk = w1.wk + 7)
+    )
+    SELECT strftime(p.next_wk, '%Y-%m-%d') AS week,
+           CAST(COUNT(CASE WHEN cur.user_id IS NOT NULL
+                            AND prev.user_id IS NOT NULL THEN 1 END)
+               AS BIGINT) AS retained,
+           CAST(COUNT(CASE WHEN cur.user_id IS NULL
+                            AND prev.user_id IS NOT NULL THEN 1 END)
+               AS BIGINT) AS churned,
+           CAST(COUNT(CASE WHEN cur.user_id IS NOT NULL
+                            AND prev.user_id IS NULL THEN 1 END)
+               AS BIGINT) AS new_users
+    FROM pairs p
+    LEFT JOIN wu prev ON prev.wk = p.wk
+    FULL OUTER JOIN wu cur
+      ON cur.wk = p.next_wk AND cur.user_id = prev.user_id
+     AND prev.wk = p.wk
+    WHERE p.next_wk IS NOT NULL
+      AND COALESCE(prev.wk, cur.wk - 7) = p.wk
+    GROUP BY p.next_wk
+    ORDER BY week
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Week-over-week growth accounting: for each consecutive week "
+    "pair, users classify as retained (active both), churned (prior "
+    "only), or new (current only) via a full-outer join of the two "
+    "weekly distinct-user sets keyed on (week, user) — the standard "
+    "engagement ledger. One dedup shuffle plus one co-partitioned "
+    "full outer per week pair; weekly user sets scale with actives, "
+    "not events.",
+)
+def events_growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wu = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        "user_id",
+    ).distinct()
+    weeks = wu.select("wk").distinct()
+    pairs = (
+        weeks.alias("w1")
+        .join(
+            weeks.alias("w2"),
+            F.col("w2.wk") == F.date_add(F.col("w1.wk"), 7),
+            "left_semi",
+        )
+        .select(
+            F.col("wk"), F.date_add(F.col("wk"), 7).alias("next_wk")
+        )
+    )
+    prev = wu.select(F.col("wk").alias("pwk"), F.col("user_id").alias("pu"))
+    cur = wu.select(F.col("wk").alias("cwk"), F.col("user_id").alias("cu"))
+    classified = (
+        F.broadcast(pairs)
+        .join(prev, F.col("pwk") == F.col("wk"), "inner")
+        .join(
+            cur,
+            (F.col("cwk") == F.col("next_wk")) & (F.col("cu") == F.col("pu")),
+            "full_outer",
+        )
+    )
+    # rows from cur with no pair context (first week) are excluded by
+    # requiring a resolvable week pair on either side
+    both = classified.filter(
+        F.col("next_wk").isNotNull() | F.col("cwk").isNotNull()
+    )
+    # recompute the week key from whichever side is present
+    week = F.coalesce(F.col("next_wk"), F.col("cwk"))
+    # "new" rows (cur-only) must still belong to a week that HAS a
+    # predecessor week — semi join against pairs.next_wk
+    valid_next = pairs.select(F.col("next_wk").alias("vn")).distinct()
+    both = both.join(
+        F.broadcast(valid_next), week == F.col("vn"), "left_semi"
+    )
+    return (
+        both.groupBy(week.alias("week"))
+        .agg(
+            F.count(
+                F.when(F.col("cu").isNotNull() & F.col("pu").isNotNull(), 1)
+            )
+            .cast("bigint")
+            .alias("retained"),
+            F.count(
+                F.when(F.col("cu").isNull() & F.col("pu").isNotNull(), 1)
+            )
+            .cast("bigint")
+            .alias("churned"),
+            F.count(
+                F.when(F.col("cu").isNotNull() & F.col("pu").isNull(), 1)
+            )
+            .cast("bigint")
+            .alias("new_users"),
+        )
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "retained",
+            "churned",
+            "new_users",
+        )
+        .orderBy("week")
+    )
