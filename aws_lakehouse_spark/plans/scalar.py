@@ -456,3 +456,42 @@ def scalar_variant_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / l_discount, 4) END
+             AS price_per_discount,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                         THEN CAST(l_orderkey AS VARCHAR)
+                         ELSE l_returnflag END AS BIGINT) AS maybe_int
+    FROM lineitem
+    WHERE l_orderkey <= 5000
+    """,
+    category="2.8 scalar (error-safe extension)",
+    doc="Error-safe scalar family: try_divide (NULL on zero divisor, "
+    "never a job-killing ArithmeticException) and try_cast (NULL on "
+    "malformed input) — the ingestion posture for dirty data, where "
+    "one bad record must cost one NULL, not the stage. Oracle via "
+    "CASE guards and TRY_CAST; a free-text column cast to "
+    "BIGINT/DATE yields NULL on both engines.",
+)
+def scalar_try_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 5000
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 4
+        ).alias("price_per_discount"),
+        F.expr(
+            "try_cast(CASE WHEN l_linenumber % 2 = 0 "
+            "THEN CAST(l_orderkey AS STRING) "
+            "ELSE l_returnflag END AS BIGINT)"
+        ).alias("maybe_int"),
+    )
