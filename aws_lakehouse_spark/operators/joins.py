@@ -231,3 +231,51 @@ def range_join_banded(
     if extra_condition is not None:
         cond = cond & extra_condition
     return lb.join(rb, "__band").filter(cond).drop("__band")
+
+
+def interval_overlap_join_banded(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str,
+    a_hi: str,
+    b_lo: str,
+    b_hi: str,
+    band_width: float,
+) -> DataFrame:
+    """Large×large interval OVERLAP join (``a_lo <= b_hi AND b_lo <=
+    a_hi``) without a nested loop: both interval sets band onto a
+    coarse grid and equi-join on the band id.
+
+    Unlike the point-in-interval case, an overlapping pair can share
+    MANY bands; instead of a dedup shuffle, each pair is emitted only
+    in its CANONICAL band — the band of the later interval start,
+    ``greatest(floor(a_lo/w), floor(b_lo/w))`` — which every
+    overlapping pair shares exactly once (the later start lies inside
+    both intervals). Join input is O(Σ spans / w) per side; output
+    carries no duplicates by construction. Column names must be
+    disjoint across the two sides.
+    """
+    ab = a.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_lo) / band_width).cast("long"),
+                F.floor(F.col(a_hi) / band_width).cast("long"),
+            )
+        ),
+    )
+    bb = b.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_lo) / band_width).cast("long"),
+                F.floor(F.col(b_hi) / band_width).cast("long"),
+            )
+        ),
+    )
+    overlap = (F.col(a_lo) <= F.col(b_hi)) & (F.col(b_lo) <= F.col(a_hi))
+    canonical = F.col("__band") == F.greatest(
+        F.floor(F.col(a_lo) / band_width).cast("long"),
+        F.floor(F.col(b_lo) / band_width).cast("long"),
+    )
+    return ab.join(bb, "__band").filter(overlap & canonical).drop("__band")

@@ -822,3 +822,60 @@ def agg_histogram_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS a_key, o_totalprice AS a_lo,
+               o_totalprice + 5000 AS a_hi
+        FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 2 = 0
+    ), b AS (
+        SELECT o_orderkey AS b_key, o_totalprice AS b_lo,
+               o_totalprice + 3000 AS b_hi
+        FROM orders WHERE o_orderkey <= 2000 AND o_orderkey % 2 = 1
+    )
+    SELECT a_key, b_key,
+           ROUND(LEAST(a_hi, b_hi) - GREATEST(a_lo, b_lo), 2)
+             AS overlap_amount
+    FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+    """,
+    category="2.3 joins (interval overlap)",
+    doc="Interval x interval OVERLAP join without a nested loop: "
+    "both sides band onto a 4000-wide grid, equi-join on the band, "
+    "and each pair is emitted only in its canonical band (the later "
+    "interval start) so no dedup shuffle is ever needed — the "
+    "temporal/range analytics join (shift overlaps, price-band "
+    "collisions, genomic ranges) at O(spans/width) join input "
+    "instead of O(|A| x |B|). Oracle is the plain quadratic overlap "
+    "join.",
+)
+def join_interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.joins import (
+        interval_overlap_join_banded,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    )
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_totalprice").alias("a_lo"),
+        (F.col("o_totalprice") + 5000).alias("a_hi"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_totalprice").alias("b_lo"),
+        (F.col("o_totalprice") + 3000).alias("b_hi"),
+    )
+    joined = interval_overlap_join_banded(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", 4000.0
+    )
+    return joined.select(
+        "a_key",
+        "b_key",
+        F.round(
+            F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo"), 2
+        ).alias("overlap_amount"),
+    )
