@@ -879,3 +879,56 @@ def join_interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo"), 2
         ).alias("overlap_amount"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderpriority, o_totalprice, o_orderkey,
+               SUM(o_orderkey % 7 + 1) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(o_orderkey % 7 + 1) OVER (
+                   PARTITION BY o_orderpriority) AS totw
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           ROUND(MIN(o_totalprice), 2) AS weighted_median_price
+    FROM w
+    WHERE cumw * 2 >= totw
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.4 aggregates (weighted)",
+    doc="Weighted median per group (weight = a deterministic per-row "
+    "integer): cumulative weights over a PARTITIONED window pick the "
+    "first value whose running weight reaches half the group total — "
+    "the robust central-tendency metric when rows carry unequal mass "
+    "(revenue-weighted latency, token-weighted quality). Scale "
+    "shape: one shuffle on the group key; each window sorts within "
+    "its group only — never a global sort. Integer weights and an "
+    "orderkey tie-break keep the pick engine-deterministic.",
+)
+def agg_weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wcol = (F.col("o_orderkey") % 7 + 1)
+    cum_w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tot_w = Window.partitionBy("o_orderpriority")
+    w = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum(wcol).over(cum_w).alias("cumw"),
+        F.sum(wcol).over(tot_w).alias("totw"),
+    )
+    return (
+        w.filter(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.min("o_totalprice"), 2).alias("weighted_median_price"))
+        .orderBy("o_orderpriority")
+    )
