@@ -484,3 +484,44 @@ def extract_audio_silence(
             )
 
     return media.mapInPandas(_extract, AUDIO_SILENCE_SCHEMA)
+
+
+IMAGE_HISTOGRAM_SCHEMA = (
+    "media_id bigint, "
+    + ", ".join(
+        f"{ch}{b} bigint" for ch in ("r", "g", "b") for b in range(4)
+    )
+)
+
+
+def extract_image_histograms(media: DataFrame) -> DataFrame:
+    """Per-channel 4-bin intensity histograms over real decoded
+    pixels (bins of width 64) — the distribution fingerprint image
+    curation uses to drop washed-out/black frames and to stratify
+    augmentation. Pure-numpy binning per Arrow batch."""
+    import numpy as np
+
+    from aws_lakehouse_spark.llm.codecs import png_decode_pixels
+
+    def hist(payload: bytes) -> list[int]:
+        d = png_decode_pixels(bytes(payload))
+        arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+            -1, d["channels"]
+        )
+        out: list[int] = []
+        for ch in range(3):
+            col = arr[:, ch] if ch < d["channels"] else arr[:, 0]
+            out.extend(np.bincount(col // 64, minlength=4)[:4].tolist())
+        return out
+
+    cols = [f"{ch}{b}" for ch in ("r", "g", "b") for b in range(4)]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = pdf["content"].map(hist)
+            data = {"media_id": pdf["media_id"]}
+            for idx, c in enumerate(cols):
+                data[c] = hs.map(lambda v, idx=idx: v[idx])
+            yield pd.DataFrame(data)
+
+    return media.mapInPandas(_extract, IMAGE_HISTOGRAM_SCHEMA)

@@ -528,3 +528,53 @@ def media_audio_silence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             _audio_silence_fixture()]
     media = spark.createDataFrame(rows, "media_id bigint, content binary")
     return extract_audio_silence(media)
+
+
+def _image_histogram_oracle() -> str:
+    """Expected histograms computed straight from the gradient pixel
+    FORMULA (never decoded) — fully independent of the codec path."""
+    rows = []
+    for i, _png, w, h in _image_fixture():
+        bins = {f"{c}{b}": 0 for c in "rgb" for b in range(4)}
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (x * 7 + i) % 256, (y * 11 + i) % 256, (x + y + i) % 256
+                bins[f"r{r // 64}"] += 1
+                bins[f"g{g // 64}"] += 1
+                bins[f"b{b // 64}"] += 1
+        vals = ", ".join(
+            str(bins[f"{c}{b}"]) for c in "rgb" for b in range(4)
+        )
+        rows.append(f"({i}, {vals})")
+    cols = ", ".join(f"{c}{b}" for c in "rgb" for b in range(4))
+    casts = ",\n           ".join(
+        f"CAST({c}{b} AS BIGINT) AS {c}{b}" for c in "rgb" for b in range(4)
+    )
+    values = ",\n        ".join(rows)
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           {casts}
+    FROM (VALUES
+        {values}
+    ) t(media_id, {cols})
+    """
+
+
+@register(
+    "media_image_histogram",
+    oracle=_image_histogram_oracle(),
+    category="llm multimodal",
+    doc="Per-channel 4-bin intensity histograms over REAL decoded "
+    "pixels (64-wide bins, numpy bincount per Arrow batch) — the "
+    "distribution fingerprint curation uses to drop washed-out or "
+    "black frames. The oracle computes expected counts from the "
+    "gradient pixel FORMULA, never from the decoder, so a green row "
+    "certifies encode → decode → binning against independent ground "
+    "truth.",
+)
+def media_image_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import extract_image_histograms
+
+    rows = [(i, bytearray(png)) for i, png, _w, _h in _image_fixture()]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    return extract_image_histograms(media)
