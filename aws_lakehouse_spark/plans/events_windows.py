@@ -841,3 +841,96 @@ def events_growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                         > INTERVAL 30 MINUTE
+                    OR LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    ), sess AS (
+        SELECT user_id, session_no,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                   AS BIGINT) AS duration_s
+        FROM s GROUP BY user_id, session_no
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_events,
+           CAST(quantile_disc(duration_s, 0.50) AS BIGINT) AS p50_duration_s,
+           CAST(quantile_disc(duration_s, 0.90) AS BIGINT) AS p90_duration_s,
+           CAST(MAX(duration_s) AS BIGINT) AS max_duration_s,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bounce_sessions
+    FROM sess
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Session-quality profile: sessionize (30-min gap rule, same "
+    "islands logic as events_sessionize) then aggregate the SESSION "
+    "frame — count, mean events, p50/p90/max duration (sketch "
+    "quantiles, exact at this cardinality), and single-event bounce "
+    "sessions. The engagement summary a product team reads daily. "
+    "Scale shape: one user-partitioned window shuffle, then "
+    "aggregates over the session frame (scales with sessions, not "
+    "events); quantile sketch keeps the final reduce bounded.",
+)
+def events_session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    run_w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = ev.select(
+        "user_id", "event_id", "ts", new_session.alias("ns")
+    ).withColumn("session_no", F.sum("ns").over(run_w))
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            )
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.expr("approx_percentile(duration_s, 0.50, 1000000)")
+        .cast("bigint")
+        .alias("p50_duration_s"),
+        F.expr("approx_percentile(duration_s, 0.90, 1000000)")
+        .cast("bigint")
+        .alias("p90_duration_s"),
+        F.max("duration_s").cast("bigint").alias("max_duration_s"),
+        F.count(F.when(F.col("n_events") == 1, 1))
+        .cast("bigint")
+        .alias("bounce_sessions"),
+    )
