@@ -559,3 +559,55 @@ def dedup_lsh_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH aug AS (
+        -- plant trivially-different variants: 1/4 of docs get an
+        -- uppercased, whitespace-padded twin appended to the corpus
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               upper(text) || '   '
+        FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+             AS norm_digest,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM aug
+    GROUP BY norm_digest
+    HAVING COUNT(*) > 1
+    ORDER BY norm_digest
+    """,
+    category="llm dedup",
+    doc="Normalization-aware exact dedup: casefold + whitespace "
+    "collapse + trim BEFORE digesting, so case and formatting "
+    "variants of identical content collapse into one group — the "
+    "cheap tier between byte-exact and MinHash that catches "
+    "re-encoded/reformatted mirror copies byte-exact dedup misses. "
+    "Planted uppercase/padded twins for 1/4 of docs make the catch "
+    "observable; one shuffle on the normalized digest.",
+)
+def dedup_exact_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+        )
+    )
+    norm = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    return (
+        aug.groupBy(norm.alias("norm_digest"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        )
+        .filter(F.col("n_variants") > 1)
+        .orderBy("norm_digest")
+    )
