@@ -932,3 +932,35 @@ def agg_weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.min("o_totalprice"), 2).alias("weighted_median_price"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    category="2.4 aggregates (string)",
+    doc="Ordered string aggregation (LISTAGG / string_agg): nation "
+    "names concatenated per region in deterministic sort order — "
+    "the denormalization step that feeds display layers and CSV "
+    "exports. Determinism requires the explicit WITHIN-GROUP order; "
+    "an unordered listagg is partitioning-dependent and would never "
+    "hash-match. Dim-sized group frame; one shuffle.",
+)
+def agg_string_concat_ordered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations_csv"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
