@@ -43,13 +43,14 @@ from aws_lakehouse_spark.registry import REGISTRY
 # already banked), and rows-only specs (oracle=None) stay dead last
 # so no `err: no_oracle` rows appear in the gate.
 #
-# Round-4 window TODO: after round 3's rotation, 40 queries
+# Round-4 window TODO: after round 3's rotation, 42 queries
 # have never had a driver CORRECTNESS row (8 deferred from r3, the
 # rest registered or upgraded-to-oracle during r3) — all are
 # check_parity-green locally. Put them first next round; fill any
 # remaining slots by re-checking high-value banked rows:
-#   agg_histogram_equidepth, agg_weighted_median, ann_embedding_neardup,
-#   dedup_containment, dedup_lsh_quality, embed_outliers, events_burst_runs,
+#   agg_histogram_equidepth, agg_string_concat_ordered, agg_weighted_median,
+#   ann_embedding_neardup, dedup_containment, dedup_exact_normalized,
+#   dedup_lsh_quality, embed_outliers, events_burst_runs,
 #   events_growth_accounting, events_rolling_wau, events_session_stats,
 #   events_transition_matrix, format_roundtrip_csv, format_roundtrip_orc,
 #   incremental_agg_merge, join_fuzzy_levenshtein, join_interval_overlap,
