@@ -1763,3 +1763,68 @@ def text_url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len({DUCK_TOKS}) AS BIGINT) AS n_words,
+               length(text) AS n_chars,
+               len(list_filter({DUCK_TOKS},
+                   t -> regexp_matches(t, '^[a-z]+$'))) AS n_alpha_words,
+               len(regexp_extract_all(text, '[#*>=_|]')) AS n_symbols
+        FROM documents
+    )
+    SELECT doc_id,
+           n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+           CAST(n_chars AS DOUBLE) / greatest(n_words, 1) >= 3
+             AND CAST(n_chars AS DOUBLE) / greatest(n_words, 1) <= 10
+             AS pass_mean_word_len,
+           CAST(n_alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8
+             AS pass_alpha_ratio,
+           CAST(n_symbols AS DOUBLE) / greatest(n_words, 1) <= 0.1
+             AS pass_symbol_ratio,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (CAST(n_chars AS DOUBLE) / greatest(n_words, 1) >= 3
+                  AND CAST(n_chars AS DOUBLE) / greatest(n_words, 1) <= 10)
+             AND (CAST(n_alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8)
+             AND (CAST(n_symbols AS DOUBLE) / greatest(n_words, 1) <= 0.1)
+             AS pass_all
+    FROM f
+    """,
+    category="llm text",
+    doc="Gopher-style quality ruleset (Rae et al. 2021 §A1.1, "
+    "adapted to the fixture's scale): per-document booleans for "
+    "word-count bounds, mean word length 3-10, alphabetic-word "
+    "ratio >= 0.8, and symbol-to-word ratio <= 0.1, plus the "
+    "conjunction — PER-RULE attribution, so curation can see WHY a "
+    "doc failed, not just that it did (the operational difference "
+    "between a filter and a debuggable filter). Pure scan+project; "
+    "integer-ratio arithmetic is bit-identical across engines.",
+)
+def text_gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_words = F.size(toks).cast("bigint")
+    n_chars = F.length("text")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$")))
+    n_symbols = F.size(
+        F.expr(r"regexp_extract_all(text, '[#*>=_|]', 0)")
+    )
+    mwl = n_chars.cast("double") / F.greatest(n_words, F.lit(1))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_words, F.lit(1))
+    sym_ratio = n_symbols.cast("double") / F.greatest(n_words, F.lit(1))
+    p_wc = (n_words >= 50) & (n_words <= 100000)
+    p_mwl = (mwl >= 3) & (mwl <= 10)
+    p_alpha = alpha_ratio >= 0.8
+    p_sym = sym_ratio <= 0.1
+    return docs.select(
+        "doc_id",
+        p_wc.alias("pass_word_count"),
+        p_mwl.alias("pass_mean_word_len"),
+        p_alpha.alias("pass_alpha_ratio"),
+        p_sym.alias("pass_symbol_ratio"),
+        (p_wc & p_mwl & p_alpha & p_sym).alias("pass_all"),
+    )
