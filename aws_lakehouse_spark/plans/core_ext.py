@@ -964,3 +964,53 @@ def agg_string_concat_ordered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT event_type, value_decile AS mode_decile, n AS mode_count
+    FROM (
+        SELECT event_type, value_decile, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY n DESC, value_decile ASC) AS rn
+        FROM (
+            SELECT event_type,
+                   CAST(FLOOR(value / 10) AS INTEGER) AS value_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY event_type, value_decile
+        )
+    ) WHERE rn = 1
+    ORDER BY event_type
+    """,
+    category="2.4 aggregates (mode)",
+    doc="Deterministic per-group MODE: count per (group, value), "
+    "then a windowed argmax with an explicit value tie-break — "
+    "built-in mode() functions leave ties engine-defined and could "
+    "never hash-match; this formulation is exact and deterministic "
+    "everywhere. Two bounded shuffles (pair counts, then the "
+    "group-partitioned top-1 window over the distinct-pair frame).",
+)
+def agg_mode_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("int").alias("value_decile"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("value_decile")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("value_decile").alias("mode_decile"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("event_type")
+    )
