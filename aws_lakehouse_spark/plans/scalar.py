@@ -495,3 +495,35 @@ def scalar_try_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE l_returnflag END AS BIGINT)"
         ).alias("maybe_int"),
     )
+
+
+@register(
+    "scalar_bitwise_family",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS xor_key,
+           CAST(event_id % 16 AS BIGINT) << 2 AS shifted,
+           CAST(bit_count(CAST(event_id AS BIGINT)) AS INTEGER)
+             AS popcount
+    FROM events
+    WHERE event_id < 2000
+    """,
+    category="2.8 scalar (bitwise extension)",
+    doc="Bitwise operator family: AND/OR/XOR/shift/popcount over "
+    "integer keys — the flag-field and hash-mixing arithmetic that "
+    "backs bucketing, bitmap filters, and the engine's own SimHash "
+    "tier. Pure scan-side; identical two's-complement semantics on "
+    "both engines.",
+)
+def scalar_bitwise_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xor_key"),
+        F.shiftleft(F.col("event_id") % 16, 2).alias("shifted"),
+        F.bit_count(F.col("event_id")).cast("int").alias("popcount"),
+    )
