@@ -43,27 +43,28 @@ from aws_lakehouse_spark.registry import REGISTRY
 # already banked), and rows-only specs (oracle=None) stay dead last
 # so no `err: no_oracle` rows appear in the gate.
 #
-# Round-4 window TODO: after round 3's rotation, 42 queries
+# Round-4 window TODO: after round 3's rotation, 45 queries
 # have never had a driver CORRECTNESS row (8 deferred from r3, the
 # rest registered or upgraded-to-oracle during r3) — all are
 # check_parity-green locally. Put them first next round; fill any
 # remaining slots by re-checking high-value banked rows:
-#   agg_histogram_equidepth, agg_string_concat_ordered, agg_weighted_median,
-#   ann_embedding_neardup, dedup_containment, dedup_exact_normalized,
-#   dedup_lsh_quality, embed_outliers, events_burst_runs,
-#   events_growth_accounting, events_rolling_wau, events_session_stats,
-#   events_transition_matrix, format_roundtrip_csv, format_roundtrip_orc,
-#   incremental_agg_merge, join_fuzzy_levenshtein, join_interval_overlap,
-#   maintenance_compact_roundtrip, medallion_dim_code_map,
-#   media_audio_silence, media_image_histogram, partition_pruned_roundtrip,
-#   quality_column_mask, quality_partition_drift, scalar_hash_fns,
+#   agg_histogram_equidepth, agg_mode_per_group, agg_string_concat_ordered,
+#   agg_weighted_median, ann_embedding_neardup, dedup_containment,
+#   dedup_exact_normalized, dedup_lsh_quality, embed_outliers,
+#   events_burst_runs, events_growth_accounting, events_rolling_wau,
+#   events_session_stats, events_transition_matrix, format_roundtrip_csv,
+#   format_roundtrip_orc, incremental_agg_merge, join_fuzzy_levenshtein,
+#   join_interval_overlap, maintenance_compact_roundtrip,
+#   medallion_dim_code_map, media_audio_silence, media_image_histogram,
+#   partition_pruned_roundtrip, quality_column_mask,
+#   quality_partition_drift, scalar_bitwise_family, scalar_hash_fns,
 #   scalar_input_file_name, scalar_json_get, scalar_json_struct_agg,
 #   scalar_null_empty_logic, scalar_try_functions, scalar_variant_json,
 #   set_union_missing_columns, snapshot_delete_update,
 #   snapshot_schema_evolution, source_python_datasource,
 #   streaming_cdc_upsert, streaming_incremental_bookmark,
-#   text_curation_pipeline, text_pii_redact, text_shard_plan,
-#   text_url_canonical_dedup
+#   text_curation_pipeline, text_gopher_quality, text_pii_redact,
+#   text_shard_plan, text_url_canonical_dedup
 _PRIORITY = [
     # the one query ever to record a red driver row (r1 hash fail,
     # fixed + judge-verified in r2) — close it out first
