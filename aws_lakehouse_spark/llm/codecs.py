@@ -209,25 +209,34 @@ def wav_encode(
     return buf.getvalue()
 
 
-def wav_decode(data: bytes) -> dict:
-    """Real WAV decode via the stdlib RIFF parser: header fields plus
-    features computed from the actual samples (peak and mean absolute
-    amplitude), so corrupt frames fail loudly."""
+def wav_samples(data: bytes) -> tuple[int, int, int, tuple]:
+    """Validated 16-bit PCM sample extraction shared by every WAV
+    consumer: returns ``(framerate, n_channels, n_frames, samples)``.
+    Corrupt payloads raise ``ValueError`` (never ``wave.Error`` /
+    ``struct.error`` from inside an executor task), non-16-bit widths
+    are rejected, and an odd trailing byte from a truncated data
+    chunk is dropped rather than surfacing ``struct.error``."""
     try:
-        with wave.open(io.BytesIO(data), "rb") as w:
+        with wave.open(io.BytesIO(bytes(data)), "rb") as w:
             n_channels = w.getnchannels()
             framerate = w.getframerate()
             n_frames = w.getnframes()
             sampwidth = w.getsampwidth()
             frames = w.readframes(n_frames)
-    except wave.Error as e:
+    except (wave.Error, EOFError) as e:
         raise ValueError(f"corrupt WAV payload: {e}") from e
     if sampwidth != 2:
         raise ValueError(f"unsupported WAV sample width {sampwidth}")
-    # a corrupt data chunk can hand back an odd byte count; drop the
-    # truncated trailing half-sample instead of surfacing struct.error
     frames = frames[: (len(frames) // 2) * 2]
     samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+    return framerate, n_channels, n_frames, samples
+
+
+def wav_decode(data: bytes) -> dict:
+    """Real WAV decode via the stdlib RIFF parser: header fields plus
+    features computed from the actual samples (peak and mean absolute
+    amplitude), so corrupt frames fail loudly."""
+    framerate, n_channels, n_frames, samples = wav_samples(data)
     n = len(samples)
     return {
         "n_channels": n_channels,

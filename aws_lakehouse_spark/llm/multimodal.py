@@ -427,21 +427,22 @@ def extract_audio_silence(
 
     A frame is silent when ``|amplitude| < threshold``; durations
     use integer ``frames * 1000 // rate`` (exact cross-engine
-    arithmetic, same convention as ``duration_ms``).
+    arithmetic, same convention as ``duration_ms``). Decoding goes
+    through :func:`codecs.wav_samples`, so corrupt payloads raise
+    ``ValueError`` (the codec contract) instead of leaking
+    ``wave.Error``/``struct.error`` from executor tasks; stereo or
+    non-16-bit clips are rejected rather than silently producing
+    wrong frame counts.
     """
-    import struct as _struct
-
-    from aws_lakehouse_spark.llm.codecs import wav_decode
+    from aws_lakehouse_spark.llm.codecs import wav_samples
 
     def analyze(payload: bytes) -> dict:
-        import io
-        import wave
-
-        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-            rate = w.getframerate()
-            n = w.getnframes()
-            frames = w.readframes(n)
-        samples = _struct.unpack(f"<{len(frames) // 2}h", frames)
+        rate, n_channels, _n_frames, samples = wav_samples(payload)
+        if n_channels != 1:
+            raise ValueError(
+                f"extract_audio_silence requires mono WAV, got "
+                f"{n_channels} channels"
+            )
         silent = [abs(s) < threshold for s in samples]
         n_silent = sum(silent)
         lead = 0

@@ -137,22 +137,46 @@ def compact_path(
     swap directories. Same outcome as Iceberg rewrite_data_files for
     an unpartitioned location; used where data lands as raw paths
     (bronze) before any table registration.
+
+    Unpartitioned layouts ONLY: a hive-partitioned directory keeps
+    its files in subdirectories, so the top-level sizing would see 0
+    bytes and the rewrite would collapse the partition structure —
+    such paths are refused (use :func:`compact_files` on a
+    registered partitioned table instead). The swap is
+    rename-aside (``path -> path__old``, ``tmp -> path``, delete
+    ``path__old``), so the live directory is never absent: a crash
+    mid-swap leaves either the original or the compacted data at
+    ``path``, never neither.
     """
     import os
     import shutil
 
-    files = [
-        f for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    entries = [
+        e for e in os.listdir(path) if not e.startswith(("_", "."))
     ]
+    subdirs = [
+        e for e in entries if os.path.isdir(os.path.join(path, e))
+    ]
+    if subdirs:
+        raise ValueError(
+            f"compact_path refuses partitioned layout {path!r} "
+            f"(subdirectories {subdirs[:3]}...): compacting would "
+            f"discard the partition directory structure; use "
+            f"compact_files on a registered table instead"
+        )
+    files = [f for f in entries if f.endswith(".parquet")]
     size_bytes = sum(os.path.getsize(os.path.join(path, f)) for f in files)
     n_target = max(1, math.ceil(size_bytes / target_bytes))
     tmp = path.rstrip("/") + "__compacting"
     spark.read.parquet(path).repartition(n_target).write.mode(
         "overwrite"
     ).parquet(tmp)
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):  # leftover from a previous crashed swap
+        shutil.rmtree(old)
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     after = len([
         f for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith(("_", "."))

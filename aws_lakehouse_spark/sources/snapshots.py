@@ -190,7 +190,11 @@ def delete_where(
 
     current = read_snapshot(spark, table_path)
     cond = predicate if not isinstance(predicate, str) else F.expr(predicate)
-    survivors = current.filter(~cond)
+    # Iceberg/Delta DELETE removes rows where the predicate is TRUE;
+    # rows where it evaluates NULL (three-valued logic, e.g. a
+    # predicate over a NULL column) are KEPT. A bare filter(~cond)
+    # would drop them, silently deleting rows the user never matched.
+    survivors = current.filter(~F.coalesce(cond, F.lit(False)))
     n_before = current.count()
     version = snapshot_write(spark, survivors, table_path, "overwrite")
     return {

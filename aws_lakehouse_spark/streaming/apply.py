@@ -46,25 +46,30 @@ def apply_merge_batch(
     ``table_path``; returns the committed version.
 
     Within-batch conflicts resolve last-writer-wins by ``order_col``
-    (max wins; ties broken arbitrarily-but-deterministically by the
-    aggregate) when given, else any single row per key survives.
+    (max wins; ties broken deterministically by comparing the
+    remaining columns) when given, else one deterministic row per
+    key survives. The surviving row is always a WHOLE source row —
+    one ``max_by`` over a struct of all non-key columns, never
+    independent per-column aggregates, so a tie can't splice columns
+    from different rows into a row that never existed in the batch.
     Rows in the batch replace current rows with the same key; all
     other current rows carry over into the new snapshot version.
     """
     spark = batch.sparkSession
     keys = list(key_cols)
+    others = [c for c in batch.columns if c not in keys]
+    packed = F.struct(*[F.col(c).alias(c) for c in others])
     if order_col is not None:
-        others = [c for c in batch.columns if c not in keys]
-        b = batch.groupBy(*keys).agg(
-            *[F.max_by(c, order_col).alias(c) for c in others]
-        )
-        # max_by of the order col itself IS the max
-        b = b.select(*batch.columns)
+        rank = F.struct(F.col(order_col), *[F.col(c) for c in others])
+        agg = F.max_by(packed, rank)
     else:
-        others = [c for c in batch.columns if c not in keys]
-        b = batch.groupBy(*keys).agg(
-            *[F.first(c).alias(c) for c in others]
-        ).select(*batch.columns)
+        agg = F.min_by(packed, packed)
+    b = (
+        batch.groupBy(*keys)
+        .agg(agg.alias("__row"))
+        .select(*keys, *[F.col(f"__row.{c}").alias(c) for c in others])
+        .select(*batch.columns)
+    )
     if snapshots.versions(table_path):
         current = snapshots.read_snapshot(spark, table_path)
         merged = current.join(

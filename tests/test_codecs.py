@@ -454,3 +454,67 @@ def test_png_decoder_never_crashes_on_fuzz():
                 assert isinstance(w, dict)
             except ValueError:
                 pass
+
+
+def test_wav_samples_validation_contract():
+    """wav_samples (shared by wav_decode and the audio-silence
+    extractor) raises ValueError for corrupt payloads, rejects
+    non-16-bit widths, reports channel count, and survives an odd
+    trailing byte by truncating the half-sample."""
+    import io as _io
+    import wave as _wave
+
+    import pytest as _pytest
+
+    from aws_lakehouse_spark.llm.codecs import wav_encode, wav_samples
+
+    rate, ch, nf, samples = wav_samples(wav_encode(100, 8000, lambda i: i))
+    assert (rate, ch, nf, len(samples)) == (8000, 1, 100, 100)
+    # stereo payloads report 2 channels (samples interleaved)
+    rate, ch, nf, samples = wav_samples(
+        wav_encode(50, 8000, lambda i: i, n_channels=2)
+    )
+    assert (ch, nf, len(samples)) == (2, 50, 100)
+    with _pytest.raises(ValueError):
+        wav_samples(b"RIFFgarbage")
+    # 8-bit sample width is rejected, not misparsed
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(64))
+    with _pytest.raises(ValueError, match="sample width"):
+        wav_samples(buf.getvalue())
+
+
+def test_extract_audio_silence_rejects_bad_payloads(spark):
+    """extract_audio_silence surfaces ValueError (the codec
+    contract) for corrupt or stereo payloads instead of leaking
+    wave.Error/struct.error from executor tasks or silently
+    computing wrong frame counts over interleaved channels."""
+    import pytest as _pytest
+
+    from aws_lakehouse_spark.llm.codecs import wav_encode
+    from aws_lakehouse_spark.llm.multimodal import extract_audio_silence
+
+    good = wav_encode(80, 8000, lambda i: 0 if i < 40 else 1000)
+    ok = spark.createDataFrame(
+        [(1, good)], "media_id bigint, content binary"
+    )
+    row = extract_audio_silence(ok).collect()[0]
+    assert (row["n_frames"], row["n_silent"]) == (80, 40)
+    assert row["leading_silence_ms"] == 40 * 1000 // 8000
+
+    corrupt = spark.createDataFrame(
+        [(2, b"RIFFgarbage")], "media_id bigint, content binary"
+    )
+    with _pytest.raises(Exception, match="ValueError"):
+        extract_audio_silence(corrupt).collect()
+
+    stereo = spark.createDataFrame(
+        [(3, wav_encode(40, 8000, lambda i: i, n_channels=2))],
+        "media_id bigint, content binary",
+    )
+    with _pytest.raises(Exception, match="mono"):
+        extract_audio_silence(stereo).collect()

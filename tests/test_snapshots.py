@@ -197,3 +197,73 @@ def test_schema_evolution_null_backfill(spark, tmp_path):
     # still works and shows just the old rows
     rows0 = [tuple(r) for r in read_snapshot_evolved(spark, table, 0).collect()]
     assert rows0 == [(1, "a")]
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """DELETE three-valued logic: rows where the predicate evaluates
+    NULL (not TRUE, not FALSE) are KEPT — Iceberg/Delta DELETE only
+    removes rows where the predicate is TRUE. A naive filter(~cond)
+    would silently delete the NULL-predicate rows."""
+    from aws_lakehouse_spark.sources.snapshots import (
+        delete_where,
+        read_snapshot,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 3.0), (4, None)],
+        "k bigint, v double",
+    )
+    snapshot_write(spark, df, table, "overwrite")
+    stats = delete_where(spark, table, "v > 5.0")
+    assert stats["rows_deleted"] == 1  # only k=1 matches TRUE
+    kept = {r["k"] for r in read_snapshot(spark, table).collect()}
+    assert kept == {2, 3, 4}  # NULL-predicate rows survive
+
+
+def test_compact_path_refuses_partitioned_layout(spark, tmp_path):
+    """compact_path only handles flat directories: a hive-partitioned
+    layout (files in key=value subdirs) must be refused — compacting
+    it would discard the partition structure — and the original data
+    must remain untouched after the refusal."""
+    import pytest as _pytest
+
+    from aws_lakehouse_spark.sources.maintenance import compact_path
+
+    path = str(tmp_path / "parted")
+    df = spark.range(0, 100).withColumn("p", F.col("id") % 4)
+    df.write.partitionBy("p").mode("overwrite").parquet(path)
+    with _pytest.raises(ValueError, match="partitioned"):
+        compact_path(spark, path)
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_compact_path_crash_leaves_no_absent_table(spark, tmp_path, monkeypatch):
+    """Rename-aside swap: even if the final cleanup crashes, the live
+    path always holds a complete copy of the data (original or
+    compacted) — never an absent directory."""
+    import shutil as _shutil
+
+    from aws_lakehouse_spark.sources import maintenance
+
+    path = str(tmp_path / "flat")
+    spark.range(0, 1000).repartition(8).write.mode("overwrite").parquet(path)
+
+    real_rmtree = _shutil.rmtree
+    calls = []
+
+    def exploding_rmtree(p, *a, **kw):
+        if p.endswith("__old"):
+            calls.append(p)
+            raise OSError("simulated crash during cleanup")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", exploding_rmtree)
+    try:
+        maintenance.compact_path(spark, path)
+    except OSError:
+        pass
+    assert calls, "cleanup path was never exercised"
+    # the live path must still read complete regardless of the crash
+    assert spark.read.parquet(path).count() == 1000

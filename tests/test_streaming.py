@@ -470,3 +470,28 @@ def test_apply_merge_batch_without_order_col(spark, tmp_path):
         for r in snapshots.read_snapshot(spark, table).collect()
     }
     assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_apply_merge_batch_tie_is_row_atomic(spark, tmp_path):
+    """When two rows share the key AND the max order_col value, the
+    survivor must be ONE of the source rows, whole — independent
+    per-column aggregates could splice columns from different rows
+    into a row that never existed in the batch."""
+    from aws_lakehouse_spark.sources import snapshots
+    from aws_lakehouse_spark.streaming.apply import apply_merge_batch
+
+    table = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, 5, "z", "a"), (1, 5, "a", "z")],
+        "k bigint, ts bigint, colx string, coly string",
+    )
+    apply_merge_batch(batch, table, ["k"], order_col="ts")
+    rows = [
+        (r["colx"], r["coly"])
+        for r in snapshots.read_snapshot(spark, table).collect()
+    ]
+    assert len(rows) == 1
+    # a spliced ("z","z") or ("a","a") row never existed in the batch
+    assert rows[0] in {("z", "a"), ("a", "z")}
+    # and the tie-break is deterministic: (5,"z","a") > (5,"a","z")
+    assert rows[0] == ("z", "a")
