@@ -93,8 +93,70 @@ def widen_if_narrow(df: DataFrame, min_factor: int = 1) -> DataFrame:
     scale (file count ≫ cores) the guard makes this a no-op — no
     accidental full-corpus shuffle is ever introduced — while small
     inputs pay one tiny exchange to light up every core.
+
+    The narrowness check uses driver-side file metadata
+    (:meth:`DataFrame.inputFiles` + the ``spark.sql.files.*`` split
+    planning confs) rather than ``df.rdd.getNumPartitions()``, so no
+    RDD lineage is ever materialized for a wide plan. When the scan's
+    partition count can't be estimated (no input files — an in-memory
+    relation — or a non-local filesystem), the input is left alone:
+    never introduce a speculative shuffle.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() >= target:
+    est = _estimated_scan_partitions(df)
+    if est is None or est >= target:
         return df
     return df.repartition(target)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many partitions the file scan under ``df`` plans,
+    from driver-side metadata only: replicates Spark's
+    ``FilePartition`` packing — ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, (totalBytes + openCost·nFiles) / parallelism))``,
+    files chunked at ``maxSplitBytes``, then chunks (each costed at
+    ``size + openCost``) greedily packed desc into ``maxSplitBytes``
+    bins. Returns None when no estimate is possible (no input files,
+    or files not on the local filesystem)."""
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    sizes = []
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None
+        try:
+            sizes.append(os.path.getsize(unquote(parsed.path)))
+        except OSError:
+            return None
+    spark = df.sparkSession
+    max_part = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .lower().removesuffix("b")
+    )
+    open_cost = int(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        .lower().removesuffix("b")
+    )
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    total = sum(sizes) + open_cost * len(sizes)
+    max_split = max(1, min(max_part, max(open_cost, total // parallelism)))
+    chunks = []
+    for s in sizes:
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        chunks.append(s)
+    n_bins, current = 0, 0
+    for c in sorted(chunks, reverse=True):
+        cost = c + open_cost
+        if current + cost > max_split and current > 0:
+            n_bins += 1
+            current = 0
+        current += cost
+    return n_bins + (1 if current > 0 else 0)

@@ -81,3 +81,28 @@ def test_zorder_tightens_file_stats(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(zpath).count() == li.count()
     )
+
+
+def test_widen_if_narrow_no_rdd_materialization(spark, tmp_path):
+    """A one-file parquet input widens to defaultParallelism; an
+    in-memory relation (no input files) is left alone — and the
+    narrowness check never touches the RDD API (the estimate comes
+    from driver-side file metadata)."""
+    from aws_lakehouse_spark.layout import (
+        _estimated_scan_partitions,
+        widen_if_narrow,
+    )
+
+    path = str(tmp_path / "one_file")
+    spark.range(0, 1000).coalesce(1).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    est = _estimated_scan_partitions(df)
+    assert est == 1  # tiny single file plans one split
+    wide = widen_if_narrow(df)
+    target = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target  # test-side probe only
+    assert wide.count() == 1000
+
+    mem = spark.createDataFrame([(i,) for i in range(10)], "id bigint")
+    assert _estimated_scan_partitions(mem) is None
+    assert widen_if_narrow(mem) is mem  # unknown → never a shuffle
