@@ -1610,10 +1610,14 @@ def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from aws_lakehouse_spark.layout import widen_if_narrow
     from aws_lakehouse_spark.llm.dedup import shingles_col
     from aws_lakehouse_spark.operators import dedupe_by_key
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the expensive stage is tokenize+shingle over every document; a
+    # sub-split-size input would run it on ONE core — widen first
+    # (no-op at real scale where file count >> cores)
+    docs = widen_if_narrow(load_table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
     n = F.size(toks)
     bucket = (
