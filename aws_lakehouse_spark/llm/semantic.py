@@ -26,7 +26,7 @@ functions.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from aws_lakehouse_spark.llm.similarity import cosine_sim_col
 
@@ -58,19 +58,25 @@ def assign_clusters(
     sim = F.round(
         cosine_sim_col(F.col("__v"), F.col("__cv")), round_digits
     )
+    # argmax via a combinable aggregate, not a window: max over
+    # struct(sim, -cid) picks (max sim, tie -> min cid) exactly, and
+    # the partial (map-side) max means the shuffle carries N rows of
+    # (id, struct) — a row_number window would shuffle + sort all
+    # N*K scored rows
     scored = v.crossJoin(F.broadcast(c)).select(
-        id_col, F.col("__cid"), sim.alias("cosine_sim")
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("cosine_sim"), F.asc("__cid")
+        id_col,
+        F.struct(
+            sim.alias("cosine_sim"),
+            (-F.col("__cid")).alias("__negcid"),
+        ).alias("__sc"),
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        scored.groupBy(id_col)
+        .agg(F.max("__sc").alias("__m"))
         .select(
             id_col,
-            F.col("__cid").alias("cluster_id"),
-            "cosine_sim",
+            (-F.col("__m.__negcid")).alias("cluster_id"),
+            F.col("__m.cosine_sim").alias("cosine_sim"),
         )
     )
 
@@ -82,36 +88,73 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    fanout: int = 1,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs (vec_a < vec_b, cos > t).
 
     ``assignment`` is (id, cluster_id) from :func:`assign_clusters`.
     The pair join is an equi-join on ``cluster_id`` — never a global
     cross join; per-cluster pair volume is the SemDeDup cost model.
+
+    Per-vector norms are computed ONCE on the clustered frame, so a
+    pair costs one dot product instead of three array aggregations;
+    ``dot/(norm_a*norm_b)`` is bit-identical to computing the full
+    cosine per pair (same operations, same order), so the rounded
+    similarity — and thus the oracle comparison — is unchanged.
+
+    ``fanout`` salts the self-join for the K < cores regime (few
+    clusters, e.g. a fixed small centroid set): side *a* gets a
+    deterministic salt in ``[0, fanout)``, side *b* is replicated
+    once per salt, and the join key becomes (cluster_id, salt) —
+    every pair is still produced exactly once, but one cluster's
+    pair work spreads over ``fanout`` reducers instead of one. At
+    real scale K ∝ N ≫ cores, so callers leave fanout=1 and pay no
+    replication.
     """
-    a = assignment.select(
-        F.col(id_col).alias("vec_a"), F.col("cluster_id")
-    ).join(
-        vectors.select(
-            F.col(id_col).alias("vec_a"),
-            F.col(vec_col).cast("array<double>").alias("__va"),
-        ),
-        "vec_a",
+    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
+
+    # join the vectors back ONCE, then self-join the clustered frame
+    # on cluster_id — the lazy checkpoint makes both pair sides read
+    # the same materialized partitions instead of each re-running the
+    # assignment-to-vector join
+    clustered = (
+        assignment.select(F.col(id_col), "cluster_id")
+        .join(
+            vectors.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ),
+            id_col,
+        )
+        .withColumn("__n", norm_col(F.col("__v")))
+        .localCheckpoint(eager=False)
     )
-    b = assignment.select(
-        F.col(id_col).alias("vec_b"), F.col("cluster_id")
-    ).join(
-        vectors.select(
-            F.col(id_col).alias("vec_b"),
-            F.col(vec_col).cast("array<double>").alias("__vb"),
-        ),
-        "vec_b",
+    fanout = max(1, int(fanout))
+    a = clustered.select(
+        F.col(id_col).alias("vec_a"),
+        "cluster_id",
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(fanout))
+        .cast("int")
+        .alias("__salt"),
     )
-    pairs = a.join(b, "cluster_id").filter(
+    b = clustered.select(
+        F.col(id_col).alias("vec_b"),
+        "cluster_id",
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(fanout - 1)).cast("array<int>")
+        ).alias("__salt"),
+    )
+    pairs = a.join(b, ["cluster_id", "__salt"]).filter(
         F.col("vec_a") < F.col("vec_b")
     )
     sim = F.round(
-        cosine_sim_col(F.col("__va"), F.col("__vb")), round_digits
+        dot_col(F.col("__va"), F.col("__vb"))
+        / (F.col("__na") * F.col("__nb")),
+        round_digits,
     )
     return (
         pairs.withColumn("pair_sim", sim)

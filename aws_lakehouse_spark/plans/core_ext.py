@@ -588,6 +588,7 @@ def agg_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "read back and aggregated. The in-query assert proves the file "
     "count actually dropped; the green oracle row proves compaction "
     "lost and duplicated nothing.",
+    bench=True,
 )
 def maintenance_compact_roundtrip_q(
     spark: SparkSession, sf_dir: str
@@ -635,6 +636,7 @@ def maintenance_compact_roundtrip_q(
     "version — deleted rows remain readable at prior versions until "
     "expiry (pytest covers the time-travel face). Oracle recomputes "
     "the surviving rows straight from source parquet.",
+    bench=True,
 )
 def snapshot_delete_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

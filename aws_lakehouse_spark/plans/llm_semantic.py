@@ -76,7 +76,11 @@ _ASSIGN_CTE = f"""
     "partitioner for all per-cluster semantic work.",
 )
 def embed_cluster_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from aws_lakehouse_spark.layout import widen_if_narrow
+
+    # N*K cosine scoring is compute-bound; a sub-split-size parquet
+    # input would run it on one core (no-op at real scale)
+    emb = widen_if_narrow(load_table(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
@@ -112,9 +116,12 @@ def embed_cluster_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The pair join is an equi-join on cluster_id — O(Σ|c|²) not "
     "O(N²); with centroids sampled ∝ N, cluster sizes and thus "
     "total work stay ~linear. Per-cluster member/dropped summary.",
+    bench=True,
 )
 def embed_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from aws_lakehouse_spark.layout import widen_if_narrow
+
+    emb = widen_if_narrow(load_table(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
@@ -125,7 +132,12 @@ def embed_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment = assign_clusters(emb, centroids).localCheckpoint(
         eager=False
     )
-    pairs = semdedup_pairs(emb, assignment, SEMDEDUP_T)
+    # K_CENTROIDS clusters << cores: salt the pair join so each
+    # cluster's quadratic pair work spreads across the machine
+    fanout = max(
+        1, spark.sparkContext.defaultParallelism // K_CENTROIDS
+    )
+    pairs = semdedup_pairs(emb, assignment, SEMDEDUP_T, fanout=fanout)
     return semdedup_summary(assignment, pairs)
 
 

@@ -238,6 +238,7 @@ def _image_decode_oracle() -> str:
     "the mean of the decoded pixel bytes are oracle-checked against "
     "values derived from the encode parameters. The codec is the "
     "real path a production deployment extends with PIL/ffmpeg.",
+    bench=True,
 )
 def media_image_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.llm.multimodal import extract_image_features

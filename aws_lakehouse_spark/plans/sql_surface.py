@@ -282,6 +282,7 @@ def streaming_incremental_bookmark_q(spark: SparkSession, sf_dir: str) -> DataFr
     "bookmarking, the per-batch merge, and the manifest commit "
     "end-to-end through a REAL streaming query, not a batch "
     "simulation.",
+    bench=True,
 )
 def streaming_cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -26,9 +26,14 @@ version N.
   live manifests and deletes unreferenced part files — the exact
   contract of Iceberg's remove_orphan_files.
 
-Single-writer semantics (matching the reference's one-Glue-job-per-
-table schedule); a multi-writer deployment would CAS the manifest
-commit, which object stores provide via put-if-absent.
+Writer concurrency: the manifest commit is a put-if-absent (atomic
+exclusive create), so two writers racing for the same version can
+never clobber each other — exactly one commits, the other raises
+:class:`SnapshotConflictError` (Iceberg's ``CommitFailedException``
+contract: the caller re-reads the table state and retries). The
+reference's schedule is one-Glue-job-per-table, so conflicts are
+the exception path, not the steady state; on an object store the
+same commit maps to put-if-absent/CAS.
 """
 
 from __future__ import annotations
@@ -40,6 +45,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_snapshots"
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed this snapshot version first; re-read
+    the table state and retry the write (Iceberg
+    ``CommitFailedException`` semantics)."""
 
 
 def _log_path(table_path: str) -> str:
@@ -103,11 +114,33 @@ def snapshot_write(
         "committed_at": time.time(),
         "files": sorted(set(live) | set(new_files)),
     }
-    tmp = _manifest_file(table_path, version) + ".tmp"
+    _commit_manifest(table_path, version, manifest)
+    return version
+
+
+def _commit_manifest(table_path: str, version: int, manifest: dict) -> None:
+    """Atomically publish ``manifest`` as ``version`` — put-if-absent.
+
+    The tmp file is hard-linked to the final name (atomic, fails with
+    EEXIST if any other writer got there first) rather than
+    ``os.replace``d (which would silently clobber the winner). A
+    losing writer raises :class:`SnapshotConflictError`; its data
+    files stay on disk, unreferenced by any manifest, until
+    ``remove_orphans`` reclaims them.
+    """
+    final = _manifest_file(table_path, version)
+    tmp = final + f".{os.getpid()}.{id(manifest)}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, _manifest_file(table_path, version))  # atomic commit
-    return version
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"version {version} at {table_path!r} was committed by "
+            f"another writer; re-read the table state and retry"
+        ) from None
+    finally:
+        os.remove(tmp)
 
 
 def read_snapshot(

@@ -102,10 +102,12 @@ def test_cluster_assign_plan_broadcasts_centroids(spark, sf_dir):
     plan = assign_clusters(emb, centroids)._jdf.queryExecution().executedPlan().toString()
     # centroid side broadcast, never shuffled
     assert "BroadcastExchange" in plan
-    # argmax pushed down as a group-limit before the single
-    # window shuffle — the only exchange in the plan
-    assert "WindowGroupLimit" in plan
+    # argmax as a combinable aggregate: a map-side partial max runs
+    # before the single exchange, so only N (id, struct) rows — not
+    # N*K scored rows — ever shuffle; no window/sort in the plan
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan or "partial_first" in plan
+    assert "Window" not in plan
 
 
 def test_winnow_fingerprint_detects_shared_substrings(spark):

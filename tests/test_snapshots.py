@@ -267,3 +267,76 @@ def test_compact_path_crash_leaves_no_absent_table(spark, tmp_path, monkeypatch)
     assert calls, "cleanup path was never exercised"
     # the live path must still read complete regardless of the crash
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_manifest_commit_is_put_if_absent(spark, tmp_path):
+    """Two writers racing for the same snapshot version: exactly one
+    commits; the loser raises SnapshotConflictError and the winner's
+    manifest is NOT clobbered."""
+    from aws_lakehouse_spark.sources.snapshots import (
+        SnapshotConflictError,
+        _commit_manifest,
+        _read_manifest,
+        snapshot_write,
+    )
+
+    table = str(tmp_path / "t")
+    snapshot_write(
+        spark,
+        spark.createDataFrame([(1, "a")], "k bigint, v string"),
+        table,
+        "overwrite",
+    )
+    winner = {"version": 1, "mode": "append", "committed_at": 0.0,
+              "files": ["winner.parquet"]}
+    loser = {"version": 1, "mode": "append", "committed_at": 0.0,
+             "files": ["loser.parquet"]}
+    _commit_manifest(table, 1, winner)
+    with pytest.raises(SnapshotConflictError):
+        _commit_manifest(table, 1, loser)
+    assert _read_manifest(table, 1)["files"] == ["winner.parquet"]
+
+
+def test_concurrent_snapshot_writers_never_clobber(spark, tmp_path):
+    """Interleaved snapshot_write calls from two threads: every
+    success holds a DISTINCT version, any failure is the explicit
+    conflict error, and all committed manifests parse with live
+    files actually on disk."""
+    import threading
+
+    from aws_lakehouse_spark.sources import snapshots
+    from aws_lakehouse_spark.sources.snapshots import SnapshotConflictError
+
+    table = str(tmp_path / "t")
+    barrier = threading.Barrier(2)
+    results: list = [None, None]
+
+    def writer(slot: int) -> None:
+        df = spark.createDataFrame(
+            [(slot, f"w{slot}")], "k bigint, v string"
+        )
+        barrier.wait()
+        try:
+            results[slot] = ("ok", snapshots.snapshot_write(
+                spark, df, table, "append"))
+        except SnapshotConflictError as e:
+            results[slot] = ("conflict", e)
+        except Exception as e:  # any other error type is a bug
+            results[slot] = ("bug", e)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(r is not None for r in results)
+    assert not any(r[0] == "bug" for r in results), results
+    wins = [v for tag, v in results if tag == "ok"]
+    assert len(wins) >= 1  # at least one writer must commit
+    assert len(set(wins)) == len(wins)  # never the same version twice
+    for v in snapshots.versions(table):
+        m = snapshots._read_manifest(table, v)
+        for f in m["files"]:
+            assert os.path.exists(os.path.join(table, f))
