@@ -710,6 +710,57 @@ def snapshot_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_merge_into",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'M'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0
+    """,
+    category="2.9 maintenance (M5 row-level ops)",
+    doc="Delta/Iceberg MERGE INTO on the snapshot table (the upsert "
+    "DML completing the M5 surface next to DELETE/UPDATE — the "
+    "reference's Iceberg tables accept the same statement): seed a "
+    "snapshot from orders keys %3!=0, merge a CDC-style source batch "
+    "of keys %2==0 carrying status 'M' and a 10% price bump — "
+    "matched keys update whole-row-atomically, unmatched source keys "
+    "insert, untouched target rows carry over; one full-outer "
+    "equi-join on the merge key plus the duplicate-source-key guard. "
+    "The merge commits its own time-travelable version. Oracle "
+    "reconstructs the post-merge table straight from source parquet.",
+)
+def snapshot_merge_into_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        merge_into,
+        read_snapshot,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_merge_"), "orders_snap"
+    )
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    assert snapshot_write(spark, target, table, "overwrite") == 0
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("M").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    m = merge_into(spark, table, source, on=["o_orderkey"])
+    assert m["version"] == 1, m
+    return read_snapshot(spark, table)
+
+
+@register(
     "join_fuzzy_levenshtein",
     oracle="""
     WITH clean AS (

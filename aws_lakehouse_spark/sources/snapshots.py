@@ -284,3 +284,114 @@ def read_snapshot_evolved(
     return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(table_path, f) for f in files]
     )
+
+
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict | None = None,
+    when_matched_delete=None,
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """Delta/Iceberg-style ``MERGE INTO`` against the snapshot table
+    (the upsert DML the reference's ACID layer provides alongside
+    DELETE/UPDATE — ``glue-jobs/noaa_ghcn_bronze_to_silver.py``'s
+    Iceberg tables support the same statement): join ``source`` to
+    the current snapshot on the ``on`` key columns, then
+
+    - matched + ``when_matched_delete`` true -> row removed;
+    - matched otherwise -> ``when_matched_update`` assignments
+      applied; default (None) replaces every shared non-key column
+      with the source value. Updates are whole-row atomic: all
+      assignments come from the SAME source row.
+
+    In ``when_matched_*`` expressions, target columns are referenced
+    by their plain name and source columns as ``__src_<name>`` (the
+    merge join aliases the source side to avoid ambiguity — the
+    moral equivalent of Delta's ``source.``/``target.`` prefixes);
+    - source-only + ``when_not_matched_insert`` -> source row
+      inserted (projected to the target schema, missing cols NULL);
+    - target-only -> carried over unchanged.
+
+    Ambiguity contract (Delta's ``DeltaUnsupportedOperationException``
+    for multiple source matches): if >1 source row matches one
+    target key, the merge raises rather than pick nondeterministic
+    winners.
+
+    Scale: one shuffle-or-broadcast equi-join on the merge keys (AQE
+    picks broadcast when ``source`` is small — the common CDC-batch
+    shape); the duplicate-key guard is a count-aggregate on the
+    source keyed the same way, so it reuses the join's partitioning.
+    Copy-on-write commit like :func:`delete_where`.
+    """
+    import pyspark.sql.functions as F
+
+    target = read_snapshot(spark, table_path)
+    t_cols = target.columns
+    for k in on:
+        if k not in t_cols or k not in source.columns:
+            raise ValueError(f"merge key {k!r} missing from source or target")
+
+    dup = (
+        source.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key = {k: dup[0][k] for k in on}
+        raise ValueError(
+            f"MERGE source has multiple rows for key {key}; merge would be "
+            "nondeterministic (Delta raises here too)"
+        )
+
+    src = source.select(
+        *on, *[F.col(c).alias(f"__src_{c}") for c in source.columns if c not in on]
+    )
+    # a matched row has non-null presence on both sides; track with flags
+    # (key cols can't distinguish sides after the USING-style join)
+    target_f = target.withColumn("__in_tgt", F.lit(True))
+    src_f = src.withColumn("__in_src", F.lit(True))
+    joined = target_f.join(src_f, on=on, how="full_outer")
+    matched = F.col("__in_tgt").isNotNull() & F.col("__in_src").isNotNull()
+
+    def _src_view(c: str):
+        return F.col(f"__src_{c}") if f"__src_{c}" in joined.columns else F.lit(None)
+
+    delete_cond = F.lit(False)
+    if when_matched_delete is not None:
+        delete_cond = when_matched_delete
+    survivors = joined.filter(~(matched & F.coalesce(delete_cond, F.lit(False))))
+
+    if when_matched_update is None:
+        when_matched_update = {
+            c: _src_view(c)
+            for c in t_cols
+            if c not in on and f"__src_{c}" in joined.columns
+        }
+
+    out_cols = []
+    for c in t_cols:
+        if c in on:
+            out_cols.append(F.col(c).alias(c))
+            continue
+        upd = when_matched_update.get(c, F.col(c))
+        upd = F.expr(upd) if isinstance(upd, str) else upd
+        src_only = F.col("__in_tgt").isNull()
+        insert_val = _src_view(c) if when_not_matched_insert else F.lit(None)
+        out_cols.append(
+            F.when(matched, upd)
+            .when(src_only, insert_val)
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+    result = survivors.filter(
+        F.col("__in_tgt").isNotNull()
+        | (F.lit(bool(when_not_matched_insert)) & F.col("__in_src").isNotNull())
+    ).select(*out_cols)
+
+    version = snapshot_write(spark, result, table_path, "overwrite")
+    return {"op": "merge_into", "version": version}

@@ -340,3 +340,79 @@ def test_concurrent_snapshot_writers_never_clobber(spark, tmp_path):
         m = snapshots._read_manifest(table, v)
         for f in m["files"]:
             assert os.path.exists(os.path.join(table, f))
+
+
+def test_merge_into_update_insert_delete_arms(spark, table_path):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, status string, amt double",
+    )
+    snapshots.snapshot_write(spark, target, table_path, "overwrite")
+    source = spark.createDataFrame(
+        [(2, "B", 200.0), (3, "DEL", 0.0), (4, "d", 40.0)],
+        "k int, status string, amt double",
+    )
+    m = snapshots.merge_into(
+        spark,
+        table_path,
+        source,
+        on=["k"],
+        when_matched_delete=F.col("__src_status") == "DEL",
+    )
+    assert m["version"] == 1
+    rows = {
+        r["k"]: (r["status"], r["amt"])
+        for r in snapshots.read_snapshot(spark, table_path).collect()
+    }
+    # 1 untouched, 2 updated whole-row, 3 deleted, 4 inserted
+    assert rows == {1: ("a", 10.0), 2: ("B", 200.0), 4: ("d", 40.0)}
+    # pre-merge version still time-travels
+    assert snapshots.read_snapshot(spark, table_path, 0).count() == 3
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, table_path):
+    target = spark.createDataFrame([(1, "a")], "k int, status string")
+    snapshots.snapshot_write(spark, target, table_path, "overwrite")
+    source = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k int, status string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        snapshots.merge_into(spark, table_path, source, on=["k"])
+
+
+def test_merge_into_insert_disabled_and_custom_update(spark, table_path):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, status string, amt double"
+    )
+    snapshots.snapshot_write(spark, target, table_path, "overwrite")
+    source = spark.createDataFrame(
+        [(2, "B", 5.0), (9, "z", 1.0)], "k int, status string, amt double"
+    )
+    snapshots.merge_into(
+        spark,
+        table_path,
+        source,
+        on=["k"],
+        # custom assignment: accumulate amount, keep target status
+        when_matched_update={"amt": F.col("amt") + F.col("__src_amt")},
+        when_not_matched_insert=False,
+    )
+    rows = {
+        r["k"]: (r["status"], r["amt"])
+        for r in snapshots.read_snapshot(spark, table_path).collect()
+    }
+    assert rows == {1: ("a", 10.0), 2: ("b", 25.0)}
+
+
+def test_merge_into_source_missing_target_column_inserts_null(spark, table_path):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0)], "k int, status string, amt double"
+    )
+    snapshots.snapshot_write(spark, target, table_path, "overwrite")
+    source = spark.createDataFrame([(5, "e")], "k int, status string")
+    snapshots.merge_into(spark, table_path, source, on=["k"])
+    rows = {
+        r["k"]: (r["status"], r["amt"])
+        for r in snapshots.read_snapshot(spark, table_path).collect()
+    }
+    assert rows == {1: ("a", 10.0), 5: ("e", None)}
