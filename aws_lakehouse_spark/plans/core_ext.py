@@ -1067,3 +1067,48 @@ def agg_mode_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    category="2.3 joins (bloom prefilter ext)",
+    doc="Bloom-filter semi-join pruning (operators/bloom.py): "
+    "lineitem semi-joined to the urgent-order key set via a "
+    "131072-bit Bloom bitmap evaluated scan-side in pure built-in "
+    "expressions (xxhash64/shiftleft/element_at on a literal array, "
+    "inside whole-stage codegen, BEFORE any exchange), then a "
+    "residual exact left_semi join over the ~80%-pruned survivors "
+    "removes false positives. At 100 TB this replaces the full-fact "
+    "shuffle of a too-big-to-broadcast semi join with a bitmap "
+    "broadcast plus a rounding-error residual shuffle. Oracle is the "
+    "plain IN-subquery semi join.",
+)
+def join_bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.bloom import bloom_semi_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    matched = bloom_semi_join(
+        lineitem, urgent, fact_key="l_orderkey", dim_key="o_orderkey"
+    )
+    return (
+        matched.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -117,6 +117,60 @@ def format_roundtrip_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "format_roundtrip_json",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           MIN(o_orderdate_s) AS min_date,
+           MAX(o_orderdate_s) AS max_date
+    FROM (
+        SELECT o_orderpriority, o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        FROM orders
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.1 sources (format ext)",
+    doc="JSON-lines write→read round-trip with explicit-schema "
+    "read-back: orders projected to priority/price/date, dates "
+    "serialized as ISO strings (JSON has no date type — the "
+    "serialize-explicitly discipline every JSON interchange needs), "
+    "written as newline-delimited JSON through the distributed "
+    "writer, re-read with a declared schema (no inference scan), "
+    "aggregated per priority. Oracle computes the same aggregate "
+    "from the source parquet, proving the round-trip lossless for "
+    "ints, doubles, strings, and stringified dates.",
+)
+def format_roundtrip_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_json_"), "orders_json"
+    )
+    orders.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, "
+        "o_totalprice double, o_orderdate_s string"
+    ).json(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.min("o_orderdate_s").alias("min_date"),
+            F.max("o_orderdate_s").alias("max_date"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "source_python_datasource",
     oracle="""
     SELECT i AS doc_id,

@@ -234,3 +234,74 @@ def embed_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(emb, centroids).withColumn(
         "is_outlier", F.col("cosine_sim") < OUTLIER_T
     )
+
+
+@register(
+    "embed_pca_covariance",
+    oracle="""
+    SELECT i, j, ROUND(COVAR_POP(e1, e2), 5) AS cov
+    FROM (
+        SELECT t1.i AS i, t2.j AS j,
+               CAST(list_extract(em.embedding, t1.i) AS DOUBLE) AS e1,
+               CAST(list_extract(em.embedding, t2.j) AS DOUBLE) AS e2
+        FROM embeddings em, range(1, 65) t1(i), range(1, 65) t2(j)
+        WHERE t1.i <= t2.j
+    )
+    GROUP BY i, j
+    ORDER BY i, j
+    """,
+    category="llm semantic (PCA)",
+    doc="Distributed covariance of the 64-dim embedding corpus "
+    "(llm/pca.py — the reduction that makes PCA a driver-side d x d "
+    "problem): single Arrow-vectorized scan BLAS-accumulates "
+    "per-partition (n, sum x, sum xx^T) partials, a map-side-combined "
+    "posexplode/groupBy collapses them to d^2 scalars, and the query "
+    "emits the upper triangle as (i, j, cov) rows. The corpus is "
+    "never shuffled. Oracle recomputes every COVAR_POP pair straight "
+    "from the parquet lists.",
+)
+def embed_pca_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.pca import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, cov = covariance_matrix(emb, "embedding", 64)
+    rows = [
+        (i + 1, j + 1, round(float(cov[i, j]), 5))
+        for i in range(64)
+        for j in range(i, 64)
+    ]
+    return spark.createDataFrame(rows, "i long, j long, cov double").orderBy(
+        "i", "j"
+    )
+
+
+@register(
+    "embed_pca_project",
+    oracle=None,  # eigendecomposition is not SQL-expressible; the
+    # covariance reduction feeding it IS oracle-gated above, and
+    # tests/test_pca.py proves the projections equal a sequential
+    # numpy PCA (sign-fixed) to 1e-6
+    category="llm semantic (PCA)",
+    doc="PCA projection of every embedding onto the top-2 principal "
+    "components (llm/pca.py): covariance from the single-scan "
+    "distributed reduction, driver-side eigh on the 64 x 64 matrix "
+    "(sign-fixed for reproducibility), then a second single scan "
+    "computes (x - mu) . w_j per component with built-in "
+    "zip_with/aggregate expressions against literal component "
+    "vectors — both passes JVM-side, corpus never shuffled. The "
+    "standard pre-step before clustering/visualization and the "
+    "whitening half of SemDeDup-style pipelines.",
+)
+def embed_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.pca import (
+        covariance_matrix,
+        principal_components,
+        project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, mean, cov = covariance_matrix(emb, "embedding", 64)
+    _, comps = principal_components(cov, k=2)
+    return project(emb, mean, comps).select(
+        "vec_id", "label", "pc1", "pc2"
+    ).orderBy("vec_id")

@@ -527,3 +527,68 @@ def scalar_bitwise_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("event_id") % 16, 2).alias("shifted"),
         F.bit_count(F.col("event_id")).cast("int").alias("popcount"),
     )
+
+
+@register(
+    "scalar_url_family",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS proto,
+           'www.site' || (doc_id % 5) || '.example.com' AS host,
+           '/a/b' || (doc_id % 7) AS path,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'q=term' || (doc_id % 3) || '&page=' || (doc_id % 4)
+                END AS query,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 4 AS VARCHAR)
+                END AS page_param,
+           CASE WHEN doc_id % 3 = 0 THEN 'frag' || (doc_id % 6)
+                END AS frag
+    FROM documents
+    ORDER BY doc_id
+    """,
+    category="2.6 scalar functions (url family)",
+    doc="URL component extraction via Spark's built-in parse_url "
+    "(PROTOCOL/HOST/PATH/QUERY/REF plus keyed QUERY lookup) over "
+    "deterministically planted URLs with optional query strings and "
+    "fragments — the crawl-metadata scalar family a web-corpus "
+    "pipeline leans on next to canonicalization "
+    "(text_url_canonical_dedup). Missing components surface as NULL "
+    "(absent '?'/'#' sections), exercised on odd/non-%3 ids. Oracle "
+    "reconstructs each planted component directly, so a green row "
+    "proves the parser inverts the construction exactly. Pure "
+    "scan-side projection, no shuffle.",
+)
+def scalar_url_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http")).otherwise(
+            F.lit("https")
+        ),
+        F.lit("://www.site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/a/b"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?q=term"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("&page="),
+                (F.col("doc_id") % 4).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("#frag"), (F.col("doc_id") % 6).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.parse_url("url", F.lit("REF")).alias("frag"),
+    ).orderBy("doc_id")
