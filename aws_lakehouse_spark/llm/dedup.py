@@ -805,3 +805,63 @@ def containment_pairs(
             F.greatest("containment_a", "containment_b") >= threshold
         )
     return out
+
+
+def incremental_exact_status_bloom(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """:func:`incremental_exact_status` for the TOO-BIG-TO-BROADCAST
+    batch regime. The broadcast-semi version needs the batch digest
+    set to fit in a broadcast hash table (~50 B/digest); a multi-TB
+    ingest batch breaks that. A Bloom bitmap of the batch digests
+    needs ~1.2 bits of every 8-byte table slot — so the corpus probe
+    stays scan-side (the bitmap inlines into the corpus scan's
+    codegen, ``operators/bloom.py``), and only the ~|batch| + fpp ×
+    |corpus| surviving corpus digests enter the exact-verify join,
+    now a bounded shuffle join with NO broadcast requirement on
+    either side. Same (doc_id, digest, status) contract, exact
+    results — the bloom only bounds the verify input, never decides
+    membership.
+    """
+    from aws_lakehouse_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    b = batch.select(
+        F.col(id_col).alias("doc_id"),
+        content_digest(F.col(text_col)).alias("digest"),
+    )
+    batch_min = (
+        b.groupBy("digest")
+        .agg(F.min("doc_id").alias("__keep"))
+        .localCheckpoint(eager=False)  # feeds bloom build + verify + classify
+    )
+    words = build_bloom(batch_min, "digest", num_bits, num_hashes)
+    candidates = (
+        corpus.select(content_digest(F.col(text_col)).alias("digest"))
+        .filter(bloom_might_contain("digest", words, num_hashes))
+        .distinct()
+    )
+    hits = candidates.join(batch_min.select("digest"), "digest", "leftsemi")
+    return (
+        b.join(batch_min, "digest")
+        .join(
+            hits.withColumn("__in_corpus", F.lit(True)),
+            "digest",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "digest",
+            F.when(F.col("__in_corpus").isNotNull(), F.lit("dup_in_corpus"))
+            .when(F.col("doc_id") != F.col("__keep"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

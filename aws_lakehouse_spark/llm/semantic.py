@@ -190,3 +190,42 @@ def semdedup_summary(
             .alias("n_dropped"),
         )
     )
+
+
+def update_centroids(
+    vectors: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The k-means M-step: per-cluster elementwise mean of the
+    assigned vectors, as (cluster_id, pos, centroid) rows with pos
+    1-based — pair with :func:`assign_clusters` (the E-step) to run
+    full Lloyd iterations; the caller collects the K×d result (the
+    same small table it broadcast as centroids) and loops.
+
+    Scale shape: one equi-join of the (id, cluster) assignment back
+    to the vectors on the id, then posexplode to (cluster, dim,
+    value) triples feeding a map-side-combined avg — the shuffle
+    carries at most #tasks × K × d partial rows, never the corpus.
+    The corpus itself is scanned once and never exchanged (the
+    assignment join shuffles only (id, cluster) pairs against the
+    vector table's own layout).
+    """
+    joined = assignment.select(F.col(id_col), "cluster_id").join(
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        id_col,
+    )
+    return (
+        joined.select("cluster_id", F.posexplode("__v").alias("pos", "val"))
+        .withColumn("pos", (F.col("pos") + 1).cast("long"))
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.round(F.avg("val"), round_digits).alias("centroid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

@@ -611,3 +611,44 @@ def dedup_exact_normalized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_variants") > 1)
         .orderBy("norm_digest")
     )
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, md5(text) AS digest
+        FROM documents WHERE {_BATCH_PRED}
+    ), k AS (
+        SELECT digest, MIN(doc_id) AS keep FROM b GROUP BY digest
+    ), h AS (
+        SELECT DISTINCT md5(text) AS digest
+        FROM documents WHERE {_CORPUS_PRED}
+    )
+    SELECT b.doc_id, b.digest,
+           CASE WHEN b.digest IN (SELECT digest FROM h)
+                  THEN 'dup_in_corpus'
+                WHEN b.doc_id != k.keep THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM b JOIN k USING (digest)
+    """,
+    category="llm dedup",
+    doc="Incremental exact dedup for the too-big-to-broadcast batch "
+    "regime: the batch digest set is folded into a Bloom bitmap "
+    "(operators/bloom.py) that inlines into the corpus scan's "
+    "codegen, so the corpus is pruned scan-side to ~|batch| + fpp "
+    "candidate digests before a bounded exact-verify shuffle join — "
+    "no broadcast on either side, corpus never fully shuffled. Same "
+    "classification contract and oracle as dedup_incremental_exact "
+    "(the bloom only bounds the verify input; results stay exact).",
+)
+def dedup_incremental_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import incremental_exact_status_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_exact_status_bloom(
+        docs.filter(F.expr(_BATCH_PRED)),
+        docs.filter(F.expr(_CORPUS_PRED)),
+        "doc_id",
+        "text",
+    )

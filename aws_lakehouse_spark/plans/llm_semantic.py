@@ -305,3 +305,42 @@ def embed_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project(emb, mean, comps).select(
         "vec_id", "label", "pc1", "pc2"
     ).orderBy("vec_id")
+
+
+@register(
+    "embed_kmeans_iteration",
+    oracle=f"""
+    WITH {_ASSIGN_CTE}
+    SELECT a.cluster_id, r.i AS pos,
+           ROUND(AVG(list_extract(e.v, r.i)), 6) AS centroid,
+           COUNT(*) AS n_members
+    FROM assign a
+    JOIN emb e ON e.vec_id = a.vec_id, range(1, 65) r(i)
+    GROUP BY a.cluster_id, r.i
+    ORDER BY a.cluster_id, r.i
+    """,
+    category="llm semantic",
+    doc="One full Lloyd (k-means) iteration: broadcast-centroid "
+    "E-step assignment (assign_clusters), then the M-step recomputes "
+    "every centroid as the per-cluster elementwise mean via "
+    "posexplode into a map-side-combined avg — shuffle carries at "
+    "most tasks x K x d partial rows, the corpus is scanned once and "
+    "never exchanged. The caller collects the K x d result (the same "
+    "small table it broadcasts back) and loops to convergence — the "
+    "iterative-algorithm shape (driver-coordinated small state, "
+    "corpus-resident big data) that also drives the semantic-dedup "
+    "tier's clustering. Oracle recomputes assignment and per-dim "
+    "means in SQL.",
+)
+def embed_kmeans_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.semantic import (
+        assign_clusters,
+        update_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assignment = assign_clusters(emb, centroids)
+    return update_centroids(emb, assignment).orderBy("cluster_id", "pos")

@@ -54,3 +54,26 @@ def test_bloom_rejects_unaligned_bits(spark):
     keys = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom.build_bloom(keys, "k", num_bits=100)
+
+
+def test_incremental_bloom_status_equals_broadcast_version(spark):
+    from aws_lakehouse_spark.catalog import load_table
+    from aws_lakehouse_spark.llm.dedup import (
+        incremental_exact_status,
+        incremental_exact_status_bloom,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    a = {
+        r["doc_id"]: r["status"]
+        for r in incremental_exact_status(batch, corpus, "doc_id", "text").collect()
+    }
+    b = {
+        r["doc_id"]: r["status"]
+        for r in incremental_exact_status_bloom(
+            batch, corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert a == b and len(a) > 0

@@ -164,3 +164,62 @@ def test_quantile_sketch_exact_at_high_accuracy(spark):
         .collect()
     )
     assert list(row["q"]) == [250.0, 500.0, 750.0]
+
+
+def test_update_centroids_matches_numpy_means(spark):
+    import numpy as np
+    import pyspark.sql.functions as FF
+
+    from aws_lakehouse_spark.llm.semantic import update_centroids
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(40, 4).astype(np.float64)
+    assign = [int(i % 3) for i in range(40)]
+    vdf = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    adf = spark.createDataFrame(
+        [(i, assign[i]) for i in range(40)], "vec_id long, cluster_id int"
+    )
+    got = {
+        (r["cluster_id"], r["pos"]): (r["centroid"], r["n_members"])
+        for r in update_centroids(vdf, adf).collect()
+    }
+    for c in range(3):
+        members = vecs[[i for i in range(40) if assign[i] == c]]
+        for pos in range(4):
+            cen, n = got[(c, pos + 1)]
+            assert n == len(members)
+            assert abs(cen - round(float(members[:, pos].mean()), 6)) < 1e-9
+
+
+def test_lloyd_iterations_reduce_distortion(spark):
+    """Two full E+M rounds: mean within-cluster cosine must not
+    decrease — the monotonicity that makes Lloyd converge."""
+    import pyspark.sql.functions as FF
+
+    from aws_lakehouse_spark.catalog import load_table
+    from aws_lakehouse_spark.llm.semantic import (
+        assign_clusters,
+        update_centroids,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    cents = emb.filter(FF.col("vec_id") < 8).select(
+        FF.col("vec_id").alias("cid"), "embedding"
+    )
+    a1 = assign_clusters(emb, cents)
+    m1 = a1.agg(FF.avg("cosine_sim")).collect()[0][0]
+    new_rows = update_centroids(emb, a1).collect()
+    by_cid = {}
+    for r in new_rows:
+        by_cid.setdefault(r["cluster_id"], [0.0] * 64)[r["pos"] - 1] = r[
+            "centroid"
+        ]
+    cents2 = spark.createDataFrame(
+        [(c, v) for c, v in by_cid.items()], "cid long, embedding array<double>"
+    )
+    a2 = assign_clusters(emb, cents2)
+    m2 = a2.agg(FF.avg("cosine_sim")).collect()[0][0]
+    assert m2 >= m1 - 1e-9, (m1, m2)
