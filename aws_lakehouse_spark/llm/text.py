@@ -124,3 +124,37 @@ def normalize_scrub_cols(text: Column) -> dict[str, Column]:
         "n_emails_redacted": n_emails,
         "n_numbers_redacted": n_numbers,
     }
+
+
+# fastText-style quality classifier: planted logistic-regression
+# weights over the quality_features vector. In production these come
+# from a trained model file; the MODEL SHAPE (linear in cheap scan-side
+# features, sigmoid, threshold) is what the distributed op implements —
+# CCNet/LLaMA-style corpus filtering runs exactly this per document.
+QUALITY_CLF_WEIGHTS: dict[str, float] = {
+    "bias": -3.0,
+    "n_tokens": 0.012,  # per token; ~83 tokens to offset the bias
+    "avg_token_len": 0.25,
+    "stopword_ratio": 4.0,
+    "distinct_ratio": 1.5,
+}
+
+
+def quality_classifier_score(
+    text: Column,
+    weights: Mapping[str, float] | None = None,
+    round_digits: int = 6,
+) -> dict[str, Column]:
+    """Logistic quality score over :func:`quality_features`:
+    ``p = sigmoid(w · f + b)``, plus the ``keep`` decision at 0.5.
+    Pure built-in expressions (the features are scan-side arithmetic,
+    the sigmoid is one exp) — the classifier costs a projection, not
+    a UDF; 100 TB of documents score in the same single scan that
+    read them."""
+    w = dict(QUALITY_CLF_WEIGHTS if weights is None else weights)
+    f = quality_features(text)
+    z = F.lit(w["bias"])
+    for name, col in f.items():
+        z = z + F.lit(w[name]) * col
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_digits)
+    return {"quality_p": p, "keep": p >= 0.5}

@@ -279,3 +279,87 @@ def interval_overlap_join_banded(
         F.floor(F.col(b_lo) / band_width).cast("long"),
     )
     return ab.join(bb, "__band").filter(overlap & canonical).drop("__band")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tolerance,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest-match as-of join (pandas ``merge_asof(direction=
+    'nearest', tolerance=...)``): each left row matches the closest
+    right row with the same key within ``tolerance`` of its ``ts_col``
+    — BEFORE or AFTER — or NULLs when neither side qualifies.
+    Equidistant candidates resolve to the earlier (backward) match.
+
+    ``tolerance`` is a Column/literal in the ts column's difference
+    domain (e.g. ``F.expr("INTERVAL 10 MINUTES")`` for timestamps, a
+    number for numeric ts). Matched right-side columns arrive with
+    ``suffix``; ``ts_col + suffix`` carries the matched timestamp.
+
+    Same single-shuffle shape as :func:`asof_join`: both sides union
+    and exchange ONCE on ``key_cols``; the backward fill and the
+    forward fill are two in-partition window sorts over that one
+    exchange (Spark reuses the partitioning, only re-sorts). No
+    nested loop, no broadcast requirement, AQE handles skew.
+
+    Rows on the RIGHT sharing an identical (key, ts) are collapsed
+    to one row per timestamp first (max per value column) so the
+    window fills are deterministic.
+    """
+    keys = list(key_cols)
+    rts = ts_col + suffix
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = (
+        right.groupBy(*keys, ts_col)
+        .agg(*[F.max(c).alias(c + suffix) for c in value_cols])
+        .withColumn(rts, F.col(ts_col))
+        .withColumn("__side", F.lit(0))
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    fill_cols = [c + suffix for c in value_cols] + [rts]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumns(
+        {
+            **{
+                "__b_" + c: F.last(F.col(c), ignorenulls=True).over(wb)
+                for c in fill_cols
+            },
+            **{
+                "__f_" + c: F.last(F.col(c), ignorenulls=True).over(wf)
+                for c in fill_cols
+            },
+        }
+    ).filter(F.col("__side") == 1)
+
+    ts = F.col(ts_col)
+    prev_ts, next_ts = F.col("__b_" + rts), F.col("__f_" + rts)
+    prev_ok = prev_ts.isNotNull() & ((ts - prev_ts) <= tolerance)
+    next_ok = next_ts.isNotNull() & ((next_ts - ts) <= tolerance)
+    use_prev = prev_ok & (
+        ~next_ok | ((ts - prev_ts) <= (next_ts - ts))
+    )
+    picked = {
+        c: F.when(use_prev, F.col("__b_" + c))
+        .when(next_ok, F.col("__f_" + c))
+        .otherwise(F.lit(None))
+        for c in fill_cols
+    }
+    drop = [x for c in fill_cols for x in ("__b_" + c, "__f_" + c)]
+    return (
+        filled.withColumns(picked).drop("__side", *drop)
+    )

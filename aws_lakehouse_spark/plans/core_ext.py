@@ -1112,3 +1112,68 @@ def join_bloom_prefilter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value
+        FROM events
+    ), clicks AS (
+        SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'
+    ), errors0 AS (
+        SELECT user_id, ts, MAX(value) AS err_value
+        FROM e WHERE event_type = 'error' GROUP BY user_id, ts
+    ), cand AS (
+        SELECT c.event_id, er.ts AS err_ts, er.err_value,
+               abs(epoch_us(c.ts) - epoch_us(er.ts)) AS d
+        FROM clicks c JOIN errors0 er ON c.user_id = er.user_id
+        WHERE abs(epoch_us(c.ts) - epoch_us(er.ts)) <= 600000000
+    ), best AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_id ORDER BY d, err_ts) AS rn
+        FROM cand
+    )
+    SELECT c.event_id, c.user_id, c.ts, b.err_ts, b.err_value
+    FROM clicks c
+    LEFT JOIN best b ON b.event_id = c.event_id AND b.rn = 1
+    ORDER BY c.event_id
+    """,
+    category="2.3 joins (as-of ext)",
+    doc="Nearest-match as-of join with tolerance (pandas merge_asof "
+    "direction='nearest'): every click matched to the closest error "
+    "event of the same user within +-10 minutes, before OR after, "
+    "equidistant ties to the earlier one — the sensor/telemetry "
+    "alignment primitive. Single-shuffle union+window implementation "
+    "(operators/joins.py:asof_join_nearest): both sides exchange "
+    "ONCE on the key; backward and forward fills are two in-"
+    "partition sorts over that exchange, never a per-row range scan. "
+    "Oracle brute-forces argmin-by-distance per click in SQL.",
+)
+def join_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.joins import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    out = asof_join_nearest(
+        clicks,
+        errors,
+        ["user_id"],
+        "ts",
+        ["err_value"],
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("err_ts"),
+        F.col("err_value_asof").alias("err_value"),
+    ).orderBy("event_id")

@@ -934,3 +934,63 @@ def events_session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bounce_sessions"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+        SELECT event_type || '>' || t2 || '>' || t3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY path
+    )
+    SELECT path, n, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT path, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+        FROM paths
+    ) WHERE rnk <= 10
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Top event-type trigram paths (sequence mining lite): per-user "
+    "ordered sequences (lead x2 over ts with event_id tie-break) "
+    "collapsed into 3-step path counts; global top-10 with a "
+    "deterministic path tie-break. Scale shape: ONE shuffle on "
+    "user_id for the sequence window, then a path aggregate bounded "
+    "by |types|^3 distinct keys — the top-k runs on that tiny frame "
+    "(TakeOrderedAndProject, no global sort of the raw stream).",
+)
+def events_top_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = (
+        seq.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ranked = paths.select(
+        "path",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("path")))
+        .cast("int")
+        .alias("rnk"),
+    )
+    return ranked.filter(F.col("rnk") <= 10).orderBy("rnk")

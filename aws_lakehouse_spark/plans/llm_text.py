@@ -1832,3 +1832,50 @@ def text_gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_sym.alias("pass_symbol_ratio"),
         (p_wc & p_mwl & p_alpha & p_sym).alias("pass_all"),
     )
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens,
+               length(regexp_replace(text, '\\s+', '', 'g'))
+                 / greatest(len({DUCK_TOKS}), 1) AS avg_token_len,
+               len(list_filter({DUCK_TOKS},
+                   t -> t IN ({_sql_in_list(DEFAULT_STOPWORDS)})))
+                 / greatest(len({DUCK_TOKS}), 1) AS stopword_ratio,
+               len(list_distinct({DUCK_TOKS}))
+                 / greatest(len({DUCK_TOKS}), 1) AS distinct_ratio
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.012 * n_tokens
+                   + 0.25 * avg_token_len + 4.0 * stopword_ratio
+                   + 1.5 * distinct_ratio))), 6) AS quality_p
+        FROM feats
+    )
+    SELECT doc_id, quality_p, quality_p >= 0.5 AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    category="llm text",
+    doc="fastText-style quality classifier (the CCNet/LLaMA corpus "
+    "filter shape): logistic regression over the scan-side "
+    "quality_features vector with planted literal weights, sigmoid "
+    "probability rounded pre-threshold, keep decision at 0.5. Costs "
+    "a projection in the same single scan that read the documents — "
+    "no UDF, no shuffle; swapping in trained weights changes "
+    "literals, not the plan. Oracle recomputes features, sigmoid, "
+    "and threshold in SQL.",
+)
+def text_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.text import quality_classifier_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_classifier_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        out["quality_p"].alias("quality_p"),
+        out["keep"].alias("keep"),
+    ).orderBy("doc_id")

@@ -324,3 +324,49 @@ def test_shard_plan_matches_sequential_reference(
         expected[doc_id] = run // budget
         run += n_tokens
     assert got == expected
+
+
+@given(
+    left=st.lists(st.tuples(keys, st.integers(0, 50)), min_size=0, max_size=12),
+    right=st.lists(
+        st.tuples(keys, st.integers(0, 50), st.floats(-10, 10, allow_nan=False)),
+        min_size=0,
+        max_size=12,
+    ),
+    tol=st.integers(0, 20),
+)
+@settings(**SETTINGS)
+def test_asof_nearest_equals_reference(spark, left, right, tol):
+    """asof_join_nearest == brute-force nearest-within-tolerance:
+    min |diff| candidate, equidistant ties to the earlier right ts,
+    identical right ts collapsed to the max value."""
+    from aws_lakehouse_spark.operators.joins import asof_join_nearest
+
+    left = list({(k, t): None for k, t in left})
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k bigint, ts bigint, rowid bigint",
+    )
+    rdf = spark.createDataFrame(right, "k bigint, ts bigint, v double")
+    got = {
+        r["rowid"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join_nearest(
+            ldf, rdf, ["k"], "ts", ["v"], tolerance=tol
+        ).collect()
+    }
+    # reference: collapse right dups, then argmin by (|d|, ts)
+    collapsed: dict[tuple[int, int], float] = {}
+    for k, t, v in right:
+        key = (k, t)
+        collapsed[key] = max(collapsed[key], v) if key in collapsed else v
+    want = {}
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (abs(t - rt), rt, rv)
+            for (rk, rt), rv in collapsed.items()
+            if rk == k and abs(t - rt) <= tol
+        ]
+        want[i] = (
+            (min(cands)[1], min(cands)[2]) if cands else (None, None)
+        )
+    assert got == want
