@@ -1177,3 +1177,107 @@ def join_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_asof").alias("err_ts"),
         F.col("err_value_asof").alias("err_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "snapshot_tagged_read",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    category="2.9 maintenance (M5 tags)",
+    doc="Time travel by NAME (Iceberg tag semantics — the "
+    "audit-ready / prod-validated bookmark workflow): version 0 "
+    "lands the even order keys and is tagged 'baseline', an "
+    "overwrite commit replaces the live data with the odd keys, and "
+    "the query reads THROUGH the tag — resolve_tag -> version -> "
+    "manifest file list — proving the label still addresses the "
+    "pre-overwrite snapshot. Tags commit put-if-absent like "
+    "manifests (re-tagging raises, never silently moves a published "
+    "label). Oracle reconstructs the tagged version's content from "
+    "source parquet.",
+)
+def snapshot_tagged_read_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        resolve_tag,
+        snapshot_write,
+        tag_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_tag_"), "orders_snap"
+    )
+    v0 = snapshot_write(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 0), table, "overwrite"
+    )
+    assert tag_snapshot(table, "baseline") == v0
+    snapshot_write(
+        spark, orders.filter(F.col("o_orderkey") % 2 == 1), table, "overwrite"
+    )
+    return read_snapshot(spark, table, version=resolve_tag(table, "baseline"))
+
+
+@register(
+    "agg_hll_partial_merge",
+    # the sketch estimates are engine-specific; certify them in-band
+    # against the exact weekly distincts (same pattern as
+    # agg_approx_count_distinct) — a hash match proves every weekly
+    # merged-sketch estimate landed within 5% of exact
+    oracle="""
+    SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+             AS week_start,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY week_start
+    ORDER BY week_start
+    """,
+    category="2.4 aggregates (mergeable sketches)",
+    doc="Mergeable-sketch rollup — the 100 TB distinct-count "
+    "architecture: per-DAY DataSketches HLL sketches of the user set "
+    "(hll_sketch_agg) merge into per-WEEK cardinalities "
+    "(hll_union_agg) WITHOUT re-scanning raw data — the daily "
+    "sketch table is what a production pipeline persists, and any "
+    "rollup window (week/month/rolling 28d) derives from sketch "
+    "unions at sketch-table cost. The query certifies every weekly "
+    "estimate within 5% of the exact distinct in-band; the exact "
+    "side is computed once in the same plan for the certificate.",
+)
+def agg_hll_partial_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    sketches = daily.groupBy("week_start", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    weekly_approx = sketches.groupBy("week_start").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx")
+    )
+    weekly_exact = daily.groupBy("week_start").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        weekly_exact.join(weekly_approx, "week_start")
+        .select(
+            "week_start",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+        .orderBy("week_start")
+    )

@@ -395,3 +395,62 @@ def merge_into(
 
     version = snapshot_write(spark, result, table_path, "overwrite")
     return {"op": "merge_into", "version": version}
+
+
+def tag_snapshot(
+    table_path: str, name: str, version: int | None = None
+) -> int:
+    """Attach an immutable named tag (Iceberg tag semantics — the
+    ``audit-ready``/``prod-validated`` bookmark workflow) to a
+    snapshot version (default: latest). Tags live next to the
+    manifests and commit put-if-absent like them: re-tagging an
+    existing name raises :class:`SnapshotConflictError` rather than
+    silently moving a published label. Returns the tagged version."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"no snapshots at {table_path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    tags_dir = os.path.join(_log_path(table_path), "tags")
+    os.makedirs(tags_dir, exist_ok=True)
+    final = os.path.join(tags_dir, f"{name}.json")
+    tmp = final + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": v, "tagged_at": time.time()}, fh)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"tag {name!r} already exists at {table_path!r}"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return v
+
+
+def resolve_tag(table_path: str, name: str) -> int:
+    """Tag name -> snapshot version (for ``read_snapshot(...,
+    version=resolve_tag(...))`` — time travel by name)."""
+    path = os.path.join(_log_path(table_path), "tags", f"{name}.json")
+    try:
+        with open(path) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise ValueError(f"unknown tag {name!r} at {table_path!r}") from None
+
+
+def list_tags(table_path: str) -> dict[str, int]:
+    """All tags as name -> version."""
+    tags_dir = os.path.join(_log_path(table_path), "tags")
+    if not os.path.isdir(tags_dir):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(tags_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(tags_dir, f)) as fh:
+                d = json.load(fh)
+            out[d["name"]] = int(d["version"])
+    return out

@@ -416,3 +416,33 @@ def test_merge_into_source_missing_target_column_inserts_null(spark, table_path)
         for r in snapshots.read_snapshot(spark, table_path).collect()
     }
     assert rows == {1: ("a", 10.0), 5: ("e", None)}
+
+
+def test_tags_resolve_and_are_immutable(spark, table_path):
+    v0 = snapshots.snapshot_write(spark, _df(spark, 0, 5), table_path, "overwrite")
+    v1 = snapshots.snapshot_write(spark, _df(spark, 5, 8), table_path, "append")
+    assert snapshots.tag_snapshot(table_path, "baseline", v0) == v0
+    assert snapshots.tag_snapshot(table_path, "latest") == v1  # default=latest
+    assert snapshots.resolve_tag(table_path, "baseline") == v0
+    assert snapshots.list_tags(table_path) == {"baseline": v0, "latest": v1}
+    # tagged time travel reads the tagged version's content
+    df = snapshots.read_snapshot(
+        spark, table_path, snapshots.resolve_tag(table_path, "baseline")
+    )
+    assert df.count() == 5
+    # tags are immutable: re-tagging raises, never silently moves
+    with pytest.raises(snapshots.SnapshotConflictError):
+        snapshots.tag_snapshot(table_path, "baseline", v1)
+    assert snapshots.resolve_tag(table_path, "baseline") == v0
+
+
+def test_tag_validation(spark, table_path):
+    with pytest.raises(ValueError, match="no snapshots"):
+        snapshots.tag_snapshot(table_path, "x")
+    snapshots.snapshot_write(spark, _df(spark, 0, 3), table_path, "overwrite")
+    with pytest.raises(ValueError, match="not in"):
+        snapshots.tag_snapshot(table_path, "x", 99)
+    with pytest.raises(ValueError, match="invalid tag"):
+        snapshots.tag_snapshot(table_path, "a/b")
+    with pytest.raises(ValueError, match="unknown tag"):
+        snapshots.resolve_tag(table_path, "nope")
