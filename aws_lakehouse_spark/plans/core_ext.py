@@ -715,7 +715,9 @@ def snapshot_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            CASE WHEN o_orderkey % 2 = 0 THEN 'M'
                 ELSE o_orderstatus END AS o_orderstatus,
-           CASE WHEN o_orderkey % 2 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+           CASE WHEN o_orderkey % 2 = 0 THEN
+                CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                     * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE)
                 ELSE o_totalprice END AS o_totalprice
     FROM orders
     WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0
@@ -750,10 +752,20 @@ def snapshot_merge_into_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     target = orders.filter(F.col("o_orderkey") % 3 != 0)
     assert snapshot_write(spark, target, table, "overwrite") == 0
+    # 10% bump in EXACT decimal arithmetic (decimal(18,2) * decimal(3,1)
+    # is lossless, no rounding step at all), then back to double: ROUND
+    # over a double product diverges between engines when the product's
+    # shortest decimal repr sits on a .xx5 boundary (Spark rounds the
+    # repr, DuckDB the scaled double) — 9/12500 rows flipped by 0.01.
     source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey",
         F.lit("M").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,1)")
+        )
+        .cast("double")
+        .alias("o_totalprice"),
     )
     m = merge_into(spark, table, source, on=["o_orderkey"])
     assert m["version"] == 1, m
