@@ -1,0 +1,146 @@
+"""Distributed graph analytics over DataFrame edge lists.
+
+The reference engine has no graph tier; these are engine extensions
+motivated by the same workloads the LLM-pipeline tier serves — near-
+dup clusters ARE connected components (``llm.dedup.connected_
+components`` is reused unchanged as the CC kernel), co-occurrence
+graphs drive data-mixing decisions, and PageRank-style centrality is
+the standard quality prior for web-scraped corpora (the original use
+case of the algorithm).
+
+Everything is expressed on plain ``(src, dst [, w])`` DataFrames so
+Catalyst owns the physical strategy:
+
+- **degrees** — one shuffle on the node key.
+- **triangle counting** — DEGREE-ORDERED orientation (each undirected
+  edge directed from its lower-(degree, id) endpoint) before the
+  wedge join, the standard trick that bounds wedge fan-out by
+  ``O(Σ outdeg²)`` with outdeg ≈ √m at worst, instead of ``Σ deg²``
+  which a hub node turns quadratic. At 100 TB the wedge join and the
+  closing-edge semi-join are both plain equi-joins — shuffle-
+  partitioned, no cartesian anywhere.
+- **PageRank** — the textbook iterate as K rounds of (join + keyed
+  aggregate); per-round ``localCheckpoint(eager=False)`` truncates
+  lineage so round k's plan does not embed rounds 1..k-1 (same
+  discipline as the CC kernel's pointer-jumping loop).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected (src<dst) edge list -> both-direction adjacency."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return fwd.unionByName(rev)
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of an undirected (src<dst, distinct) edge
+    list: ``(node, degree)``. One shuffle."""
+    return (
+        symmetrize(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count of an undirected graph given as a
+    distinct ``(src, dst)`` edge list with ``src < dst``.
+
+    Degree-ordered algorithm (MapReduce-classic): orient every edge
+    from its lower-(degree, node-id) endpoint, enumerate wedges by
+    self-joining oriented edges on their apex, then close each wedge
+    with a semi-join back to the undirected edge set. Each triangle
+    is counted exactly once — at its minimum-(degree, id) vertex.
+    Returns a single row ``(n_nodes, n_edges, n_triangles)``.
+    """
+    deg = degrees(edges)
+    du = deg.select(
+        F.col("node").alias("src"),
+        F.col("degree").alias("__sdeg"),
+    )
+    dv = deg.select(
+        F.col("node").alias("dst"),
+        F.col("degree").alias("__ddeg"),
+    )
+    with_deg = edges.select("src", "dst").join(du, "src").join(dv, "dst")
+    src_first = (F.col("__sdeg") < F.col("__ddeg")) | (
+        (F.col("__sdeg") == F.col("__ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = with_deg.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.lo") == F.col("e2.lo"))
+        & (F.col("e1.hi") < F.col("e2.hi")),
+    ).select(
+        F.least(F.col("e1.hi"), F.col("e2.hi")).alias("src"),
+        F.greatest(F.col("e1.hi"), F.col("e2.hi")).alias("dst"),
+    )
+    closed = wedges.join(edges.select("src", "dst"), ["src", "dst"], "left_semi")
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
+    # three scalar aggregates -> one row; broadcast-of-one-row joins
+    return (
+        n_nodes.select(F.col("n").alias("n_nodes"))
+        .crossJoin(n_edges.select(F.col("n").alias("n_edges")))
+        .crossJoin(n_tri.select(F.col("n").alias("n_triangles")))
+    )
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """PageRank on an undirected (src<dst, distinct) edge list:
+    symmetric adjacency, uniform ``1/N`` init, K synchronous rounds of
+    ``pr'(v) = (1-d)/N + d * Σ_{u~v} pr(u)/deg(u)``; returns
+    ``(node, pr)``.
+
+    A symmetric graph has no dangling nodes (every node in the edge
+    list has degree ≥ 1), so no dangling-mass redistribution term is
+    needed. ``N`` comes off a count action — one scalar on the
+    driver, never row data. Per-round lazy ``localCheckpoint`` keeps
+    the plan tree flat across rounds.
+    """
+    adj = symmetrize(edges)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj_deg = adj.join(deg, "src").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(
+        eager=False
+    )
+    n = nodes.count()
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            adj_deg.join(
+                pr.select(F.col("node").alias("src"), "pr"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("__in"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

@@ -40,7 +40,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -96,11 +98,21 @@ def snapshot_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write mode must be append/overwrite, got {mode!r}")
     os.makedirs(_log_path(table_path), exist_ok=True)
-    before = _data_files(table_path)
-    # physical append in BOTH modes — overwrite is a logical, manifest-
-    # level operation, never a delete
-    df.write.mode("append").parquet(table_path)
-    new_files = sorted(_data_files(table_path) - before)
+    # Stage into a PRIVATE directory, then move part files into the
+    # table root. Writing straight into the table root would (a) share
+    # Hadoop's _temporary/0 committer dir between concurrent writers —
+    # the first job to commit deletes it out from under the other —
+    # and (b) force a before/after directory diff that could attribute
+    # a concurrent writer's files to this manifest. Part-file names
+    # embed the job UUID, so moves into the root cannot collide.
+    stage = os.path.join(table_path, f"__stage.{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    new_files = []
+    for f in sorted(os.listdir(stage)):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            os.rename(os.path.join(stage, f), os.path.join(table_path, f))
+            new_files.append(f)
+    shutil.rmtree(stage, ignore_errors=True)
 
     vs = versions(table_path)
     version = (vs[-1] + 1) if vs else 0
