@@ -19,6 +19,7 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     tpch,
     tpch2,
     tpch3,
+    graph,
     llm_text,
     llm_dedup,
     llm_similarity,

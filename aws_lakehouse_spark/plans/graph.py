@@ -1,0 +1,272 @@
+"""Graph analytics query surface (engine extension).
+
+The graph is REAL data, not a synthetic adjacency: the part
+co-purchase graph — an undirected edge between two parts whenever
+some order contains both (``lineitem`` self-joined on ``l_orderkey``,
+weight = number of co-occurring orders). This is the market-basket /
+co-occurrence structure a data-mixing or recommendation pipeline
+derives from interaction logs; TPC-H's bounded lines-per-order keeps
+the self-join fan-out constant, so the derivation is scale-safe.
+
+Algorithms live in :mod:`aws_lakehouse_spark.operators.graph`
+(degree-ordered triangle counting, checkpointed PageRank) and the
+connected-components kernel is shared verbatim with the near-dup
+resolution tier (:func:`aws_lakehouse_spark.llm.dedup.
+connected_components` — dup clusters ARE components).
+
+Oracle notes: PageRank is unrolled to the same 5 synchronous
+iterations in SQL; connected components use a recursive min-label
+CTE (fixpoint over the w>=2 subgraph, small enough for closure at
+gate scale). All float outputs round identically on both sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.operators.graph import (
+    degrees,
+    pagerank,
+    triangle_count,
+)
+from aws_lakehouse_spark.registry import register
+
+# Shared oracle fragment: the distinct undirected co-purchase edge
+# list (src < dst) with its order-co-occurrence weight.
+_EDGES_SQL = """
+    pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM pairs a
+        JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+def copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_weight: int = 1
+) -> DataFrame:
+    """Distinct undirected (src < dst) part co-purchase edges with
+    co-occurrence weight ``w``. One shuffle on ``l_orderkey`` for the
+    self-join (fan-out bounded by lines-per-order), one on the pair
+    key for the weight aggregate."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    if min_weight > 1:
+        edges = edges.filter(F.col("w") >= min_weight)
+    return edges
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    adj AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM adj GROUP BY src)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+    category="2.11 graph (engine extension)",
+    doc="Degree distribution of the part co-purchase graph: per-node "
+    "neighbor count, then nodes per degree — the first diagnostic "
+    "run on any large graph (hub detection drives the choice of "
+    "orientation/salting downstream). Two keyed shuffles total; the "
+    "distribution frame is at most max-degree rows.",
+)
+def graph_degree_distribution_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    deg = degrees(copurchase_edges(spark, sf_dir))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
+        .orderBy("degree")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    e2 AS (SELECT src, dst FROM edges WHERE w >= 2),
+    tri AS (
+        SELECT COUNT(*) AS n
+        FROM e2 ab JOIN e2 bc ON ab.dst = bc.src
+                   JOIN e2 ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    nn AS (
+        SELECT COUNT(*) AS n FROM (
+            SELECT src AS x FROM e2 UNION SELECT dst FROM e2
+        )
+    )
+    SELECT CAST(nn.n AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e2) AS BIGINT) AS n_edges,
+           CAST(tri.n AS BIGINT) AS n_triangles
+    FROM nn, tri
+    """,
+    category="2.11 graph (engine extension)",
+    doc="Exact triangle count of the w>=2 co-purchase subgraph via "
+    "DEGREE-ORDERED wedge enumeration (operators/graph.py): every "
+    "edge oriented from its lower-(degree,id) endpoint bounds wedge "
+    "fan-out by sum(outdeg^2) — the hub-proof MapReduce-classic — "
+    "then one semi-join closes wedges against the edge set. The "
+    "oracle counts the same triangles with the naive a<b<c 3-way "
+    "join, fine at gate scale.",
+)
+def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir, min_weight=2)
+    return triangle_count(edges).select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+    )
+
+
+@register(
+    "graph_pagerank_topk",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    adj AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    p0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    p1 AS (
+        SELECT a.dst AS node,
+               (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * SUM(p.pr / d.deg) AS pr
+        FROM adj a JOIN deg d ON a.src = d.src JOIN p0 p ON p.node = a.src
+        GROUP BY a.dst
+    ),
+    p2 AS (
+        SELECT a.dst AS node,
+               (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * SUM(p.pr / d.deg) AS pr
+        FROM adj a JOIN deg d ON a.src = d.src JOIN p1 p ON p.node = a.src
+        GROUP BY a.dst
+    ),
+    p3 AS (
+        SELECT a.dst AS node,
+               (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * SUM(p.pr / d.deg) AS pr
+        FROM adj a JOIN deg d ON a.src = d.src JOIN p2 p ON p.node = a.src
+        GROUP BY a.dst
+    ),
+    p4 AS (
+        SELECT a.dst AS node,
+               (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * SUM(p.pr / d.deg) AS pr
+        FROM adj a JOIN deg d ON a.src = d.src JOIN p3 p ON p.node = a.src
+        GROUP BY a.dst
+    ),
+    p5 AS (
+        SELECT a.dst AS node,
+               (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * SUM(p.pr / d.deg) AS pr
+        FROM adj a JOIN deg d ON a.src = d.src JOIN p4 p ON p.node = a.src
+        GROUP BY a.dst
+    )
+    SELECT CAST(node AS BIGINT) AS part_id, ROUND(pr, 6) AS pagerank
+    FROM p5
+    ORDER BY ROUND(pr, 6) DESC, node
+    LIMIT 20
+    """,
+    category="2.11 graph (engine extension)",
+    doc="PageRank centrality (damping 0.85, 5 synchronous rounds, "
+    "uniform init) over the co-purchase graph; top-20 parts — the "
+    "classic quality/centrality prior for corpus curation, here on "
+    "basket structure. Each round is one join + one keyed aggregate "
+    "with a lazy localCheckpoint truncating lineage; the oracle "
+    "unrolls the identical five iterations as CTEs. Ordering uses "
+    "the ROUNDED rank plus the node id so the top-20 cut is "
+    "deterministic on both engines.",
+)
+def graph_pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return (
+        pr.select(
+            F.col("node").cast("bigint").alias("part_id"),
+            F.round("pr", 6).alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), "part_id")
+        .limit(20)
+    )
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    e2 AS (SELECT src, dst FROM edges WHERE w >= 2),
+    adj AS (
+        SELECT src, dst FROM e2
+        UNION ALL
+        SELECT dst, src FROM e2
+    ),
+    lab(node, label) AS (
+        SELECT src, src FROM adj
+        UNION
+        SELECT a.src, l.label
+        FROM lab l JOIN adj a ON a.dst = l.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM lab GROUP BY node)
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY component ORDER BY n_nodes DESC, component
+    """,
+    category="2.11 graph (engine extension)",
+    doc="Connected components of the w>=2 co-purchase subgraph, "
+    "summarized as (component = min member id, size), reusing the "
+    "EXACT pointer-jumping min-label kernel that resolves near-dup "
+    "clusters (llm/dedup.py:262 — O(log diameter) rounds, per-round "
+    "lazy localCheckpoint, no driver-side graph state). The oracle "
+    "reaches the same fixpoint with a recursive min-label CTE.",
+)
+def graph_connected_components_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import connected_components
+
+    edges = copurchase_edges(spark, sf_dir, min_weight=2)
+    pairs = edges.select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("component").cast("bigint").alias("component"), "n_nodes")
+        .orderBy(F.col("n_nodes").desc(), "component")
+    )

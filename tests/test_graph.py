@@ -1,0 +1,91 @@
+"""Graph operator kernels on hand-built graphs with known answers."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from aws_lakehouse_spark.operators.graph import (
+    degrees,
+    pagerank,
+    triangle_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src bigint, dst bigint"
+    )
+
+
+def test_degrees_path_graph(spark):
+    # 1-2-3 path: ends degree 1, middle degree 2
+    deg = {
+        r["node"]: r["degree"]
+        for r in degrees(_edges(spark, [(1, 2), (2, 3)])).collect()
+    }
+    assert deg == {1: 1, 2: 2, 3: 1}
+
+
+def test_triangle_count_k4(spark):
+    # complete graph on 4 nodes has C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    row = triangle_count(_edges(spark, k4)).first()
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+
+def test_triangle_count_square_with_diagonal(spark):
+    # square 1-2-3-4 plus diagonal 1-3: exactly 2 triangles
+    e = [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)]
+    assert triangle_count(_edges(spark, e)).first()["n_triangles"] == 2
+
+
+def test_triangle_count_star_is_zero(spark):
+    # hub with 6 spokes: plenty of wedges, zero triangles — exercises
+    # the degree-ordered orientation (hub receives, never fans out)
+    e = [(1, h) for h in range(2, 8)]
+    assert triangle_count(_edges(spark, e)).first()["n_triangles"] == 0
+
+
+def test_pagerank_sums_to_one_and_respects_symmetry(spark):
+    # path 1-2-3: symmetric ends must tie exactly; mass conserved
+    pr = {
+        r["node"]: r["pr"]
+        for r in pagerank(_edges(spark, [(1, 2), (2, 3)]), 10).collect()
+    }
+    assert math.isclose(sum(pr.values()), 1.0, rel_tol=1e-9)
+    assert pr[1] == pr[3]
+    assert pr[2] > pr[1]
+
+
+def test_pagerank_matches_dense_reference(spark):
+    # independent dense-matrix iterate on the same 5-node graph
+    import numpy as np
+
+    e = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    n, it, d = 5, 5, 0.85
+    adj = np.zeros((n, n))
+    for a, b in e:
+        adj[a - 1, b - 1] = adj[b - 1, a - 1] = 1.0
+    deg = adj.sum(axis=1)
+    p = np.full(n, 1.0 / n)
+    for _ in range(it):
+        p = (1 - d) / n + d * adj.T @ (p / deg)
+    got = {r["node"]: r["pr"] for r in pagerank(_edges(spark, e), it).collect()}
+    for i in range(n):
+        assert math.isclose(got[i + 1], p[i], rel_tol=1e-12), (i, got, p)
+
+
+def test_copurchase_edges_are_canonical(spark):
+    from aws_lakehouse_spark.plans.graph import copurchase_edges
+
+    e = copurchase_edges(spark, SF_DIR)
+    bad = e.filter(
+        (F.col("src") >= F.col("dst")) | (F.col("w") < 1)
+    ).count()
+    assert bad == 0
+    # distinct pairs: no duplicate edges
+    assert e.count() == e.select("src", "dst").distinct().count()
