@@ -15,6 +15,8 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     events_windows,
     medallion,
     sql_surface,
+    stats,
+    timeseries,
     quality,
     tpch,
     tpch2,

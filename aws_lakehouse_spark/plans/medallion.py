@@ -289,3 +289,105 @@ def medallion_dim_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "priority", "valid_from", "valid_to", "version",
         "is_current",
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH ev AS (
+        SELECT o_custkey AS c_custkey,
+               o_orderpriority AS priority,
+               strftime(o_orderdate, '%Y-%m-%d') AS eff_date,
+               o_orderkey
+        FROM orders WHERE o_custkey < 100
+    ), with_prev AS (
+        SELECT *, LAG(priority) OVER (
+            PARTITION BY c_custkey ORDER BY eff_date, o_orderkey
+        ) AS prev
+        FROM ev
+    ), changes AS (
+        SELECT c_custkey, priority, eff_date, o_orderkey
+        FROM with_prev
+        WHERE prev IS NULL OR priority != prev
+    ), dim AS (
+        SELECT c_custkey, priority,
+               eff_date AS valid_from,
+               LEAD(eff_date) OVER (
+                   PARTITION BY c_custkey ORDER BY eff_date, o_orderkey
+               ) AS valid_to
+        FROM changes
+    ), fact AS (
+        SELECT o.o_custkey AS c_custkey, l.l_orderkey, l.l_linenumber,
+               strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey < 100
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.ship_date,
+           d.priority AS priority_at_ship
+    FROM fact f
+    JOIN dim d
+      ON f.c_custkey = d.c_custkey
+     AND f.ship_date >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ship_date < d.valid_to)
+    """,
+    category="3.2 medallion (SCD2 lookup)",
+    doc="POINT-IN-TIME dimension lookup against the SCD2 history "
+    "built by medallion_dim_scd2: each shipment joins to the "
+    "attribute version whose [valid_from, valid_to) interval covers "
+    "its ship date — the as-was join that makes slowly-changing "
+    "dimensions useful (an as-is join would backdate today's "
+    "attributes onto history). Physically an equi-join on the "
+    "dimension key with the interval predicate as residual filter: "
+    "per-key fan-out is the customer's version count, so the shuffle "
+    "stays linear at any fact volume. ISO-string dates keep the "
+    "comparison and the driver hash engine-identical.",
+)
+def join_scd2_pointintime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.scd import scd2_versions
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 100
+    )
+    ev = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("eff_date"),
+        "o_orderkey",
+    )
+    dim = scd2_versions(
+        ev,
+        ["c_custkey"],
+        "priority",
+        [F.asc("eff_date"), F.asc("o_orderkey")],
+        "eff_date",
+    ).select("c_custkey", "priority", "valid_from", "valid_to")
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.c_custkey == dim.c_custkey)
+            & (F.col("ship_date") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("ship_date") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "ship_date",
+            F.col("priority").alias("priority_at_ship"),
+        )
+    )

@@ -1,0 +1,331 @@
+"""Statistical quality / sketch query surface (engine extension).
+
+Robust-statistics and hypothesis-test primitives a data-quality tier
+runs next to the expectations/drift checks in ``plans/quality.py``,
+plus a count-min sketch — the mergeable heavy-hitter structure whose
+(seed, bucket) cell grid is a map-side-combinable aggregate at any
+scale. Every float formula is written identically in the DuckDB
+oracle and rounded identically, per the hash-match discipline.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.registry import register
+
+
+@register(
+    "quality_winsorize",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.01) AS p01,
+               quantile_cont(l_extendedprice, 0.99) AS p99,
+               AVG(l_extendedprice) AS mean_raw
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(b.p01, 4) AS p01,
+           ROUND(b.p99, 4) AS p99,
+           ROUND(b.mean_raw, 4) AS mean_raw,
+           ROUND(AVG(
+               CASE WHEN l.l_extendedprice < b.p01 THEN b.p01
+                    WHEN l.l_extendedprice > b.p99 THEN b.p99
+                    ELSE l.l_extendedprice END
+           ), 4) AS mean_winsorized
+    FROM lineitem l JOIN bounds b USING (l_returnflag)
+    GROUP BY l.l_returnflag, b.p01, b.p99, b.mean_raw
+    ORDER BY l.l_returnflag
+    """,
+    category="2.4 aggregation (robust statistics)",
+    doc="Winsorized mean per return flag: exact p01/p99 price bounds "
+    "(interpolated percentile, identical on both engines), then the "
+    "mean with tails CLIPPED to the bounds — the outlier-robust "
+    "center estimate a quality tier reports next to the raw mean. "
+    "Two passes: a per-group percentile aggregate (groups-sized "
+    "result, broadcast back) and one clipped re-aggregate; no sort "
+    "of the fact table.",
+)
+def quality_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.avg("l_extendedprice").alias("mean_raw"),
+    )
+    clipped = F.when(
+        F.col("l_extendedprice") < F.col("p01"), F.col("p01")
+    ).when(
+        F.col("l_extendedprice") > F.col("p99"), F.col("p99")
+    ).otherwise(F.col("l_extendedprice"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", "p01", "p99", "mean_raw")
+        .agg(F.round(F.avg(clipped), 4).alias("mean_winsorized"))
+        .select(
+            "l_returnflag",
+            F.round("p01", 4).alias("p01"),
+            F.round("p99", 4).alias("p99"),
+            F.round("mean_raw", 4).alias("mean_raw"),
+            "mean_winsorized",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "quality_ab_ttest",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               AVG(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY event_type
+    ),
+    ab AS (
+        SELECT
+            (SELECT n FROM g WHERE event_type = 'click') AS n1,
+            (SELECT m FROM g WHERE event_type = 'click') AS m1,
+            (SELECT v FROM g WHERE event_type = 'click') AS v1,
+            (SELECT n FROM g WHERE event_type = 'view') AS n2,
+            (SELECT m FROM g WHERE event_type = 'view') AS m2,
+            (SELECT v FROM g WHERE event_type = 'view') AS v2
+    )
+    SELECT n1, n2,
+           ROUND(m1, 6) AS mean_click,
+           ROUND(m2, 6) AS mean_view,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(
+               power(v1 / n1 + v2 / n2, 2)
+               / (power(v1 / n1, 2) / (n1 - 1)
+                  + power(v2 / n2, 2) / (n2 - 1)),
+               4
+           ) AS welch_df
+    FROM ab
+    """,
+    category="2.4 aggregation (hypothesis test)",
+    doc="Welch's unequal-variance t-test between the click and view "
+    "cohorts' event values: per-cohort (n, mean, sample variance) in "
+    "ONE grouped aggregate over the fact scan, then the t statistic "
+    "and Welch-Satterthwaite df as scalar arithmetic on the 2-row "
+    "result — the A/B significance readout with no second pass over "
+    "the data, distributable as a pure map-side-combinable moment "
+    "aggregate.",
+)
+def quality_ab_ttest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return a.crossJoin(b).select(
+        "n1",
+        "n2",
+        F.round("m1", 6).alias("mean_click"),
+        F.round("m2", 6).alias("mean_view"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "quality_chisquare_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+                    THEN 'A' ELSE 'B' END AS cohort
+        FROM documents
+    ),
+    obs AS (
+        SELECT lang, cohort, CAST(COUNT(*) AS DOUBLE) AS o
+        FROM tagged GROUP BY lang, cohort
+    ),
+    tot AS (
+        SELECT lang, SUM(o) AS row_tot FROM obs GROUP BY lang
+    ),
+    ctot AS (
+        SELECT cohort, SUM(o) AS col_tot FROM obs GROUP BY cohort
+    ),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+        SELECT o.lang, o.cohort, o.o,
+               t.row_tot * c.col_tot / (SELECT n FROM n) AS e
+        FROM obs o JOIN tot t USING (lang) JOIN ctot c USING (cohort)
+    )
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST((COUNT(DISTINCT lang) - 1)
+                * (COUNT(DISTINCT cohort) - 1) AS BIGINT) AS dof
+    FROM cells
+    """,
+    category="2.4 aggregation (hypothesis test)",
+    doc="Chi-square homogeneity test of the language distribution "
+    "between two source cohorts (src0-9 vs src10-19) — the "
+    "distribution-drift alarm for a corpus intake pipeline. One "
+    "grouped count builds the contingency table (|langs| x 2 cells); "
+    "expected counts and the statistic are arithmetic on that tiny "
+    "frame. The fact scan aggregates once; everything downstream is "
+    "cells-sized.",
+)
+def quality_chisquare_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "lang",
+        F.when(
+            F.substring("source", 4, 10).cast("bigint") < 10, F.lit("A")
+        )
+        .otherwise(F.lit("B"))
+        .alias("cohort"),
+    )
+    obs = tagged.groupBy("lang", "cohort").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    row_tot = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    col_tot = obs.groupBy("cohort").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(row_tot, "lang")
+        .join(col_tot, "cohort")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "cohort",
+            "o",
+            (F.col("row_tot") * F.col("col_tot") / F.col("n")).alias("e"),
+        )
+    )
+    return cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("cohort") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+    )
+
+
+# count-min sketch shape: 4 independent hash rows x 256 buckets.
+_CMS_D, _CMS_W = 4, 256
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+    WITH seeds AS (SELECT UNNEST(range({_CMS_D})) AS seed),
+    hashed AS (
+        SELECT s.seed,
+               ('0x' || substr(
+                   md5(s.seed || '|' || e.user_id), 1, 8
+               ))::BIGINT % {_CMS_W} AS bucket
+        FROM events e CROSS JOIN seeds s
+    ),
+    cms AS (
+        SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM hashed GROUP BY seed, bucket
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    probes AS (
+        SELECT x.user_id, x.exact_n, s.seed,
+               ('0x' || substr(
+                   md5(s.seed || '|' || x.user_id), 1, 8
+               ))::BIGINT % {_CMS_W} AS bucket
+        FROM exact x CROSS JOIN seeds s
+    )
+    SELECT p.user_id, p.exact_n, MIN(c.c) AS cms_n
+    FROM probes p JOIN cms c ON c.seed = p.seed AND c.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+    ORDER BY p.exact_n DESC, p.user_id
+    """,
+    category="2.4 aggregation (sketch)",
+    doc=f"Count-min sketch ({_CMS_D} md5-derived hash rows x {_CMS_W} "
+    "buckets) over event user traffic, probed at the true top-10 "
+    "users: estimate = min over rows of the bucket count, always >= "
+    "exact (one-sided error, the CMS guarantee). The sketch is a "
+    "grouped count on (seed, bucket) — a FIXED 1024-cell grid that "
+    "map-side combines and merges across partitions/streams no "
+    "matter the input size; md5 hashing makes both engines' cells "
+    "bit-identical. Exact counts ride along only to exhibit the "
+    "estimation error at gate scale.",
+)
+def agg_countmin_heavy_hitters_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    seeds = F.array(*[F.lit(i) for i in range(_CMS_D)])
+
+    def bucket(seed_col, uid_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            seed_col.cast("string"),
+                            F.lit("|"),
+                            uid_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    hashed = ev.select(
+        F.explode(seeds).alias("seed"), F.col("user_id")
+    ).select("seed", bucket(F.col("seed"), F.col("user_id")).alias("bucket"))
+    cms = hashed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    probes = exact.select(
+        "user_id", "exact_n", F.explode(seeds).alias("seed")
+    ).select(
+        "user_id",
+        "exact_n",
+        "seed",
+        bucket(F.col("seed"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probes.join(cms, ["seed", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )

@@ -1,0 +1,138 @@
+"""Property tests for the stats / time-series / SCD2-lookup tier."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from aws_lakehouse_spark.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return load_all()[name].fn(spark, SF_DIR)
+
+
+def test_pareto_frontier_has_no_dominated_rows(spark):
+    rows = _run(spark, "order_pareto_frontier").collect()
+    pts = [(r["o_totalprice"], r["o_orderdate"]) for r in rows]
+    for i, (p1, d1) in enumerate(pts):
+        for j, (p2, d2) in enumerate(pts):
+            if i == j:
+                continue
+            dominated = (
+                p2 >= p1 and d2 >= d1 and (p2 > p1 or d2 > d1)
+            )
+            assert not dominated, (pts[i], pts[j])
+
+
+def test_pareto_frontier_contains_both_axis_maxima(spark):
+    df = _run(spark, "order_pareto_frontier")
+    orders = df.sparkSession.read.parquet(f"{SF_DIR}/orders.parquet")
+    best_price = orders.agg(F.max("o_totalprice")).first()[0]
+    assert df.filter(F.col("o_totalprice") == best_price).count() >= 1
+
+
+def test_ewma_bounded_by_trailing_max(spark):
+    # EWMA with alpha=0.3 over a 24h horizon can never exceed the max
+    # bucket value times the geometric weight sum (< 1)
+    out = _run(spark, "events_ewma_trailing")
+    buckets = out.sparkSession.read.parquet(
+        f"{SF_DIR}/events.parquet"
+    )
+    mx = (
+        buckets.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts").cast("timestamp"))
+        )
+        .agg(F.sum("value").alias("x"))
+        .agg(F.max("x"))
+        .first()[0]
+    )
+    assert out.filter(F.col("ewma") > mx).count() == 0
+    assert out.filter(F.col("ewma").isNull()).count() == 0
+
+
+def test_cumulative_distinct_is_monotone(spark):
+    rows = _run(spark, "window_cumulative_distinct").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["d"], r["n_new"], r["cum_users"])
+        )
+    for seq in by_type.values():
+        seq.sort()
+        run = 0
+        for _, n_new, cum in seq:
+            run += n_new
+            assert cum == run
+
+
+def test_winsorized_mean_between_bounds(spark):
+    for r in _run(spark, "quality_winsorize").collect():
+        assert r["p01"] <= r["mean_winsorized"] <= r["p99"]
+
+
+def test_countmin_estimate_dominates_exact(spark):
+    # the CMS one-sided error guarantee: estimate >= exact, always
+    for r in _run(spark, "agg_countmin_heavy_hitters").collect():
+        assert r["cms_n"] >= r["exact_n"]
+
+
+def test_rolling_median_window_is_bounded(spark):
+    # first row of each customer partition equals its own value
+    out = _run(spark, "window_rolling_median")
+    orders = out.sparkSession.read.parquet(f"{SF_DIR}/orders.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    first = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("expect"))
+    )
+    joined = out.join(first, "o_orderkey")
+    bad = joined.filter(
+        F.abs(F.col("rolling_median") - F.col("expect")) > 1e-9
+    ).count()
+    assert bad == 0
+
+
+def test_scd2_pointintime_unique_version_per_fact(spark):
+    # interval join must resolve each fact ROW to exactly one version:
+    # output multiplicity per (orderkey, linenumber, ship_date) group
+    # must equal input multiplicity (the synthetic lineitem repeats
+    # linenumbers within an order, so rowwise identity needs the group
+    # count, not a uniqueness assertion)
+    out = _run(spark, "join_scd2_pointintime")
+    orders = out.sparkSession.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = out.sparkSession.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    fact = (
+        li.join(
+            orders.filter(F.col("o_custkey") < 100).select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+        .count()
+        .withColumnRenamed("count", "n_fact")
+    )
+    got = (
+        out.groupBy("l_orderkey", "l_linenumber", "ship_date")
+        .count()
+        .withColumnRenamed("count", "n_out")
+    )
+    over = (
+        got.join(fact, ["l_orderkey", "l_linenumber", "ship_date"])
+        .filter(F.col("n_out") != F.col("n_fact"))
+        .count()
+    )
+    assert over == 0
+
+
+def test_welch_ttest_df_within_bounds(spark):
+    r = _run(spark, "quality_ab_ttest").first()
+    # Welch df lies between min(n1,n2)-1 and n1+n2-2
+    assert min(r["n1"], r["n2"]) - 1 <= r["welch_df"] <= r["n1"] + r["n2"] - 2
