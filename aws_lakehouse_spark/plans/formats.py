@@ -258,3 +258,61 @@ def partition_pruned_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spend,
+           ROUND(MAX(c.c_acctbal), 2) AS acctbal
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey
+    """,
+    category="2.1 sources/sinks (bucketed layout)",
+    doc="Shuffle-FREE fact/dim join via bucketing: both tables are "
+    "written CLUSTERED BY the join key into 8 sorted buckets "
+    "(``bucketBy + sortBy + saveAsTable``, external path), then "
+    "joined with a merge hint — Catalyst sees matching bucketed "
+    "distributions and plans a sort-merge join with NO Exchange on "
+    "either side, and the same bucketing satisfies the downstream "
+    "group-by's distribution too (tests/test_formats_bucketed.py "
+    "asserts zero shuffle exchanges in the physical plan). This is "
+    "the pre-shuffle-once-join-forever layout that amortizes the "
+    "dominant cost of repeated big joins at 100 TB; the driver gate "
+    "checks the VALUES equal a plain join of the source parquet.",
+)
+def join_bucketed_colocated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="lakehouse_bucketed_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    specs = [
+        ("lh_bucketed_orders", orders, "o_custkey"),
+        ("lh_bucketed_customer", customer, "c_custkey"),
+    ]
+    for tbl, df, key in specs:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, tbl))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    o = spark.table("lh_bucketed_orders")
+    c = spark.table("lh_bucketed_customer")
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.max("c_acctbal"), 2).alias("acctbal"),
+        )
+    )

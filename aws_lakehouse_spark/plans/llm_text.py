@@ -1879,3 +1879,121 @@ def text_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["quality_p"].alias("quality_p"),
         out["keep"].alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_dsir_importance",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               CAST(substr(source, 4) AS BIGINT) < 5 AS is_target,
+               unnest(CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+                   list_transform(
+                       range(1, len(str_split(text, ' '))),
+                       i -> str_split(text, ' ')[i] || ' '
+                            || str_split(text, ' ')[i + 1])
+                   ELSE [] END) AS bigram
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, is_target,
+               ('0x' || substr(md5(bigram), 1, 8))::BIGINT % 128 AS b
+        FROM grams
+    ),
+    raw_counts AS (
+        SELECT b, CAST(COUNT(*) AS DOUBLE) AS cr FROM hashed GROUP BY b
+    ),
+    tgt_counts AS (
+        SELECT b, CAST(COUNT(*) AS DOUBLE) AS ct
+        FROM hashed WHERE is_target GROUP BY b
+    ),
+    totals AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS nr,
+               CAST(COUNT(*) FILTER (is_target) AS DOUBLE) AS nt
+        FROM hashed
+    ),
+    ratio AS (
+        SELECT r.b,
+               ln((COALESCE(t.ct, 0) + 1) / ((SELECT nt FROM totals) + 128))
+               - ln((r.cr + 1) / ((SELECT nr FROM totals) + 128)) AS lr
+        FROM raw_counts r LEFT JOIN tgt_counts t ON r.b = t.b
+    )
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(rt.lr), 6) AS dsir_logratio
+    FROM hashed h JOIN ratio rt ON h.b = rt.b
+    GROUP BY h.doc_id
+    """,
+    category="llm text (data mixing)",
+    doc="DSIR-style importance weight per document (Xie et al. 2023: "
+    "Data Selection via Importance Resampling): hashed-bigram bag "
+    "features (md5 -> 128 buckets, engine-identical), add-1-smoothed "
+    "unigram models over the TARGET cohort (src0-4, the quality "
+    "proxy) and the RAW corpus, and per-doc log importance = sum of "
+    "per-feature log-likelihood ratios — the standard recipe for "
+    "resampling a web-scale corpus toward a target domain. Scale "
+    "shape: the feature LM is a FIXED 128-row table (two grouped "
+    "counts over the exploded grams, broadcast back), so the corpus "
+    "is scanned once for counting and once for scoring; nothing "
+    "data-sized ever sorts or cross-joins.",
+)
+def text_dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bigram_arr = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) "
+        "ELSE array() END"
+    )
+    hashed = docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("bigint") < 5).alias(
+            "is_target"
+        ),
+        F.explode(bigram_arr).alias("bigram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % 128
+        ).alias("b"),
+    )
+    raw_counts = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("cr")
+    )
+    tgt_counts = (
+        hashed.filter("is_target")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    totals = hashed.agg(
+        F.count(F.lit(1)).cast("double").alias("nr"),
+        F.count(F.when(F.col("is_target"), F.lit(1)))
+        .cast("double")
+        .alias("nt"),
+    )
+    ratio = (
+        raw_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
+                    / (F.col("nt") + 128)
+                )
+                - F.log((F.col("cr") + 1) / (F.col("nr") + 128))
+            ).alias("lr"),
+        )
+    )
+    return (
+        hashed.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("lr"), 6).alias("dsir_logratio"),
+        )
+    )

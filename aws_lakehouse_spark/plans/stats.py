@@ -329,3 +329,61 @@ def agg_countmin_heavy_hitters_q(
         .agg(F.min("c").alias("cms_n"))
         .orderBy(F.col("exact_n").desc(), "user_id")
     )
+
+
+@register(
+    "agg_hierarchy_rollup",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    ),
+    chains AS (
+        SELECT user_id, n,
+               unnest(list_distinct(list_transform(
+                   range(0, 21), k -> user_id >> k
+               ))) AS node
+        FROM per_user
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM chains
+    WHERE node >= 1
+    GROUP BY node ORDER BY node
+    """,
+    category="2.4 aggregation (hierarchy rollup)",
+    doc="Hierarchical subtree rollup over an implicit binary org tree "
+    "(parent = id >> 1): per ancestor node, total events and distinct "
+    "users beneath it. The recursive-CTE-free formulation: ancestor "
+    "chains are ARITHMETIC (id >> k, deduped in-row), so the rollup "
+    "is reduce-to-user (one keyed shuffle) + explode x depth + one "
+    "more keyed aggregate — depth-bounded data expansion on the "
+    "USER-level frame, never on raw events, and no iterative joins. "
+    "The same shape rolls up any fixed-arity hierarchy (geo cells, "
+    "IP prefixes, taxonomy paths) at corpus scale.",
+)
+def agg_hierarchy_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    chains = per_user.select(
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, 20), k -> shiftright(user_id, k))"
+                )
+            )
+        ).alias("node"),
+    ).filter(F.col("node") >= 1)
+    return (
+        chains.groupBy("node")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+        .select(F.col("node").cast("bigint").alias("node"), "n_events", "n_users")
+        .orderBy("node")
+    )
