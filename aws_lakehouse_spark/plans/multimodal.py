@@ -579,3 +579,99 @@ def media_image_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, bytearray(png)) for i, png, _w, _h in _image_fixture()]
     media = spark.createDataFrame(rows, "media_id bigint, content binary")
     return extract_image_histograms(media)
+
+
+@register(
+    "media_scene_cuts",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id AS media_id,
+               CAST(strlen(text) % 120 + 8 AS INTEGER) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    ),
+    frames AS (
+        SELECT media_id, n_frames,
+               unnest(range(0, n_frames)) AS idx
+        FROM v
+    ),
+    lum AS (
+        SELECT media_id, n_frames, idx,
+               ('0x' || substr(
+                   md5(media_id || ':' || idx), 1, 4
+               ))::BIGINT % 256 AS y
+        FROM frames
+    ),
+    diffs AS (
+        SELECT media_id, n_frames, idx,
+               abs(y - LAG(y) OVER (
+                   PARTITION BY media_id ORDER BY idx
+               )) AS d
+        FROM lum
+    )
+    SELECT media_id,
+           MAX(n_frames) AS n_frames,
+           CAST(COUNT(*) FILTER (d >= 96) AS BIGINT) AS n_cuts,
+           CAST(MIN(CASE WHEN d >= 96 THEN idx END) AS BIGINT)
+             AS first_cut
+    FROM diffs
+    GROUP BY media_id
+    """,
+    category="llm multimodal",
+    doc="Scene-cut detection over sampled video frames: per-frame "
+    "luminance (deterministic md5-derived stand-in for the decoded "
+    "frame statistic — the real decoder is the stubbed codec path, "
+    "per the container's no-media-libs constraint), consecutive-"
+    "frame delta via a lag window PARTITIONED BY media id, cut where "
+    "the delta clears the threshold. The Spark-side plumbing is the "
+    "real thing: frame explosion bounded by frame count, per-video "
+    "window (one shuffle on media_id, frames-sized partitions), "
+    "grouped cut summary — swap the luminance expr for the decoder "
+    "UDF and the plan is production scene segmentation.",
+)
+def media_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        (F.length("text") % 120 + 8).cast("int").alias("n_frames"),
+    )
+    frames = v.select(
+        "media_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias(
+            "idx"
+        ),
+    )
+    lum = frames.withColumn(
+        "y",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("media_id").cast("string"),
+                        F.lit(":"),
+                        F.col("idx").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 256,
+    )
+    w = Window.partitionBy("media_id").orderBy("idx")
+    diffs = lum.withColumn(
+        "d", F.abs(F.col("y") - F.lag("y").over(w))
+    )
+    return diffs.groupBy("media_id").agg(
+        F.max("n_frames").alias("n_frames"),
+        F.count(F.when(F.col("d") >= 96, F.lit(1)))
+        .cast("bigint")
+        .alias("n_cuts"),
+        F.min(F.when(F.col("d") >= 96, F.col("idx")))
+        .cast("bigint")
+        .alias("first_cut"),
+    )

@@ -239,3 +239,138 @@ def order_pareto_frontier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@register(
+    "window_period_over_period",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT d, revenue,
+           ROUND(revenue - LAG(revenue, 1) OVER w, 2) AS dod_delta,
+           ROUND(100.0 * (revenue - LAG(revenue, 1) OVER w)
+                 / LAG(revenue, 1) OVER w, 4) AS dod_pct,
+           ROUND(revenue - LAG(revenue, 7) OVER w, 2) AS wow_delta,
+           ROUND(100.0 * (revenue - LAG(revenue, 7) OVER w)
+                 / LAG(revenue, 7) OVER w, 4) AS wow_pct
+    FROM daily
+    WINDOW w AS (ORDER BY d)
+    ORDER BY d
+    """,
+    category="2.6 windows (order statistics)",
+    doc="Period-over-period revenue deltas: daily totals with "
+    "1-row-back and 7-rows-back lag comparisons (previous OBSERVED "
+    "day / 7th observed day — row-offset semantics, identical on "
+    "both engines, leading rows NULL). The raw fact table reduces "
+    "to a days-sized frame in one keyed aggregate before any "
+    "window runs, so the lone unpartitioned window is bounded by "
+    "calendar length — the standard shape for dashboard-tier PoP "
+    "metrics at any fact volume.",
+)
+def window_period_over_period_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("d")
+    lag1 = F.lag("revenue", 1).over(w)
+    lag7 = F.lag("revenue", 7).over(w)
+    return (
+        daily.select(
+            "d",
+            "revenue",
+            F.round(F.col("revenue") - lag1, 2).alias("dod_delta"),
+            F.round(100.0 * (F.col("revenue") - lag1) / lag1, 4).alias(
+                "dod_pct"
+            ),
+            F.round(F.col("revenue") - lag7, 2).alias("wow_delta"),
+            F.round(100.0 * (F.col("revenue") - lag7) / lag7, 4).alias(
+                "wow_pct"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "agg_hll_intersection",
+    # sketch estimates are engine-specific; certify in-band against
+    # the exact overlap (same discipline as agg_hll_partial_merge)
+    oracle="""
+    WITH c AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS exact_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS exact_purchase,
+           CAST((SELECT COUNT(*) FROM c JOIN p USING (user_id))
+                AS BIGINT) AS exact_overlap,
+           TRUE AS within_10pct
+    """,
+    category="2.4 aggregates (mergeable sketches)",
+    doc="Audience-overlap estimation from HLL sketches alone: "
+    "|click AND purchase| = est(A) + est(B) - est(A UNION B) by "
+    "inclusion-exclusion, where the union estimate comes from "
+    "hll_union of the two per-cohort sketches — the way overlap "
+    "questions are answered when only persisted sketch tables (never "
+    "raw IDs) are available at 100 TB. Certified in-band: the hash "
+    "gate proves the sketch-derived overlap landed within 10% of "
+    "the exact join-computed overlap (inclusion-exclusion compounds "
+    "the per-sketch error, hence the wider band than the 5% "
+    "single-sketch certificates).",
+)
+def agg_hll_intersection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_type", "user_id")
+    sk = cohorts.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("exact"),
+    )
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("sk").alias("sk_a"), F.col("exact").alias("exact_click")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_b"), F.col("exact").alias("exact_purchase")
+    )
+    exact_overlap = (
+        cohorts.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .join(
+            cohorts.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    both = a.crossJoin(b).select(
+        "exact_click",
+        "exact_purchase",
+        (
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            )
+        ).alias("__est"),
+    )
+    return both.crossJoin(F.broadcast(exact_overlap)).select(
+        "exact_click",
+        "exact_purchase",
+        "exact_overlap",
+        (
+            F.abs(F.col("__est") - F.col("exact_overlap"))
+            / F.col("exact_overlap")
+            <= F.lit(0.10)
+        ).alias("within_10pct"),
+    )

@@ -136,3 +136,41 @@ def test_welch_ttest_df_within_bounds(spark):
     r = _run(spark, "quality_ab_ttest").first()
     # Welch df lies between min(n1,n2)-1 and n1+n2-2
     assert min(r["n1"], r["n2"]) - 1 <= r["welch_df"] <= r["n1"] + r["n2"] - 2
+
+
+def test_scene_cuts_bounded_by_frames(spark):
+    out = _run(spark, "media_scene_cuts")
+    bad = out.filter(
+        (F.col("n_cuts") > F.col("n_frames") - 1)
+        | (
+            F.col("first_cut").isNotNull()
+            & (F.col("first_cut") >= F.col("n_frames"))
+        )
+        | (F.col("first_cut").isNotNull() & (F.col("first_cut") < 1))
+    ).count()
+    assert bad == 0
+    # no-cut videos must report NULL first_cut and zero count together
+    assert (
+        out.filter(
+            F.col("first_cut").isNull() & (F.col("n_cuts") != 0)
+        ).count()
+        == 0
+    )
+
+
+def test_period_over_period_identity(spark):
+    rows = _run(spark, "window_period_over_period").collect()
+    rows.sort(key=lambda r: r["d"])
+    for i, r in enumerate(rows):
+        if i >= 1 and r["dod_delta"] is not None:
+            expect = round(r["revenue"] - rows[i - 1]["revenue"], 2)
+            assert abs(r["dod_delta"] - expect) < 1e-6
+        if i >= 7 and r["wow_delta"] is not None:
+            expect = round(r["revenue"] - rows[i - 7]["revenue"], 2)
+            assert abs(r["wow_delta"] - expect) < 1e-6
+
+
+def test_hll_intersection_certificate(spark):
+    r = _run(spark, "agg_hll_intersection").first()
+    assert r["within_10pct"] is True
+    assert r["exact_overlap"] <= min(r["exact_click"], r["exact_purchase"])
