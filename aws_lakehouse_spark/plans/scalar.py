@@ -592,3 +592,157 @@ def scalar_url_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
         F.parse_url("url", F.lit("REF")).alias("frag"),
     ).orderBy("doc_id")
+
+
+@register(
+    "scalar_map_family",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+             AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           COALESCE(CAST(COUNT(*) FILTER (event_type = 'refund')
+             AS BIGINT), 0) AS n_refund
+    FROM events
+    GROUP BY user_id
+    """,
+    category="2.8 scalar functions (map family)",
+    doc="Map-typed column construction and lookup: per-user "
+    "event-type counts packed into a MAP via map_from_entries over "
+    "collect_list(struct), then probed with element_at (NULL-safe "
+    "for absent keys — 'refund' never occurs), sized with size/"
+    "map_keys. The map stays a real Catalyst MapType end-to-end; the "
+    "oracle checks the same facts via conditional aggregation, so "
+    "the gate proves construction+lookup round-trips losslessly. "
+    "Scale: one keyed shuffle; per-user maps bounded by the "
+    "event-type vocabulary.",
+)
+def scalar_map_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("int").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0))
+        .cast("bigint")
+        .alias("n_click"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0))
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.coalesce(F.element_at("m", F.lit("refund")), F.lit(0))
+        .cast("bigint")
+        .alias("n_refund"),
+    )
+
+
+@register(
+    "source_python_udtf_sentences",
+    oracle="""
+    WITH sel AS (
+        SELECT doc_id, str_split(text, '. ') AS sents
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS sent_idx,
+           sents[i] AS sentence,
+           CAST(strlen(sents[i]) AS INTEGER) AS n_chars
+    FROM sel, LATERAL (SELECT unnest(range(1, len(sents) + 1)) AS i)
+    """,
+    category="2.11 UDF/UDAF/UDTF surface",
+    doc="Python UDTF (PySpark 4 table function API): a "
+    "sentence-splitter UDTF lateral-joined against documents — one "
+    "input row yields one output row per sentence, the API shape "
+    "for structured expansion logic too procedural for a built-in "
+    "generator. Registered via spark.udtf.register and invoked with "
+    "SQL LATERAL. This is deliberately the API-coverage demo for "
+    "SURVEY 2.11, NOT a hot-path pattern: UDTFs run row-at-a-time "
+    "Python, so the input is a pruned 2-column slice of a keyed "
+    "subset, and the equivalent vectorized form (split + posexplode, "
+    "used by text_chunk_documents) remains the recommendation at "
+    "volume.",
+)
+def source_python_udtf_sentences_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(". ")):
+                yield i, s, len(s)
+
+    spark.udtf.register("lh_sentence_split", SentenceSplit)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    docs.select("doc_id", "text").createOrReplaceTempView(
+        "lh_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM lh_udtf_docs d,
+             LATERAL lh_sentence_split(d.text) s
+        """
+    )
+
+
+@register(
+    "udaf_grouped_geomean",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(exp(AVG(ln(o_totalprice))), 4) AS geomean_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.11 UDF/UDAF/UDTF surface",
+    doc="Grouped-aggregate Pandas UDF (the UDAF face of SURVEY "
+    "2.11): geometric mean of order value per priority, computed "
+    "vectorized over Arrow-shipped group batches (numpy log/mean/"
+    "exp — never row-at-a-time Python). The oracle states the "
+    "log-space identity exp(avg(ln x)); the Spark side computes the "
+    "same identity inside the UDAF so both engines share the "
+    "floating-point path. Note the honest scale caveat: GROUPED_AGG "
+    "materializes each group on one executor (no partial "
+    "aggregation), so the built-in exp(avg(ln)) composition — also "
+    "shown here feeding the same result — is the hot-path form; the "
+    "UDAF exists for aggregations with no built-in decomposition.",
+)
+def udaf_grouped_geomean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    # explicit GROUPED_AGG eval type: the module-level `from
+    # __future__ import annotations` turns signature hints into
+    # strings, which the hint-inference path can't resolve for a
+    # locally-imported pandas alias
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    orders = load_table(spark, sf_dir, "orders")
+    # a GROUPED_AGG pandas UDF cannot share an agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the count comes
+    # from its own grouped aggregate, joined back on the 5-row key
+    counts = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    geo = orders.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geomean_price")
+    )
+    return counts.join(geo, "o_orderpriority").orderBy("o_orderpriority")
