@@ -1293,3 +1293,166 @@ def agg_hll_partial_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@register(
+    "join_longest_prefix",
+    oracle="""
+    WITH rules AS (
+        SELECT p_name AS rule, 2 AS rule_len
+        FROM part WHERE p_partkey % 5 = 0
+        GROUP BY p_name
+        UNION ALL
+        SELECT str_split(p_name, ' ')[1] AS rule, 1 AS rule_len
+        FROM part
+        GROUP BY str_split(p_name, ' ')[1]
+    ),
+    cand AS (
+        SELECT p_partkey, p_name AS pref, 2 AS plen FROM part
+        UNION ALL
+        SELECT p_partkey, str_split(p_name, ' ')[1] AS pref, 1 AS plen
+        FROM part
+    ),
+    matched AS (
+        SELECT c.p_partkey, r.rule, r.rule_len
+        FROM cand c JOIN rules r
+          ON c.pref = r.rule AND c.plen = r.rule_len
+    )
+    SELECT p_partkey,
+           max_by(rule, rule_len) AS matched_rule,
+           CAST(MAX(rule_len) AS INTEGER) AS rule_len
+    FROM matched
+    GROUP BY p_partkey
+    """,
+    category="2.3 joins (longest-prefix match)",
+    doc="Longest-prefix-match join — the IP-routing / URL-rule / "
+    "taxonomy dispatch primitive: a rule table holds 1-word prefixes "
+    "(every first word) and 2-word exact rules (a keyed subset of "
+    "names); each part matches the LONGEST applicable rule. The "
+    "scalable shape: explode each probe into its bounded prefix "
+    "ladder (depth 2 here; 32 for IPv4), equi-join the "
+    "vocabulary-sized rule table (broadcast), keep max_by(rule, "
+    "length) per key — a combinable aggregate, so no candidate "
+    "ranking window and no regex scans.",
+)
+def join_longest_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    first_word = F.split(F.col("p_name"), " ").getItem(0)
+    rules = (
+        part.filter(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_name").alias("rule"), F.lit(2).alias("rule_len"))
+        .distinct()
+        .unionByName(
+            part.select(
+                first_word.alias("rule"), F.lit(1).alias("rule_len")
+            ).distinct()
+        )
+    )
+    cand = part.select(
+        "p_partkey", F.col("p_name").alias("pref"), F.lit(2).alias("plen")
+    ).unionByName(
+        part.select(
+            "p_partkey", first_word.alias("pref"), F.lit(1).alias("plen")
+        )
+    )
+    matched = cand.join(
+        F.broadcast(rules),
+        (cand.pref == rules.rule) & (cand.plen == rules.rule_len),
+    )
+    return matched.groupBy("p_partkey").agg(
+        F.max_by("rule", "rule_len").alias("matched_rule"),
+        F.max("rule_len").cast("int").alias("rule_len"),
+    )
+
+
+@register(
+    "quality_benford_drift",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM obs)
+    SELECT d AS leading_digit, n,
+           ROUND(n / (SELECT t FROM tot), 6) AS p_obs,
+           ROUND(log10(1.0 + 1.0 / d), 6) AS p_benford
+    FROM obs ORDER BY d
+    """,
+    category="2.4 aggregation (distribution audit)",
+    doc="Benford's-law audit of order values: observed leading-digit "
+    "shares next to the log10(1+1/d) expectation — the classic "
+    "fabricated-data / instrumentation-bug screen for financial "
+    "facts (organic amounts follow Benford; synthetic or truncated "
+    "feeds don't, as this uniform-ish synthetic data itself "
+    "demonstrates). One scan-side digit projection + a 9-row "
+    "aggregate; nothing downstream exceeds 9 rows.",
+)
+def quality_benford_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("p_obs"),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("p_benford"),
+        )
+        .orderBy("leading_digit")
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    category="2.4 aggregation (bitmap distinct)",
+    doc="EXACT distinct counting via bitmap aggregation — the "
+    "roaring-bitmap idea with pure built-ins: user ids bucket into "
+    "64-bit words (id >> 6), each word bit_or-accumulates 1 << (id "
+    "% 64), and the distinct count is the popcount sum over words. "
+    "Unlike countDistinct's per-group value dedup, the bitmap is a "
+    "map-side-combinable, MERGEABLE partial (words OR together "
+    "across partitions, streams, or snapshots) with dense-id memory "
+    "~1 bit/user — the exact-when-you-need-exact counterpart to the "
+    "HLL sketch path. The oracle's plain COUNT(DISTINCT) certifies "
+    "exactness.",
+)
+def agg_bitmap_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    words = ev.groupBy(
+        "event_type",
+        F.shiftright(F.col("user_id"), 6).alias("__word"),
+    ).agg(
+        # shiftleft's Python signature takes only a literal bit count;
+        # the column-amount form goes through expr
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))")
+        ).alias("__bits")
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("__bits")).cast("bigint").alias("n_users")
+        )
+        .orderBy("event_type")
+    )

@@ -211,6 +211,7 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unrolls the identical five iterations as CTEs. Ordering uses "
     "the ROUNDED rank plus the node id so the top-20 cut is "
     "deterministic on both engines.",
+    bench=True,
 )
 def graph_pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)

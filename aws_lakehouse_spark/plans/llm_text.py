@@ -1936,6 +1936,7 @@ def text_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts over the exploded grams, broadcast back), so the corpus "
     "is scanned once for counting and once for scoring; nothing "
     "data-sized ever sorts or cross-joins.",
+    bench=True,
 )
 def text_dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

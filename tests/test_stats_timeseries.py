@@ -174,3 +174,40 @@ def test_hll_intersection_certificate(spark):
     r = _run(spark, "agg_hll_intersection").first()
     assert r["within_10pct"] is True
     assert r["exact_overlap"] <= min(r["exact_click"], r["exact_purchase"])
+
+
+def test_longest_prefix_prefers_specific_rule(spark):
+    out = _run(spark, "join_longest_prefix")
+    part = out.sparkSession.read.parquet(f"{SF_DIR}/part.parquet")
+    # every part keyed %5==0 has its own full name in the rule set,
+    # so it must match at rule_len 2
+    twos = out.join(
+        part.filter(F.col("p_partkey") % 5 == 0).select("p_partkey"),
+        "p_partkey",
+    )
+    assert twos.filter(F.col("rule_len") != 2).count() == 0
+    # and every part matches SOMETHING (first words are all rules)
+    assert out.count() == part.count()
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = _run(spark, "quality_benford_drift").collect()
+    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-4
+    assert all(1 <= r["leading_digit"] <= 9 for r in rows)
+
+
+def test_bitmap_distinct_is_exact(spark):
+    out = {
+        r["event_type"]: r["n_users"]
+        for r in _run(spark, "agg_bitmap_distinct").collect()
+    }
+    ev = _run(spark, "agg_bitmap_distinct").sparkSession.read.parquet(
+        f"{SF_DIR}/events.parquet"
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert out == exact
