@@ -37,14 +37,16 @@ from aws_lakehouse_spark.registry import REGISTRY
 # ROUND 4 rotates the window onto those 45 never-driver-checked queries,
 # plus agg_approx_count_distinct (whose only driver row is r1's red —
 # fixed since via in-band error-bound certification, judge-green, needs
-# a superseding green row). The final 4 slots re-check high-value banked
-# rows: the flagship star query, TPC-H Q1, near-dup resolution, and the
-# bucketed ANN path. Previously-green queries follow (rows banked), and
+# a superseding green row). The final 4 slots grade 4 MORE queries that
+# have never had a driver row (late-r3 additions; all parity-green
+# locally), instead of re-checking banked rows — each slot spent on a
+# never-graded query converts one more "locally correct" claim into a
+# contract-green row. Previously-green queries follow (rows banked), and
 # rows-only specs (oracle=None) stay dead last so no `err: no_oracle`
 # rows appear in the gate.
 #
-# After round 4, every one of the 193 registry queries has had at least
-# one green driver CORRECTNESS row across r1-r4 — no deferrals remain.
+# Remaining backlog after this window: the late-r3/r4 additions past
+# slot 50 rotate into the round-5 window (same mechanism).
 _PRIORITY = [
     # the one query whose sole driver row (r1) is red — supersede it first
     "agg_approx_count_distinct",
@@ -94,11 +96,13 @@ _PRIORITY = [
     "text_pii_redact",
     "text_shard_plan",
     "text_url_canonical_dedup",
-    # high-value banked re-checks to fill the window
-    "medallion_star_revenue",
-    "tpch_q1_pricing_summary",
-    "dedup_near_duplicate_resolution",
-    "ann_lsh_bucketed",
+    # 4 more never-driver-graded queries (late-r3 additions) fill the
+    # window — snapshot MERGE INTO (the Iceberg-parity DML face),
+    # nearest as-of join, rolling median, and the URL scalar family
+    "snapshot_merge_into",
+    "join_asof_nearest",
+    "window_rolling_median",
+    "scalar_url_family",
     # --- index 50 boundary: the graded window ends here ---
 ]
 
