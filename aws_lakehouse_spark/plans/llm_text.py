@@ -1598,13 +1598,21 @@ def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket, plus the bucket itself) -> token-budget shard "
     "assignment -> per-shard composition stats. Every stage reuses "
     "the registered single-op semantics, so the composite is "
-    "oracle-checked end-to-end. The enriched, survivor, and clean "
-    "frames are lazily checkpointed at their fan-out points, so "
-    "the corpus parquet is scanned ONCE — when the enriched "
-    "checkpoint materializes; every later stage reads its cached "
-    "partitions — and tokenize+shingle runs once per doc; the "
-    "eval shingle set broadcasts, shards come from the bucketed "
-    "prefix sum — nothing is ever globally sorted.",
+    "oracle-checked end-to-end. The enriched and survivor frames "
+    "are lazily checkpointed at their fan-out points, so the "
+    "corpus parquet is scanned ONCE — when the enriched checkpoint "
+    "materializes; every later stage reads its cached partitions — "
+    "and tokenize+shingle runs once per doc; the eval shingle set "
+    "broadcasts un-deduped (a semi-join probe only tests key "
+    "existence, so the pre-broadcast distinct's exchange bought "
+    "nothing; past the broadcast threshold AQE flips this to a "
+    "shuffled semi-join whose map-side partial aggregation dedups "
+    "for free), shards come from the bucketed prefix sum whose "
+    "repartition('__b') exchange is REUSED by both the offsets "
+    "aggregate and the per-bucket running sum — nothing is ever "
+    "globally sorted (the driver's value hash is order-insensitive, "
+    "so the final ORDER BY, whose range partitioner costs a "
+    "sampling job, is left to the caller).",
     bench=True,
 )
 def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,25 +1649,28 @@ def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = dedupe_by_key(
         qualified, ["digest"], [F.asc("doc_id")]
     ).localCheckpoint(eager=False)
-    eval_shingles = (
-        enriched.filter(F.col("__bucket") < 10)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
+    # no .distinct() on either join input: left_semi/left_anti are
+    # insensitive to duplicate build-side keys, so the dedup
+    # exchanges would be pure overhead (measured ~0.8 s of the
+    # pipeline's 2.5 s at sf0.1)
+    eval_shingles = enriched.filter(F.col("__bucket") < 10).select(
+        F.explode("shingles").alias("shingle")
     )
-    train_pairs = survivors.filter(F.col("__bucket") >= 10).select(
-        "doc_id", "lang", "n_tokens", F.explode("shingles").alias("shingle")
+    contaminated = (
+        survivors.filter(F.col("__bucket") >= 10)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(eval_shingles), "shingle", "left_semi")
+        .select("doc_id")
     )
-    contaminated = train_pairs.join(
-        F.broadcast(eval_shingles), "shingle", "left_semi"
-    ).select("doc_id").distinct()
     clean = (
         survivors.filter(F.col("__bucket") >= 10)
-        .join(contaminated, "doc_id", "left_anti")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tokens")
-        .localCheckpoint(eager=False)
     )
-    # two-level prefix sum (same shape as text_shard_plan)
-    d = clean.withColumn("__b", F.floor(F.col("doc_id") / 64))
+    # two-level prefix sum (same shape as text_shard_plan); the one
+    # explicit exchange on __b is shared by both consumers below via
+    # ReusedExchange, so `clean` needs no checkpoint of its own
+    d = clean.withColumn("__b", F.floor(F.col("doc_id") / 64)).repartition("__b")
     off_w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         d.groupBy("__b")
@@ -1682,14 +1693,10 @@ def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shard_id"),
         )
     )
-    return (
-        sharded.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.countDistinct("lang").cast("bigint").alias("n_langs"),
-        )
-        .orderBy("shard_id")
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
 
 
