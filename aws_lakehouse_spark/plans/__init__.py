@@ -18,11 +18,13 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     stats,
     timeseries,
     quality,
+    drift,
     tpch,
     tpch2,
     tpch3,
     graph,
     llm_text,
+    retrieval,
     llm_dedup,
     llm_similarity,
     llm_semantic,

@@ -1,0 +1,407 @@
+"""Retrieval / ranking query surface (LLM data + RAG ops).
+
+The reference pipeline feeds curated corpora into retrieval systems;
+this tier adds the ranking primitives those systems run at corpus
+scale: lexical BM25, hybrid lexical+vector fusion (reciprocal rank
+fusion), and product-quantization ANN (the memory-bounded scale path
+past int8 quantization).
+
+Hash-match discipline: every score is double arithmetic with
+engine-identical accumulation order (sequential left-to-right), and
+scores are rounded to 6 dp BEFORE any ranking, so even the ranked
+output hash-matches across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.llm.text import tokens_col
+from aws_lakehouse_spark.registry import register
+
+# BM25 constants (the standard Robertson defaults)
+_K1 = 1.2
+_B = 0.75
+_BM25_TERMS = ("join", "window", "scan")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_DUCK_TOKS = "str_split(text, ' ')"
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len({_DUCK_TOKS}) AS dl,
+               unnest({_DUCK_TOKS}) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+        FROM toks WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id, term
+    ), dft AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               AVG(len({_DUCK_TOKS})) AS avgdl
+        FROM documents
+    ), scored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * ({_K1} + 1)
+                   / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / stats.avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dft USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 20
+    """,
+    category="llm retrieval",
+    doc="BM25 top-20 documents for a fixed 3-term query: token "
+    "explode filtered to the query terms (predicate applied BEFORE "
+    "the shuffle, so only matching (doc, term) pairs move), "
+    "term-frequency aggregation, a term-cardinality-bounded df "
+    "table, and a one-row corpus-stats broadcast. Lucene-style "
+    "idf = ln(1 + (N - df + .5)/(df + .5)) keeps scores positive. "
+    "At 100 TB the df/stats side stays tiny (3 terms, one row) — "
+    "the only data-sized shuffle is the (doc, term) count, and the "
+    "global top-20 is a TakeOrdered, never a full sort.",
+)
+def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    exploded = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w_term = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(w_term), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "bm25", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_DUCK_DOT = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"{_DUCK_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DUCK_DOT.format(a=a, b=a)}) * "
+        f"sqrt({_DUCK_DOT.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "ann_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len({_DUCK_TOKS}) AS dl,
+               unnest({_DUCK_TOKS}) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, MAX(dl) AS dl, COUNT(*) AS tf
+        FROM toks WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id, term
+    ), dft AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               AVG(len({_DUCK_TOKS})) AS avgdl
+        FROM documents
+    ), lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ROUND(SUM(
+                   ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * tf.tf * ({_K1} + 1)
+                   / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / stats.avgdl))
+               ), 6) DESC, doc_id) AS r_lex
+        FROM tf JOIN dft USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    ), c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+        SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+    ), vec AS (
+        SELECT c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND({_duck_cos('q.v', 'c.v')}, 6) DESC,
+                            c.vec_id) AS r_vec
+        FROM c CROSS JOIN q
+    ), fused AS (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / (60 + lex.r_lex), 0)
+                     + COALESCE(1.0 / (60 + vec.r_vec), 0), 6) AS rrf
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, rrf, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= 20
+    """,
+    category="llm retrieval",
+    doc="Hybrid retrieval via reciprocal rank fusion (k=60): the "
+    "BM25 ranking and the cosine ranking against query vector 0 "
+    "are fused as 1/(60+r_lex) + 1/(60+r_vec), full-outer on the "
+    "document key so docs ranked by only one retriever still score "
+    "their single contribution. Both per-retriever scores are "
+    "rounded to 6 dp before their rank windows, so ranks — and "
+    "therefore the fused scores — are engine-reproducible. The "
+    "vector side broadcasts one query row; the lexical side's df "
+    "table is term-bounded; the fusion join is keyed on doc_id "
+    "(at scale both rank lists are top-k-truncated first, keeping "
+    "the fusion input k-bounded per query).",
+)
+def ann_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.similarity import cosine_sim_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    exploded = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w_term = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    lex = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(w_term), 6).alias("bm25"))
+        .withColumn(
+            "r_lex",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "r_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    vec = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "sim", F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6)
+        )
+        .withColumn(
+            "r_vec",
+            F.row_number().over(
+                Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "r_vec")
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "rrf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# --- product quantization -------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_DSUB = 8  # dims per subspace (8 x 8 = 64)
+_PQ_K = 16  # centroids per subspace (vec_id < 16 as the codebook)
+_PQ_QUERY = 42  # query vector id
+_PQ_TOPK = 20
+
+
+@register(
+    "ann_product_quantization",
+    oracle=f"""
+    WITH cb AS (
+        SELECT j.j, e.vec_id AS c,
+               list_transform(range(1, {_PQ_DSUB} + 1),
+                   i -> CAST(e.embedding[j.j * {_PQ_DSUB} + i] AS DOUBLE))
+                 AS cent
+        FROM embeddings e,
+             (SELECT unnest(range(0, {_PQ_M})) AS j) j
+        WHERE e.vec_id < {_PQ_K}
+    ), enc AS (
+        SELECT v.vec_id, cb.j, cb.c,
+               ROUND(list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+                   i -> (CAST(v.embedding[cb.j * {_PQ_DSUB} + i] AS DOUBLE)
+                         - cb.cent[i])
+                        * (CAST(v.embedding[cb.j * {_PQ_DSUB} + i] AS DOUBLE)
+                           - cb.cent[i]))), 6) AS d2
+        FROM embeddings v, cb
+    ), coded AS (
+        SELECT vec_id, j, c AS code
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+            FROM enc
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = {_PQ_QUERY}
+    ), adc AS (
+        SELECT cb.j, cb.c,
+               list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+                   i -> (q.qv[cb.j * {_PQ_DSUB} + i] - cb.cent[i])
+                        * (q.qv[cb.j * {_PQ_DSUB} + i] - cb.cent[i]))) AS qd
+        FROM cb CROSS JOIN q
+    ), approx AS (
+        SELECT coded.vec_id, ROUND(SUM(adc.qd), 6) AS approx_d2
+        FROM coded JOIN adc ON coded.j = adc.j AND coded.code = adc.c
+        GROUP BY coded.vec_id
+    )
+    SELECT vec_id, approx_d2, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY approx_d2, vec_id) AS rnk
+        FROM approx
+    ) WHERE rnk <= {_PQ_TOPK}
+    """,
+    category="llm similarity (product quantization)",
+    doc="Product-quantization ANN, the memory-bounded scale path "
+    "past int8: the 64-dim space splits into 8 subspaces of 8 dims; "
+    "a 16-centroid codebook per subspace (vectors 0..15 as the "
+    "deterministic 'trained' codebook) encodes every vector as 8 "
+    "nibbles (4 bytes/vector — 64x smaller than float32), and the "
+    "query scans codes with an 8x16 asymmetric-distance lookup "
+    "table instead of touching raw vectors. Encoding is one "
+    "Arrow-batched numpy pass (mapInPandas) with the codebook as a "
+    "task broadcast; per-subspace distances accumulate "
+    "left-to-right (bit-identical to the oracle's list_sum) and "
+    "round to 6 dp before the argmin, so codes — and the ADC "
+    "top-20 — hash-match across engines. At 100 TB the code table "
+    "is what sits in memory; this plan never shuffles the vectors "
+    "at all (the only exchange is the final top-k).",
+)
+def ann_product_quantization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # codebook + query: tiny driver-side collects (16 + 1 rows) — the
+    # broadcast-query-set pattern
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    codebook = np.array(
+        [[float(x) for x in r["embedding"]] for r in cb_rows], dtype=np.float64
+    )  # [K, 64]
+    q_row = emb.filter(F.col("vec_id") == _PQ_QUERY).select("embedding").collect()
+    qv = np.array([float(x) for x in q_row[0]["embedding"]], dtype=np.float64)
+
+    # ADC lookup table qd[j, c]: sequential accumulation to match the
+    # oracle's list_sum evaluation order exactly
+    qd = np.zeros((_PQ_M, _PQ_K), dtype=np.float64)
+    for j in range(_PQ_M):
+        for c in range(_PQ_K):
+            acc = 0.0
+            for i in range(_PQ_DSUB):
+                diff = qv[j * _PQ_DSUB + i] - codebook[c, j * _PQ_DSUB + i]
+                acc += diff * diff
+            qd[j, c] = acc
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.array(
+                [[float(x) for x in v] for v in pdf["embedding"]],
+                dtype=np.float64,
+            )  # [n, 64]
+            total = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(_PQ_M):
+                sub = X[:, j * _PQ_DSUB:(j + 1) * _PQ_DSUB]  # [n, 8]
+                # sequential left-to-right accumulation per centroid —
+                # bit-identical to DuckDB's list_sum over the same
+                # float64-widened values (numpy pairwise summation
+                # would diverge in the last ulp)
+                d2 = np.zeros((len(pdf), _PQ_K), dtype=np.float64)
+                for i in range(_PQ_DSUB):
+                    diff = sub[:, i:i + 1] - codebook[None, :, j * _PQ_DSUB + i]
+                    d2 += diff * diff
+                d2 = np.round(d2, 6)
+                codes = np.argmin(d2, axis=1)  # first min = lowest c
+                total += qd[j, codes]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "approx_d2": np.round(total, 6),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id bigint, approx_d2 double"
+    )
+    w = Window.orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("vec_id", "approx_d2", F.col("rnk").cast("int").alias("rnk"))
+    )
