@@ -19,6 +19,7 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     timeseries,
     quality,
     drift,
+    geo,
     tpch,
     tpch2,
     tpch3,

@@ -1456,3 +1456,51 @@ def agg_bitmap_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "snapshot_rollback_restore",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+    category="2.9 maintenance (M5 rollback)",
+    doc="Snapshot rollback (Iceberg rollback_to_snapshot / Delta "
+    "RESTORE): v0 lands keys %3==0, v1 appends %3==1, a bad "
+    "overwrite at v2 drops history down to %3==2 only — then "
+    "rollback_to(v1) commits v3 whose manifest re-lists v1's file "
+    "set. Metadata-only: no data file moves or rewrites, the bad v2 "
+    "stays time-travelable for audit, and the current read serves "
+    "v1's data again. Oracle reconstructs the restored union "
+    "straight from source parquet.",
+)
+def snapshot_rollback_restore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        rollback_to,
+        snapshot_write,
+        versions,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_rollback_"), "orders_snap"
+    )
+    assert snapshot_write(
+        spark, orders.filter(F.col("o_orderkey") % 3 == 0), table, "overwrite"
+    ) == 0
+    assert snapshot_write(
+        spark, orders.filter(F.col("o_orderkey") % 3 == 1), table, "append"
+    ) == 1
+    # the bad load: an overwrite that dropped everything but %3==2
+    assert snapshot_write(
+        spark, orders.filter(F.col("o_orderkey") % 3 == 2), table, "overwrite"
+    ) == 2
+    v = rollback_to(table, 1)
+    assert v == 3 and versions(table) == [0, 1, 2, 3]
+    return read_snapshot(spark, table)

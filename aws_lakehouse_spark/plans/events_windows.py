@@ -994,3 +994,53 @@ def events_top_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rnk"),
     )
     return ranked.filter(F.col("rnk") <= 10).orderBy("rnk")
+
+
+@register(
+    "events_stream_stream_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ), views AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(COUNT(v.ts) AS BIGINT) AS n_views_10m
+    FROM clicks c LEFT JOIN views v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL 10 MINUTE
+     AND v.ts <= c.ts
+    GROUP BY c.event_id, c.user_id
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Stream-stream interval join, batch face: each click joined "
+    "to the same user's views in the preceding 10 minutes (the "
+    "view-through attribution join). The equi-key (user_id) makes "
+    "this a keyed join with a range residual — never a cross "
+    "product — and zero-view clicks survive via LEFT semantics. "
+    "The streaming face is streaming/windows.py "
+    "stream_stream_attribution (watermarked readStream interval "
+    "join, proved pair-equivalent to its batch join in "
+    "tests/test_streaming.py::test_stream_stream_join_matches_batch): "
+    "watermarks bound the join state exactly like this WHERE "
+    "clause bounds the batch scan.",
+)
+def events_stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("c_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v_ts") <= F.col("c_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("v_ts").cast("bigint").alias("n_views_10m")
+    )

@@ -409,6 +409,31 @@ def merge_into(
     return {"op": "merge_into", "version": version}
 
 
+def rollback_to(table_path: str, version: int) -> int:
+    """Roll the table back to an earlier snapshot by committing a NEW
+    version whose file list is ``version``'s (Iceberg
+    ``rollback_to_snapshot`` / Delta ``RESTORE`` semantics): history
+    is never rewritten — the bad versions stay time-travelable for
+    audit, and the restore itself is one more commit that readers
+    pick up atomically. Metadata-only: no data files move or rewrite,
+    so a restore of a petabyte table costs one manifest write.
+    Returns the newly committed version."""
+    vs = versions(table_path)
+    if version not in vs:
+        raise ValueError(f"version {version} not in {vs}")
+    target = _read_manifest(table_path, version)
+    new_version = vs[-1] + 1
+    manifest = {
+        "version": new_version,
+        "mode": "rollback",
+        "rolled_back_to": version,
+        "committed_at": time.time(),
+        "files": target["files"],
+    }
+    _commit_manifest(table_path, new_version, manifest)
+    return new_version
+
+
 def tag_snapshot(
     table_path: str, name: str, version: int | None = None
 ) -> int:

@@ -446,3 +446,49 @@ def test_tag_validation(spark, table_path):
         snapshots.tag_snapshot(table_path, "a/b")
     with pytest.raises(ValueError, match="unknown tag"):
         snapshots.resolve_tag(table_path, "nope")
+
+
+def test_rollback_restores_prior_file_set(spark, tmp_path):
+    """rollback_to commits a NEW version re-listing the target's
+    files; bad versions stay time-travelable, and rolling back to a
+    bad version's parent is metadata-only (no file copies)."""
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "t")
+    df = lambda lo, hi: spark.range(lo, hi).selectExpr(  # noqa: E731
+        "id AS k", "CAST(id AS STRING) AS v"
+    )
+    assert snapshots.snapshot_write(spark, df(0, 10), table, "overwrite") == 0
+    assert snapshots.snapshot_write(spark, df(10, 20), table, "append") == 1
+    assert snapshots.snapshot_write(spark, df(90, 95), table, "overwrite") == 2
+
+    n_files_before = len(snapshots._data_files(table))
+    v = snapshots.rollback_to(table, 1)
+    assert v == 3
+    # metadata-only: the rollback added no data files
+    assert len(snapshots._data_files(table)) == n_files_before
+
+    current = {r["k"] for r in snapshots.read_snapshot(spark, table).collect()}
+    assert current == set(range(20))
+    # the bad version is still time-travelable for audit
+    bad = {
+        r["k"]
+        for r in snapshots.read_snapshot(spark, table, version=2).collect()
+    }
+    assert bad == set(range(90, 95))
+    # manifest records provenance
+    m = snapshots._read_manifest(table, 3)
+    assert m["mode"] == "rollback" and m["rolled_back_to"] == 1
+
+
+def test_rollback_unknown_version_raises(spark, tmp_path):
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "t")
+    snapshots.snapshot_write(
+        spark, spark.range(3).selectExpr("id AS k"), table, "overwrite"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in"):
+        snapshots.rollback_to(table, 7)
