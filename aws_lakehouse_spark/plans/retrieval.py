@@ -405,3 +405,114 @@ def ann_product_quantization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("vec_id", "approx_d2", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# --- RAG index build ------------------------------------------------------
+
+_RAG_BITS = 4
+_RAG_SEED = "rag"
+_RAG_CHUNK = 32
+_RAG_STRIDE = 24
+_RAG_MIN_TOKENS = 16
+
+
+def _rag_bucket_duck(v: str) -> str:
+    from aws_lakehouse_spark.llm.similarity import hyperplane_weight
+
+    terms = []
+    for b in range(_RAG_BITS):
+        w = "[" + ", ".join(
+            repr(hyperplane_weight(_RAG_SEED, b, d)) for d in range(64)
+        ) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> {v}[i] * ({w}::DOUBLE[])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _rag_oracle() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, len({_DUCK_TOKS}) AS n FROM documents
+    ), chunks AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, n + 1, {_RAG_STRIDE})) AS BIGINT)
+                 AS chunk_start,
+               n
+        FROM base
+    ), qualified AS (
+        SELECT doc_id, chunk_start,
+               LEAST({_RAG_CHUNK}, n - chunk_start + 1) AS n_chunk_tokens
+        FROM chunks
+        WHERE LEAST({_RAG_CHUNK}, n - chunk_start + 1) >= {_RAG_MIN_TOKENS}
+    ), emb AS (
+        SELECT vec_id,
+               {_rag_bucket_duck('(embedding::DOUBLE[])')} AS bucket
+        FROM embeddings
+    )
+    SELECT emb.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT q.doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(q.n_chunk_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(q.n_chunk_tokens), 6) AS avg_chunk_tokens
+    FROM qualified q JOIN emb ON q.doc_id = emb.vec_id
+    GROUP BY emb.bucket
+    """
+
+
+@register(
+    "rag_index_pipeline",
+    oracle=_rag_oracle(),
+    category="llm retrieval (composite)",
+    doc="The RAG ingestion pipeline as ONE Catalyst plan: chunk "
+    "documents (32-token windows, stride 24, JVM-side sequence "
+    "explode — no shuffle), quality-gate short tail chunks, join "
+    "each chunk to its document's embedding on the id key, assign "
+    "the md5-seeded 4-bit hyperplane LSH bucket (the index "
+    "partition a vector store would route queries to), and emit "
+    "per-bucket index statistics. Chunking is scan-parallel; the "
+    "chunk-embedding join is a plain equi-join (co-partitionable "
+    "on doc id at scale, AQE picks broadcast when the embedding "
+    "side fits); the only guaranteed exchange is the final "
+    "bucket-count aggregate. Bucket balance from these stats is "
+    "what decides whether the index needs more bits.",
+)
+def rag_index_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.similarity import hyperplane_signature
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = docs.select("doc_id", F.size(toks).alias("n"))
+    starts = F.sequence(F.lit(1), F.col("n"), F.lit(_RAG_STRIDE))
+    chunk_len = F.least(
+        F.lit(_RAG_CHUNK), F.col("n") - F.col("chunk_start") + 1
+    )
+    qualified = (
+        base.select(
+            "doc_id",
+            F.explode(starts).alias("start_i"),
+            "n",
+        )
+        .withColumn("chunk_start", F.col("start_i").cast("bigint"))
+        .withColumn("n_chunk_tokens", chunk_len)
+        .filter(F.col("n_chunk_tokens") >= _RAG_MIN_TOKENS)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        hyperplane_signature(
+            "CAST(embedding AS ARRAY<DOUBLE>)", 64,
+            bits=_RAG_BITS, seed=_RAG_SEED,
+        ).alias("bucket"),
+    )
+    return (
+        qualified.join(emb, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chunk_tokens"), 6).alias("avg_chunk_tokens"),
+        )
+    )
