@@ -1504,3 +1504,60 @@ def snapshot_rollback_restore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = rollback_to(table, 1)
     assert v == 3 and versions(table) == [0, 1, 2, 3]
     return read_snapshot(spark, table)
+
+
+@register(
+    "snapshot_stats_pruned_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 3000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.9 maintenance (M5 file statistics)",
+    doc="Iceberg-style data-file statistics + scan planning: the "
+    "snapshot commit records per-file min/max o_orderkey straight "
+    "from the parquet FOOTERS (no data pages read — what Iceberg "
+    "keeps per data file in its manifests), after a "
+    "repartitionByRange write clusters keys so ranges are tight. "
+    "The ranged read then plans ONLY the stat-intersecting files "
+    "(in-query assert: strictly fewer files than live total) plus "
+    "the exact residual row filter. This is min/max file skipping "
+    "on ANY clustered column with no directory layout at all — at "
+    "100 TB a key-ranged query opens the handful of files whose "
+    "footer range overlaps, not the table.",
+)
+def snapshot_stats_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        plan_pruned_files,
+        read_snapshot_pruned,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_stats_"), "orders_snap"
+    )
+    clustered = orders.repartitionByRange(8, "o_orderkey")
+    assert snapshot_write(
+        spark, clustered, table, "overwrite", stats_cols=["o_orderkey"]
+    ) == 0
+    planned, total = plan_pruned_files(table, "o_orderkey", 1000, 3000)
+    assert 0 < len(planned) < total, (planned, total)
+    pruned = read_snapshot_pruned(spark, table, "o_orderkey", 1000, 3000)
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

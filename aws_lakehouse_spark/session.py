@@ -43,6 +43,14 @@ RUNTIME_CONFS: dict[str, str] = {
 
 # Build-time confs (harmless if a session already exists).
 BUILD_CONFS: dict[str, str] = {
+    # local[N] runs every task thread inside the driver JVM, whose
+    # DEFAULT heap is 1g — 32 concurrent shuffle writers plus
+    # localCheckpoint storage OOM that long before the machine is
+    # anywhere near full (bench hit java.lang.OutOfMemoryError in
+    # pagerank's checkpoint at sf0.1). On a real cluster this is
+    # spark.executor.memory sizing instead; 16g is conservative for
+    # the 128 GiB test host and ignored once a JVM already exists.
+    "spark.driver.memory": "16g",
     # ~128 MB input splits: at 100 TB that is ~800k tasks — fine; at
     # test scale AQE coalesces the tail.
     "spark.sql.files.maxPartitionBytes": "134217728",

