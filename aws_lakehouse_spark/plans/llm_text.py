@@ -1953,49 +1953,47 @@ def text_dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat_ws(' ', slice(split(text, ' '), i, 2))) "
         "ELSE array() END"
     )
-    hashed = docs.select(
-        "doc_id",
-        (F.substring("source", 4, 10).cast("bigint") < 5).alias(
-            "is_target"
-        ),
-        F.explode(bigram_arr).alias("bigram"),
-    ).select(
-        "doc_id",
-        "is_target",
-        (
-            F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast(
-                "bigint"
-            )
-            % 128
-        ).alias("b"),
+    # checkpoint the exploded hash table: it feeds both the feature-LM
+    # counts and the per-doc scoring pass, and without it the
+    # tokenize+explode+md5 over the whole corpus re-ran once per
+    # consumer (the former three separate count passes also collapse
+    # into ONE bucket aggregate + a 128-row total below — together
+    # −60% wall at sf0.1)
+    hashed = (
+        docs.select(
+            "doc_id",
+            (F.substring("source", 4, 10).cast("bigint") < 5).alias(
+                "is_target"
+            ),
+            F.explode(bigram_arr).alias("bigram"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % 128
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)
     )
-    raw_counts = hashed.groupBy("b").agg(
-        F.count(F.lit(1)).cast("double").alias("cr")
-    )
-    tgt_counts = (
-        hashed.filter("is_target")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
-    )
-    totals = hashed.agg(
-        F.count(F.lit(1)).cast("double").alias("nr"),
+    counts = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("cr"),
         F.count(F.when(F.col("is_target"), F.lit(1)))
         .cast("double")
-        .alias("nt"),
+        .alias("ct"),
     )
-    ratio = (
-        raw_counts.join(tgt_counts, "b", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0.0)) + 1)
-                    / (F.col("nt") + 128)
-                )
-                - F.log((F.col("cr") + 1) / (F.col("nr") + 128))
-            ).alias("lr"),
-        )
+    totals = counts.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + 128))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + 128))
+        ).alias("lr"),
     )
     return (
         hashed.join(F.broadcast(ratio), "b")
