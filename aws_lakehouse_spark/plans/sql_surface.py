@@ -321,3 +321,70 @@ def streaming_cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, table).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+# WITH RECURSIVE over an implicit ternary tree on customer keys:
+# children of k are {3k+1, 3k+2, 3k+3}, i.e. parent(c) = floor((c-1)/3)
+# — an equi-joinable recursion that terminates at the key-space edge.
+# CAST(FLOOR(...)) keeps the division semantics identical across
+# engines (integer-division syntax differs: Spark DIV vs DuckDB //).
+RECURSIVE_CTE_SQL = """
+WITH RECURSIVE tree AS (
+    SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+    FROM customer WHERE c_custkey IN (1, 2, 3)
+  UNION ALL
+    SELECT c.c_custkey, t.root, t.depth + 1
+    FROM customer c JOIN tree t
+      ON CAST(FLOOR((c.c_custkey - 1) / 3.0) AS BIGINT) = t.node
+     AND c.c_custkey > 3
+)
+SELECT root, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(depth) AS INTEGER) AS max_depth,
+       CAST(SUM(node) AS BIGINT) AS sum_nodes
+FROM tree GROUP BY root ORDER BY root
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=RECURSIVE_CTE_SQL,
+    category="3.3 interactive SQL",
+    doc="WITH RECURSIVE hierarchy traversal (Spark 4's recursive "
+    "CTE, run as the SAME SQL text on both engines): descend a "
+    "ternary customer-key tree from three roots, reporting subtree "
+    "size, depth, and key sum per root. Each recursion step is one "
+    "equi-join of the frontier against the node table — the "
+    "org-chart / BOM / category-tree walk that previously needed a "
+    "driver-side loop. Depth is log3(N), so the iteration count "
+    "scales logarithmically with the key space.",
+)
+def sql_recursive_cte_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(RECURSIVE_CTE_SQL)
+
+
+LATERAL_TOPK_SQL = """
+SELECT r.r_name AS region, t.n_name, t.n_nationkey
+FROM region r, LATERAL (
+    SELECT n_name, n_nationkey FROM nation n
+    WHERE n.n_regionkey = r.r_regionkey
+    ORDER BY n_nationkey LIMIT 2
+) t
+ORDER BY region, n_nationkey
+"""
+
+
+@register(
+    "sql_lateral_topk",
+    oracle=LATERAL_TOPK_SQL,
+    category="3.3 interactive SQL",
+    doc="Correlated LATERAL subquery (same SQL text on both "
+    "engines): per outer row, an ordered LIMIT over the matching "
+    "inner rows — the top-k-per-group idiom expressed in pure SQL "
+    "instead of a window function. Catalyst decorrelates this into "
+    "a ranked join, so the lateral form costs the same as the "
+    "row_number window it replaces.",
+)
+def sql_lateral_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("region", "nation"))
+    return spark.sql(LATERAL_TOPK_SQL)
