@@ -172,3 +172,55 @@ def geo_grid_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
         )
     )
+
+
+@register(
+    "geo_knn_bounded",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               {_LAT_SQL} AS lat,
+               {_LON_SQL} AS lon
+        FROM customer
+    ), cand AS (
+        SELECT q.query_id, pts.c_custkey,
+               ROUND({_duck_haversine('q.q_lat', 'q.q_lon',
+                                      'pts.lat', 'pts.lon')}, 3) AS dist_km
+        FROM pts, {_query_values_sql()}
+        WHERE ROUND({_duck_haversine('q.q_lat', 'q.q_lon',
+                                     'pts.lat', 'pts.lon')}, 3)
+              <= {_RADIUS_KM}
+    )
+    SELECT query_id, c_custkey, dist_km, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dist_km, c_custkey) AS rnk
+        FROM cand
+    ) WHERE rnk <= 3
+    """,
+    category="geo (engine extension)",
+    doc="Radius-bounded k-nearest-neighbors: the 3 closest customers "
+    "to each query point among those within 100 km (the bound is "
+    "what makes grid candidate generation EXACT — unbounded kNN "
+    "could need a neighbor outside the cell neighborhood). Same "
+    "grid-cell candidates as the radius search, then a per-query "
+    "window top-k over rounded distances with id tie-breaks. The "
+    "store-locator / dispatch-assignment query shape.",
+)
+def geo_knn_bounded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cand = geo_haversine_neighbor_join_q(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_km"), F.asc("c_custkey")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "c_custkey",
+            "dist_km",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

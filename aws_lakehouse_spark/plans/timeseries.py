@@ -374,3 +374,59 @@ def agg_hll_intersection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.10)
         ).alias("within_10pct"),
     )
+
+
+@register(
+    "window_ntile_deciles",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey, c_custkey,
+               NTILE(10) OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey) AS decile,
+               c_acctbal
+        FROM customer
+    )
+    SELECT c_nationkey, CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM ranked
+    GROUP BY c_nationkey, decile
+    """,
+    category="2.5 windows",
+    doc="Per-nation account-balance deciles via NTILE(10) with a "
+    "deterministic (balance desc, key) order, collapsed to "
+    "per-decile boundary stats — the customer-segmentation cut. "
+    "The window partitions by nation (one keyed shuffle, frames "
+    "nation-sized); NTILE's equal-height buckets come from the "
+    "partition row count, no quantile estimation pass.",
+)
+def window_ntile_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        "c_acctbal",
+    )
+    return (
+        ranked.groupBy("c_nationkey", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .select(
+            "c_nationkey",
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "min_bal",
+            "max_bal",
+        )
+    )
