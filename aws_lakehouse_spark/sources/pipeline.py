@@ -285,3 +285,63 @@ def with_observed_metrics(df, name: str, **metric_exprs):
         expr.alias(alias) for alias, expr in metric_exprs.items()
     ])
     return observed, obs
+
+
+def run_backfill(
+    fn: Callable[[str], object],
+    start_date: str,
+    end_date: str,
+    state_dir: str,
+    max_failures: int = 0,
+) -> dict:
+    """C3 extension — idempotent historical backfill: run ``fn(day)``
+    for every day in ``[start_date, end_date]``, recording each
+    completed day as a marker file so a re-run (after a crash, or a
+    widened date range) executes ONLY the missing days. This is the
+    reprocess-history workflow the reference would drive by paging
+    Step Functions executions per date partition; the marker
+    directory plays the role of its execution history.
+
+    Day-level isolation matches partition-level work: one day = one
+    partition's recompute, so the unit of retry equals the unit of
+    idempotent output (an overwrite of that day's partition). A
+    failed day is recorded and skipped on the SAME run (continue
+    posture), but NOT marked done — the next invocation retries it.
+    Raises after ``max_failures`` is exceeded to stop a
+    systematically broken backfill early.
+
+    Returns {"ran": [...], "skipped": [...], "failed": [...]}.
+    """
+    import os
+    from datetime import date, timedelta
+
+    os.makedirs(state_dir, exist_ok=True)
+    d0 = date.fromisoformat(start_date)
+    d1 = date.fromisoformat(end_date)
+    if d1 < d0:
+        raise ValueError(f"end {end_date} before start {start_date}")
+    ran: list[str] = []
+    skipped: list[str] = []
+    failed: list[str] = []
+    cur = d0
+    while cur <= d1:
+        day = cur.isoformat()
+        marker = os.path.join(state_dir, f"{day}.done")
+        if os.path.exists(marker):
+            skipped.append(day)
+        else:
+            try:
+                fn(day)
+            except Exception:
+                failed.append(day)
+                if len(failed) > max_failures:
+                    raise
+            else:
+                # marker commit AFTER the day's work: a crash between
+                # work and marker re-runs the day, which is safe
+                # because the day's output is an idempotent overwrite
+                with open(marker, "w") as fh:
+                    fh.write(day)
+                ran.append(day)
+        cur += timedelta(days=1)
+    return {"ran": ran, "skipped": skipped, "failed": failed}

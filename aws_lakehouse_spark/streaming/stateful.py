@@ -122,3 +122,82 @@ def sessionize_per_key(events: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+CEP_OUTPUT_SCHEMA = (
+    "user_id bigint, trigger_us bigint, action_us bigint, latency_us bigint"
+)
+CEP_STATE_SCHEMA = "pending array<bigint>"
+
+
+def _cep_factory(trigger_type: str, action_type: str, within_us: int):
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (pending,) = state.get if state.exists else ([],)
+        pending = list(pending)
+        rows: list[tuple[int, int]] = []
+        events: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            events.extend(
+                (int(t), str(e))
+                for t, e in zip(pdf["ts_us"], pdf["event_type"])
+            )
+        horizon = 0
+        for t, etype in sorted(events):
+            horizon = max(horizon, t)
+            if etype == trigger_type:
+                pending.append(t)
+            elif etype == action_type:
+                # match the MOST RECENT in-window trigger and consume
+                # it (match-once): scan pending newest-first
+                for i in range(len(pending) - 1, -1, -1):
+                    if 0 <= t - pending[i] <= within_us:
+                        rows.append((pending.pop(i), t))
+                        break
+        # prune triggers that can never match again
+        pending = [t for t in pending if horizon - t <= within_us]
+        state.update((pending,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "trigger_us": [r[0] for r in rows],
+                "action_us": [r[1] for r in rows],
+                "latency_us": [r[1] - r[0] for r in rows],
+            }
+        )
+
+    return update
+
+
+def detect_pattern_per_key(
+    events: DataFrame,
+    trigger_type: str = "click",
+    action_type: str = "purchase",
+    within_us: int = 10 * 60 * 1_000_000,
+    key: str = "user_id",
+) -> DataFrame:
+    """Complex-event-processing pattern matcher: emit (trigger,
+    action) pairs where ``action_type`` follows ``trigger_type``
+    within ``within_us`` for the same key, matching each action to
+    its MOST RECENT unconsumed in-window trigger (match-once — the
+    attribution semantics ad-click pipelines use; a stream-stream
+    join can't express consume-once matching, which is exactly why
+    this is a custom stateful operator).
+
+    Input needs integer-microsecond ``ts_us`` and ``event_type``
+    columns. State per key is the pending-trigger timestamp list,
+    pruned each batch to the match window, so state is bounded by
+    triggers-per-window regardless of stream length. One shuffle
+    per micro-batch on the key; per-batch work is sorted-merge over
+    the batch plus the bounded pending list.
+    """
+    return events.groupBy(key).applyInPandasWithState(
+        _cep_factory(trigger_type, action_type, int(within_us)),
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -199,3 +199,40 @@ def test_validated_write_gate(spark, tmp_path):
                 str(tmp_path / "bad")
             ),
         )
+
+
+def test_backfill_idempotent_and_resumable(tmp_path):
+    """run_backfill executes only unmarked days; failures retry on
+    the next invocation; widening the range backfills only new days."""
+    from aws_lakehouse_spark.sources.pipeline import run_backfill
+
+    state = str(tmp_path / "bf")
+    calls: list[str] = []
+    boom = {"2024-01-03"}
+
+    def job(day: str) -> None:
+        calls.append(day)
+        if day in boom:
+            raise RuntimeError("transient")
+
+    r1 = run_backfill(job, "2024-01-01", "2024-01-04", state, max_failures=1)
+    assert r1["ran"] == ["2024-01-01", "2024-01-02", "2024-01-04"]
+    assert r1["failed"] == ["2024-01-03"]
+
+    # second invocation: failed day retries (now fixed), done days skip
+    boom.clear()
+    r2 = run_backfill(job, "2024-01-01", "2024-01-04", state)
+    assert r2["ran"] == ["2024-01-03"]
+    assert r2["skipped"] == ["2024-01-01", "2024-01-02", "2024-01-04"]
+
+    # widened range: only the new day runs
+    r3 = run_backfill(job, "2024-01-01", "2024-01-05", state)
+    assert r3["ran"] == ["2024-01-05"] and len(r3["skipped"]) == 4
+    assert calls.count("2024-01-01") == 1  # never re-executed
+
+    # failure budget: exceeding max_failures raises
+    boom.update({"2024-02-01", "2024-02-02"})
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        run_backfill(job, "2024-02-01", "2024-02-03", state, max_failures=1)
