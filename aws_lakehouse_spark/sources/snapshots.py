@@ -548,6 +548,10 @@ def rollback_to(table_path: str, version: int) -> int:
         "committed_at": time.time(),
         "files": target["files"],
     }
+    if target.get("stats"):
+        # carry the target's per-file stats so a restored table keeps
+        # its min/max scan pruning
+        manifest["stats"] = target["stats"]
     _commit_manifest(table_path, new_version, manifest)
     return new_version
 

@@ -149,3 +149,56 @@ def test_psi_terms_sum_to_headline(spark):
     assert abs(pdf["p_cur"].sum() - 1.0) < 1e-3
     # PSI is a sum of non-negative terms (each (p-q)ln(p/q) >= 0)
     assert (pdf["psi_term"] >= -1e-9).all()
+
+
+def test_cusum_closed_form_identity_random_series():
+    """Property: prefix - min(0, running-min(prefix)) equals the
+    recursion S_t = max(0, S_(t-1) + d_t) for arbitrary drifts —
+    the identity the Spark plan relies on (no Spark needed)."""
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        d = rng.randn(rng.randint(1, 60)) * rng.uniform(0.1, 10)
+        prefix = np.cumsum(d)
+        runmin = np.minimum.accumulate(prefix)
+        closed = prefix - np.minimum(runmin, 0.0)
+        s, rec = 0.0, []
+        for v in d:
+            s = max(0.0, s + v)
+            rec.append(s)
+        np.testing.assert_allclose(closed, rec, atol=1e-9)
+
+
+def test_geo_plan_has_no_cartesian_and_broadcasts_cells(spark):
+    df = REGISTRY["geo_haversine_neighbor_join"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rag_plan_shape(spark):
+    """RAG pipeline: no cartesian product; the only guaranteed
+    exchange is aggregate-sided (bucket/id keyed)."""
+    df = REGISTRY["rag_index_pipeline"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_pushes_term_filter_below_aggregation(spark):
+    """The query-term filter must run scan-side (before any
+    exchange), so only matching (doc, term) pairs shuffle."""
+    import re
+
+    df = REGISTRY["text_bm25_topk"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # every term-IN filter must sit DIRECTLY above its Generate explode
+    # (i.e. applied to the exploded rows before any Exchange)
+    filt_idx = [
+        i for i, ln in enumerate(lines)
+        if re.search(r"Filter term#\d+ IN", ln) or "INSET" in ln and "term#" in ln
+    ]
+    assert filt_idx, plan
+    for i in filt_idx:
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert "Generate explode" in below, plan

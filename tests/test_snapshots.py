@@ -546,3 +546,23 @@ def test_file_stats_pruning_plans_subset_and_never_drops(spark, tmp_path):
     )
     empty = snapshots.read_snapshot_pruned(spark, table, "k", -10, -5)
     assert empty.count() == 0
+
+
+def test_rollback_preserves_file_stats(spark, tmp_path):
+    """A rollback commit carries the target's per-file stats, so the
+    restored table still prunes ranged scans."""
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 500).selectExpr("id AS k", "id * 2 AS v")
+    snapshots.snapshot_write(
+        spark, df.repartitionByRange(5, "k"), table, "overwrite",
+        stats_cols=["k"],
+    )
+    snapshots.snapshot_write(  # bad load without stats
+        spark, spark.range(9000, 9010).selectExpr("id AS k", "id AS v"),
+        table, "overwrite",
+    )
+    snapshots.rollback_to(table, 0)
+    planned, total = snapshots.plan_pruned_files(table, "k", 0, 50)
+    assert total == 5 and 0 < len(planned) < total
