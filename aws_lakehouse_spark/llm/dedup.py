@@ -359,18 +359,16 @@ def connected_components(
     return labels
 
 
-def near_duplicate_survivors(
+def verified_near_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     jaccard_threshold: float = 0.6,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """End-to-end near-dup resolution: LSH candidates → exact Jaccard
-    verification → connected components → one survivor (min id) per
-    duplicate cluster. Returns (doc_id, survivor_id, is_survivor) for
-    every doc that belongs to some cluster; docs with no near-dup are
-    implicitly their own survivors.
+    """Shared front half of near-dup resolution: LSH candidates →
+    exact Jaccard verification. Returns the verified (doc_a, doc_b)
+    edge list (doc_a < doc_b).
 
     Exact Jaccard is computed only for the candidate pairs, per pair
     via array_intersect/union on the two shingle sets — O(candidates),
@@ -425,11 +423,80 @@ def near_duplicate_survivors(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b")
     )
+    return verified
+
+
+def near_duplicate_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup resolution: LSH candidates → exact Jaccard
+    verification → connected components → one survivor (min id) per
+    duplicate cluster. Returns (doc_id, survivor_id, is_survivor) for
+    every doc that belongs to some cluster; docs with no near-dup are
+    implicitly their own survivors.
+    """
+    verified = verified_near_dup_pairs(
+        df, id_col, text_col, jaccard_threshold, shingle_k
+    )
     comps = connected_components(verified)
     return comps.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("survivor_id"),
         (F.col("node") == F.col("component")).alias("is_survivor"),
+    )
+
+
+def near_duplicate_survivors_by_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality: Column,
+    jaccard_threshold: float = 0.6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Quality-aware survivorship: same LSH → verify → connected
+    components pipeline, but the survivor of each duplicate cluster
+    is the member with the HIGHEST ``quality`` (ties → lowest id)
+    instead of the lowest id — the curation move that keeps the
+    best-written copy of a boilerplate family rather than whichever
+    crawl happened to be ingested first.
+
+    ``quality`` is an expression over ``df``'s columns (e.g. distinct
+    token count). Returns (doc_id, component_id, quality, survivor_id,
+    is_survivor) for every clustered doc.
+
+    Scale: quality is evaluated once per clustered doc (semi-join
+    bounded — never over the full corpus), and the per-cluster
+    arg-max is a window over cluster-sized groups; near-dup clusters
+    are small by construction, so no skew.
+    """
+    from pyspark.sql import Window
+
+    verified = verified_near_dup_pairs(
+        df, id_col, text_col, jaccard_threshold, shingle_k
+    )
+    comps = connected_components(verified).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+    scored = comps.join(
+        df.select(F.col(id_col).alias("doc_id"), quality.alias("quality")),
+        "doc_id",
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn(
+            "survivor_id", F.first("doc_id").over(w)
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("survivor_id"))
+        .select(
+            "doc_id", "component_id", "quality", "survivor_id", "is_survivor"
+        )
     )
 
 

@@ -652,3 +652,91 @@ def dedup_incremental_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
     )
+
+
+NEAR_DUP_QUALITY_ORACLE = f"""
+    WITH RECURSIVE sig AS ({DUCK_SIG}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id,
+               md5(minhash_0 || '|' || minhash_1) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_id,
+               md5(minhash_2 || '|' || minhash_3) AS band_hash FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+    ),
+    sh AS (SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b
+        WHERE len(list_intersect(a.shingles, b.shingles))
+              / len(list_distinct(list_concat(a.shingles, b.shingles)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM verified
+        UNION SELECT doc_b, doc_a FROM verified
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
+        FROM reach GROUP BY s
+    ),
+    q AS (
+        SELECT doc_id, CAST(len(list_distinct({DUCK_TOKS})) AS BIGINT)
+                 AS quality
+        FROM documents
+    ),
+    scored AS (
+        SELECT comp.doc_id, comp.component_id, q.quality
+        FROM comp JOIN q USING (doc_id)
+    )
+    SELECT doc_id, component_id, quality,
+           FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component_id
+               ORDER BY quality DESC, doc_id ASC) AS survivor_id,
+           doc_id = FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component_id
+               ORDER BY quality DESC, doc_id ASC) AS is_survivor
+    FROM scored
+"""
+
+
+@register(
+    "dedup_cluster_survivor_quality",
+    oracle=NEAR_DUP_QUALITY_ORACLE,
+    category="llm dedup",
+    doc="Quality-aware near-dup survivorship: the same MinHash-LSH → "
+    "exact-Jaccard → connected-components clustering as "
+    "dedup_near_duplicate_resolution, but each cluster keeps its "
+    "highest-quality member (quality = distinct token count; ties → "
+    "lowest id) instead of the lowest id — keep the best-written "
+    "copy of a boilerplate family, not the first-crawled one. "
+    "Quality is evaluated only for clustered docs (semi-join "
+    "bounded) and the per-cluster arg-max is a window over "
+    "cluster-sized groups.",
+)
+def dedup_cluster_survivor_quality_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import (
+        near_duplicate_survivors_by_quality,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast(
+        "bigint"
+    )
+    return near_duplicate_survivors_by_quality(
+        docs, "doc_id", "text", quality, jaccard_threshold=0.5
+    )

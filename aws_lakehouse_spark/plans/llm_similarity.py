@@ -383,3 +383,56 @@ def ann_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["q_max"].alias("q_max"),
         cols["max_abs_err"].alias("max_abs_err"),
     )
+
+
+def _cos_dim(a: str, b: str, dim: int) -> str:
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> {{a}}[i] * {{b}}[i]))"
+    return (
+        f"{dot.format(a=a, b=b)} / "
+        f"(sqrt({dot.format(a=a, b=a)}) * "
+        f"sqrt({dot.format(a=b, b=b)}))"
+    )
+
+
+@register(
+    "embed_matryoshka_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v
+               FROM embeddings),
+         q AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_cos_dim('q.v', 'c.v', 16)}, 6) AS cosine_sim
+        FROM c, q WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    category="llm similarity",
+    doc="Matryoshka (MRL) truncated-dimension retrieval: cosine "
+    "top-5 using only the FIRST 16 of 64 embedding dimensions — the "
+    "memory/accuracy dial an MRL-trained embedding model exposes "
+    "(prefix dims carry the coarse signal, so a 4x-smaller index "
+    "answers the same query; re-rank survivors at full width when "
+    "precision matters). Cosine renormalizes over the slice, so no "
+    "separate renormalization pass is needed. Same scale shape as "
+    "brute-force: query side broadcast, corpus scanned once — but "
+    "the scanned vector bytes drop 4x, which at 100 TB is the "
+    "difference between an in-memory and a spilling candidate scan.",
+)
+def embed_matryoshka_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sliced = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias(
+            "embedding"
+        ),
+    )
+    queries = sliced.filter(F.col("vec_id") < 10)
+    return brute_force_topk(sliced, queries, k=5, round_digits=6)

@@ -2003,3 +2003,202 @@ def text_dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr"), 6).alias("dsir_logratio"),
         )
     )
+
+
+@register(
+    "text_span_dedup_apply",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), spans AS (
+        SELECT doc_id, u.i AS pos,
+               substring(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 16)
+                 AS dg
+        FROM toks, UNNEST(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+    ), dup AS (
+        SELECT dg FROM spans GROUP BY dg HAVING COUNT(*) > 1
+    ), covered AS (
+        SELECT DISTINCT s.doc_id, s.pos + o.j AS tpos
+        FROM spans s JOIN dup USING (dg), UNNEST(range(0, 8)) AS o(j)
+    ), tokens AS (
+        SELECT doc_id, u.i AS tpos, t[u.i] AS tok
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ), kept AS (
+        SELECT tk.doc_id, tk.tpos, tk.tok
+        FROM tokens tk
+        ANTI JOIN covered c
+          ON tk.doc_id = c.doc_id AND tk.tpos = c.tpos
+    ), agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    category="llm text",
+    doc="The APPLY face of exact-substring dedup (Lee et al.): every "
+    "8-token span duplicated anywhere in the corpus marks its token "
+    "positions as covered; covered tokens are removed (symmetrically "
+    "— all occurrences, the conservative boilerplate-strip variant) "
+    "and the surviving tokens reassemble in position order into the "
+    "cleaned text. Complements text_span_dedup, which only SCORES "
+    "docs by duplicated-span fraction. Scale: spans shuffle once "
+    "keyed by uniform 16-hex digest for the global count, the "
+    "covered-position set is semi-join bounded (only spans whose "
+    "digest is duplicated expand into positions), and reassembly is "
+    "one per-doc aggregation with an in-group sort — no global sort, "
+    "no all-pairs anything.",
+)
+def text_span_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(_positional_ngrams(toks, 8)).alias("p0", "span"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.substring(F.md5("span"), 1, 16).alias("dg"),
+    )
+    dup = spans.groupBy("dg").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    ).select("dg")
+    covered = (
+        spans.join(dup, "dg", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(7))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tokens = docs.select(
+        "doc_id", F.posexplode(toks).alias("t0", "tok")
+    ).select("doc_id", (F.col("t0") + 1).alias("tpos"), "tok")
+    kept = tokens.join(covered, ["doc_id", "tpos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+# Shipped-tokenizer merge table for text_bpe_encode: a FIXED, ordered
+# BPE merge list (the artifact a trained tokenizer exports) chosen to
+# cascade on the synthetic vocabulary. Literal rules keep the query
+# deterministic and let the oracle replay the exact same fold.
+BPE_ENCODE_MERGES: list[tuple[str, str]] = [
+    ("t", "a"),
+    ("l", "e"),
+    ("ta", "b"),
+    ("tab", "le"),
+    ("v", "a"),
+    ("va", "l"),
+    ("r", "o"),
+    ("ro", "w"),
+    ("s", "c"),
+    ("sc", "a"),
+]
+
+# fold-state encoding for the DuckDB list_reduce replica of
+# llm.bpe._merge_pair: accumulated symbols joined by US (\x1f), with
+# an RS (\x1e) suffix marking "just merged" (blocks a second merge
+# consuming the freshly created symbol)
+_US = chr(31)
+_RS = chr(30)
+
+
+def _bpe_rule_sql(arr_expr: str, a: str, b: str) -> str:
+    """SQL array->array: one merge rule applied with the same
+    left-to-right, non-overlapping, simultaneous-pass semantics as
+    ``llm.bpe._merge_pair`` (list_reduce fold over an encoded
+    accumulator string)."""
+    merged = a + b
+    # accumulator pieces, written as SQL over (acc, x)
+    jm = f"(acc LIKE '%{_RS}')"
+    base = f"rtrim(acc, '{_RS}')"
+    last = f"COALESCE(list_extract(str_split({base}, '{_US}'), -1), '')"
+    can = f"(NOT {jm} AND {last} = '{a}' AND x = '{b}')"
+    left = (
+        f"substring({base}, 1, greatest(len({base}) - len({last}) - 1, 0))"
+    )
+    on_merge = (
+        f"CASE WHEN len({base}) = len({last}) THEN '{merged}{_RS}' "
+        f"ELSE {left} || '{_US}' || '{merged}{_RS}' END"
+    )
+    no_merge = f"{base} || '{_US}' || x"
+    fold = (
+        f"list_reduce({arr_expr}, "
+        f"(acc, x) -> CASE WHEN {can} THEN {on_merge} ELSE {no_merge} END)"
+    )
+    return f"str_split(rtrim({fold}, '{_RS}'), '{_US}')"
+
+
+def _bpe_encode_oracle() -> str:
+    syms = "str_split(w, '')"
+    expr = syms
+    for a, b in BPE_ENCODE_MERGES:
+        expr = _bpe_rule_sql(expr, a, b)
+    return f"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(str_split(text, ' '), w -> w != '') AS words
+        FROM documents
+    ), words AS (
+        SELECT doc_id, u.i AS wpos, words[u.i] AS w
+        FROM ws, UNNEST(range(1, len(words) + 1)) AS u(i)
+    ), toked AS (
+        SELECT doc_id, wpos, {expr} AS toks FROM words
+    )
+    SELECT doc_id,
+           string_agg(array_to_string(toks, '|'), '|' ORDER BY wpos)
+             AS tokens,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+    FROM toked GROUP BY doc_id
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    category="llm text",
+    doc="Distributed tokenization with a SHIPPED BPE merge table "
+    "(the artifact llm.bpe.bpe_train exports): per word, the ordered "
+    "merge rules apply left-to-right/non-overlapping via a pure "
+    "array-expression fold — the hot tokenize path stays in the JVM "
+    "with zero Python, zero shuffle (scan-side projection only). "
+    "The oracle replays the identical fold with list_reduce over an "
+    "encoded accumulator, so even the merge-order semantics are "
+    "cross-engine-checked. Token streams surface joined by '|' so "
+    "the value hash covers every token boundary.",
+)
+def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.bpe import bpe_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        {"rank": i, "left": a, "right": b}
+        for i, (a, b) in enumerate(BPE_ENCODE_MERGES)
+    ]
+    toked = bpe_apply(docs, merges)
+    return toked.select(
+        "doc_id",
+        F.array_join("tokens", "|").alias("tokens"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )

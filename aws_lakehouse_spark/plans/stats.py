@@ -387,3 +387,69 @@ def agg_hierarchy_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").cast("bigint").alias("node"), "n_events", "n_users")
         .orderBy("node")
     )
+
+
+@register(
+    "agg_extended_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag, AVG(l_quantity) AS mu,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ), cm AS (
+        SELECT l.l_returnflag,
+               MAX(m.n) AS n, MAX(m.mu) AS mu,
+               AVG(POW(l.l_quantity - m.mu, 2)) AS m2,
+               AVG(POW(l.l_quantity - m.mu, 3)) AS m3,
+               AVG(POW(l.l_quantity - m.mu, 4)) AS m4
+        FROM lineitem l JOIN m USING (l_returnflag)
+        GROUP BY l.l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(mu, 4) AS mean_qty,
+           ROUND(sqrt(m2), 4) AS stddev_pop,
+           ROUND(m3 / POW(m2, 1.5), 4) AS skewness,
+           ROUND(m4 / POW(m2, 2) - 3, 4) AS excess_kurtosis
+    FROM cm
+    """,
+    category="stats",
+    doc="Population skewness and excess kurtosis per group, computed "
+    "from explicit central moments (two-pass: group means broadcast "
+    "back, then one aggregation of (x-mu)^k) rather than the "
+    "engines' built-in skewness/kurtosis — DuckDB's built-ins apply "
+    "sample-bias correction while Spark's are population "
+    "formulas, so the explicit-moment form is the only one that "
+    "hash-matches across engines. Distribution-shape profiling is "
+    "the quality gate that catches a silently-truncated or "
+    "clipped numeric column (kurtosis collapses) long before a "
+    "mean/stddev check moves. Scale: the second pass is a map-side "
+    "combinable AVG keyed by the same group key; the means table is "
+    "group-cardinality-sized and broadcast.",
+)
+def agg_extended_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    means = li.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("mu"), F.count(F.lit(1)).alias("n")
+    )
+    d = F.col("l_quantity") - F.col("mu")
+    cm = (
+        li.join(F.broadcast(means), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mu").alias("mu"),
+            F.avg(d * d).alias("m2"),
+            F.avg(d * d * d).alias("m3"),
+            F.avg(d * d * d * d).alias("m4"),
+        )
+    )
+    return cm.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mu", 4).alias("mean_qty"),
+        F.round(F.sqrt("m2"), 4).alias("stddev_pop"),
+        F.round(F.col("m3") / F.pow("m2", F.lit(1.5)), 4).alias("skewness"),
+        F.round(F.col("m4") / F.pow("m2", F.lit(2.0)) - 3, 4).alias(
+            "excess_kurtosis"
+        ),
+    )
