@@ -1561,3 +1561,58 @@ def snapshot_stats_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "snapshot_bloom_pruned_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders
+    WHERE o_custkey = 97
+    """,
+    category="2.9 maintenance (M5 file statistics)",
+    doc="Iceberg/Puffin-style per-file BLOOM skipping: the snapshot "
+    "commit records a 16 Kbit bloom bitset of o_custkey per data "
+    "file; a point lookup (`o_custkey = 97`) then plans ONLY the "
+    "bloom-candidate files (in-query assert: strictly fewer than "
+    "the live total) with the exact equality residual on surviving "
+    "rows. Complements min/max stats pruning: ranges prune range "
+    "predicates on CLUSTERED columns, a bloom prunes equality "
+    "predicates on any high-cardinality column regardless of "
+    "clustering. At 100 TB this turns an unpartitioned key lookup "
+    "from a full scan into a handful of file opens.",
+)
+def snapshot_bloom_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        plan_bloom_pruned_files,
+        read_snapshot_bloom_pruned,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_bloom_"), "orders_snap"
+    )
+    # hash-clustered on the lookup key: each file holds ~1/8 of the
+    # custkey space, so the bloom rules out ~7/8 of files
+    clustered = orders.repartition(8, "o_custkey")
+    assert snapshot_write(
+        spark, clustered, table, "overwrite", bloom_cols=["o_custkey"]
+    ) == 0
+    planned, total = plan_bloom_pruned_files(table, "o_custkey", 97)
+    assert 0 < len(planned) < total, (planned, total)
+    pruned = read_snapshot_bloom_pruned(spark, table, "o_custkey", 97)
+    return pruned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+    )

@@ -316,3 +316,67 @@ def join_bucketed_colocated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("acctbal"),
         )
     )
+
+
+@register(
+    "layout_zorder_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 10 AND 60
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="2.1 sources/sinks (S7 layout)",
+    doc="Z-ORDER clustered layout + multi-dimension file skipping "
+    "(Delta OPTIMIZE ZORDER BY / Iceberg sort-order rewrite): the "
+    "table is rewritten range-partitioned AND sorted on the Morton "
+    "interleave of (user_id, value), so every file's footer min/max "
+    "is tight on BOTH columns at once; the snapshot manifest records "
+    "those per-file ranges, and a 2-D range query plans only the "
+    "files whose ranges intersect on every predicate column "
+    "(in-query assert: strictly fewer than the live total) plus the "
+    "exact residual filter. Linear clustering prunes one leading "
+    "column; Z-order prunes multiplicatively — at 100 TB this is "
+    "the difference between opening a row of the file grid and "
+    "opening a cell.",
+)
+def layout_zorder_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.layout import zorder_code
+    from aws_lakehouse_spark.sources.snapshots import (
+        plan_pruned_files_multi,
+        read_snapshot_pruned_multi,
+        snapshot_write,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_zorder_"), "events_z"
+    )
+    code = zorder_code({"user_id": (0, 1500), "value": (0, 600)})
+    clustered = (
+        events.withColumn("__z", code)
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    assert snapshot_write(
+        spark, clustered, table, "overwrite",
+        stats_cols=["user_id", "value"],
+    ) == 0
+    preds = {"user_id": (3, 9), "value": (10.0, 60.0)}
+    planned, total = plan_pruned_files_multi(table, preds)
+    assert 0 < len(planned) < total, (planned, total)
+    pruned = read_snapshot_pruned_multi(spark, table, preds)
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -129,6 +129,7 @@ def snapshot_write(
     table_path: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the committed version.
 
@@ -140,6 +141,12 @@ def snapshot_write(
     manifest (footer-only reads — Iceberg's data-file stats), which
     :func:`read_snapshot_pruned` uses to plan range scans over only
     the files whose ranges intersect the predicate.
+
+    ``bloom_cols`` additionally records a per-file bloom bitset for
+    those columns (Iceberg/Puffin-style blobs), which
+    :func:`read_snapshot_bloom_pruned` uses to plan EQUALITY lookups
+    — the skipping structure for high-cardinality keys that min/max
+    ranges can't prune unless the data is range-clustered.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write mode must be append/overwrite, got {mode!r}")
@@ -163,16 +170,23 @@ def snapshot_write(
     vs = versions(table_path)
     version = (vs[-1] + 1) if vs else 0
     stats: dict = {}
+    bloom: dict = {}
     if mode == "append" and vs:
         prev = _read_manifest(table_path, vs[-1])
         live = prev["files"]
         stats.update(prev.get("stats", {}))
+        bloom.update(prev.get("bloom", {}))
     else:
         live = []
     if stats_cols:
         for f in new_files:
             stats[f] = _file_column_stats(
                 os.path.join(table_path, f), list(stats_cols)
+            )
+    if bloom_cols:
+        for f in new_files:
+            bloom[f] = _file_bloom(
+                os.path.join(table_path, f), list(bloom_cols)
             )
     manifest = {
         "version": version,
@@ -183,6 +197,10 @@ def snapshot_write(
     if stats:
         manifest["stats"] = {
             f: stats[f] for f in manifest["files"] if f in stats
+        }
+    if bloom:
+        manifest["bloom"] = {
+            f: bloom[f] for f in manifest["files"] if f in bloom
         }
     _commit_manifest(table_path, version, manifest)
     return version
@@ -289,6 +307,166 @@ def read_snapshot_pruned(
             *[os.path.join(table_path, f) for f in planned]
         ).filter(F.col(col).between(lo, hi))
     )
+
+
+def plan_pruned_files_multi(
+    table_path: str,
+    preds: dict,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Conjunctive multi-column scan planning: keep a file only if
+    EVERY ``col: (lo, hi)`` predicate intersects that file's recorded
+    min/max (missing stats for a column keep the file — never skip a
+    candidate). This is the planner a Z-ORDERED layout feeds: Morton
+    clustering makes every file's footer range tight on every
+    clustered column simultaneously, so an N-dimensional range query
+    prunes multiplicatively instead of on one leading column."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"no snapshots at {table_path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(table_path, v)
+    stats = m.get("stats", {})
+    planned = []
+    for f in m["files"]:
+        fstats = stats.get(f, {})
+        keep = True
+        for col, (lo, hi) in preds.items():
+            rng = fstats.get(col)
+            if rng is not None and (hi < rng[0] or lo > rng[1]):
+                keep = False
+                break
+        if keep:
+            planned.append(f)
+    return planned, len(m["files"])
+
+
+def read_snapshot_pruned_multi(
+    spark: SparkSession,
+    table_path: str,
+    preds: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-column ranged read over only the stat-intersecting files
+    (conjunctive pruning), with the exact residual filters applied to
+    surviving rows."""
+    import functools
+    import operator
+
+    import pyspark.sql.functions as F
+
+    planned, _total = plan_pruned_files_multi(table_path, preds, version)
+    residual = functools.reduce(
+        operator.and_,
+        [F.col(c).between(lo, hi) for c, (lo, hi) in preds.items()],
+    )
+    if not planned:
+        return spark.read.parquet(table_path).limit(0).filter(residual)
+    return spark.read.parquet(
+        *[os.path.join(table_path, f) for f in planned]
+    ).filter(residual)
+
+
+BLOOM_M_BITS = 16384  # bloom bitset width per (file, column)
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(value, m: int = BLOOM_M_BITS, k: int = BLOOM_K) -> list[int]:
+    """Deterministic bit positions for ``value``: k independent
+    md5-derived hashes over the stringified value. Callers must probe
+    with the same Python type they wrote (str(42) != str('42.0'))."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def _file_bloom(path: str, cols: list[str]) -> dict:
+    """Per-file bloom bitsets (hex-encoded) for ``cols`` — the
+    Iceberg/Puffin-style point-lookup skipping complement to the
+    min/max footer stats: min/max prunes RANGE predicates on
+    clustered columns; a bloom prunes EQUALITY predicates on any
+    column, clustered or not. Built from one single-column read per
+    column at write time (the same cost Iceberg pays to emit its
+    bloom blobs); distinct values are hashed once each."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for col in cols:
+        try:
+            t = pq.read_table(path, columns=[col])
+        except Exception:
+            continue
+        bits = bytearray(BLOOM_M_BITS // 8)
+        vals = {v for v in t.column(0).to_pylist() if v is not None}
+        for v in vals:
+            for h in _bloom_positions(v):
+                bits[h >> 3] |= 1 << (h & 7)
+        out[col] = bits.hex()
+    return out
+
+
+def _bloom_maybe_contains(hex_bits: str, value) -> bool:
+    bits = bytes.fromhex(hex_bits)
+    return all(
+        bits[h >> 3] & (1 << (h & 7)) for h in _bloom_positions(value)
+    )
+
+
+def plan_bloom_pruned_files(
+    table_path: str, col: str, value, version: int | None = None
+) -> tuple[list[str], int]:
+    """Equality-predicate scan planning from the manifest's per-file
+    bloom filters: keep only files whose bloom POSSIBLY contains
+    ``value``. Files without a recorded bloom for ``col`` are kept
+    (pruning must never drop a candidate). Returns
+    ``(planned_files, total_live_files)``."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"no snapshots at {table_path}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    m = _read_manifest(table_path, v)
+    blooms = m.get("bloom", {})
+    planned = []
+    for f in m["files"]:
+        hx = blooms.get(f, {}).get(col)
+        if hx is None or _bloom_maybe_contains(hx, value):
+            planned.append(f)
+    return planned, len(m["files"])
+
+
+def read_snapshot_bloom_pruned(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup read that opens ONLY the bloom-candidate files,
+    with the exact equality residual applied to surviving rows (a
+    bloom admits false positives, never false negatives). At 100 TB
+    this turns `WHERE key = x` over an unpartitioned table from a
+    full scan into a handful of file opens — the complement of
+    min/max range pruning for high-cardinality, unclustered keys."""
+    import pyspark.sql.functions as F
+
+    planned, _total = plan_bloom_pruned_files(table_path, col, value, version)
+    if not planned:
+        return (
+            spark.read.parquet(table_path)
+            .limit(0)
+            .filter(F.col(col) == value)
+        )
+    return spark.read.parquet(
+        *[os.path.join(table_path, f) for f in planned]
+    ).filter(F.col(col) == value)
 
 
 def expire_snapshots(
@@ -552,6 +730,8 @@ def rollback_to(table_path: str, version: int) -> int:
         # carry the target's per-file stats so a restored table keeps
         # its min/max scan pruning
         manifest["stats"] = target["stats"]
+    if target.get("bloom"):
+        manifest["bloom"] = target["bloom"]
     _commit_manifest(table_path, new_version, manifest)
     return new_version
 

@@ -566,3 +566,71 @@ def test_rollback_preserves_file_stats(spark, tmp_path):
     snapshots.rollback_to(table, 0)
     planned, total = snapshots.plan_pruned_files(table, "k", 0, 50)
     assert total == 5 and 0 < len(planned) < total
+
+
+def test_bloom_pruning_no_false_negatives(spark, tmp_path):
+    """Bloom planning keeps every file that truly holds the value
+    (never a false negative), prunes most that don't, and the pruned
+    read returns exactly the matching rows."""
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "bloomed")
+    df = spark.range(0, 4000).withColumn("key", F.col("id") % 500)
+    clustered = df.repartition(8, "key")
+    snapshots.snapshot_write(
+        spark, clustered, table, "overwrite", bloom_cols=["key"]
+    )
+    for probe in (0, 97, 499):
+        planned, total = snapshots.plan_bloom_pruned_files(
+            table, "key", probe
+        )
+        assert total == 8
+        assert 0 < len(planned) < total, (probe, planned)
+        got = snapshots.read_snapshot_bloom_pruned(
+            spark, table, "key", probe
+        )
+        assert got.count() == 8  # 4000 ids / 500 keys
+        assert all(r["key"] == probe for r in got.collect())
+
+
+def test_bloom_absent_value_prunes_everything_or_rare_fp(spark, tmp_path):
+    """A value absent from the table plans at most a rare
+    false-positive file; the read still returns zero rows."""
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "bloomed_absent")
+    df = spark.range(0, 1000).withColumn("key", F.col("id"))
+    snapshots.snapshot_write(
+        spark, df.repartition(4, "key"), table, "overwrite",
+        bloom_cols=["key"],
+    )
+    planned, total = snapshots.plan_bloom_pruned_files(
+        table, "key", 999_999
+    )
+    assert len(planned) <= 1  # fpp ~1e-2 per file
+    got = snapshots.read_snapshot_bloom_pruned(
+        spark, table, "key", 999_999
+    )
+    assert got.count() == 0
+
+
+def test_bloom_carried_through_append_and_rollback(spark, tmp_path):
+    """Append carries prior files' blooms and adds the new file's;
+    rollback_to restores the target version's blooms so a restored
+    table keeps its point-lookup pruning."""
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "bloom_carry")
+    a = spark.createDataFrame([(1,), (2,)], "key bigint").coalesce(1)
+    b = spark.createDataFrame([(100,), (200,)], "key bigint").coalesce(1)
+    snapshots.snapshot_write(spark, a, table, "overwrite", bloom_cols=["key"])
+    snapshots.snapshot_write(spark, b, table, "append", bloom_cols=["key"])
+    planned, total = snapshots.plan_bloom_pruned_files(table, "key", 1)
+    assert total == 2 and len(planned) == 1
+    planned, _ = snapshots.plan_bloom_pruned_files(table, "key", 200)
+    assert len(planned) == 1
+    v2 = snapshots.rollback_to(table, 0)
+    planned, total = snapshots.plan_bloom_pruned_files(
+        table, "key", 1, version=v2
+    )
+    assert total == 1 and len(planned) == 1
