@@ -1044,3 +1044,47 @@ def events_stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("v_ts").cast("bigint").alias("n_views_10m")
     )
+
+
+@register(
+    "window_range_interval_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    category="2.5 windows",
+    doc="Time-based RANGE frame (the interval-window complement of "
+    "the ROWS frames in window_running_frames): per user, the count "
+    "and value sum of events in the TRAILING HOUR of each event — "
+    "rate-limit / velocity features that a rows-frame cannot express "
+    "because event spacing is irregular. The frame orders by "
+    "integer microsecond epoch on both engines, so frame membership "
+    "is integer-exact. One shuffle (partition by user), ordered "
+    "range scan within partition — the plan a 1000-executor sort "
+    "would produce per user bucket.",
+)
+def window_range_interval_frame_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+    )

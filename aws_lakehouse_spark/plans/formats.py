@@ -380,3 +380,61 @@ def layout_zorder_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, MIN(event_id) AS first_id
+        FROM events GROUP BY event_type
+        HAVING MIN(event_id) % 2 = 0
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    category="2.3 joins (J-ext runtime pruning)",
+    doc="Dynamic partition pruning: the fact table is laid out "
+    "hive-partitioned on the join key; the dim side's selective "
+    "filter is only known at RUN time, so Catalyst injects a "
+    "dynamicpruning subquery into the fact scan's PartitionFilters "
+    "— the fact directories for non-qualifying keys are never "
+    "listed, let alone read (in-query assert on the physical plan). "
+    "This is THE mechanism that makes star joins over a 100 TB "
+    "date/category-partitioned fact proportional to the dim "
+    "selection instead of the table: static pruning can't see "
+    "through a join, DPP can.",
+)
+def join_dynamic_partition_pruning_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = os.path.join(tempfile.mkdtemp(prefix="lakehouse_dpp_"), "events_p")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    fact = spark.read.parquet(base)
+    # the dim filter rides on an AGGREGATED attribute (first seen
+    # event id), which static predicate inference cannot transfer to
+    # the fact key — only runtime DPP can prune with it
+    dim = (
+        fact.groupBy("event_type")
+        .agg(F.min("event_id").alias("first_id"))
+        .filter(F.col("first_id") % 2 == 0)
+        .select("event_type")
+    )
+    joined = fact.join(F.broadcast(dim), "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -746,3 +746,59 @@ def udaf_grouped_geomean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geomean("o_totalprice"), 4).alias("geomean_price")
     )
     return counts.join(geo, "o_orderpriority").orderBy("o_orderpriority")
+
+
+@register(
+    "scalar_math_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(sqrt(l_quantity), 6) AS sqrt_qty,
+           ROUND(ln(l_extendedprice), 6) AS ln_price,
+           ROUND(log10(l_extendedprice), 6) AS log10_price,
+           ROUND(exp(l_discount), 6) AS exp_disc,
+           ROUND(pow(1.0 + l_discount, 3), 6) AS compound3,
+           ROUND(sin(radians(l_quantity)), 6) AS sin_qty,
+           ROUND(cos(radians(l_quantity)), 6) AS cos_qty,
+           ROUND(atan2(l_quantity, l_extendedprice / 1000), 6)
+             AS atan2_qp,
+           CAST(sign(l_quantity - 25) AS BIGINT) AS sign_qty,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_kbin,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_week
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+    category="2.6 functions (F-math)",
+    doc="Transcendental + rounding math scalar family (sqrt/ln/log10/"
+    "exp/pow/sin/cos/atan2/sign/floor/ceil) over a pushed-down key "
+    "slice — the derived-feature arithmetic of any metric or ML "
+    "feature pipeline, all JVM-side whole-stage-codegen expressions. "
+    "Transcendentals are rounded to 6 dp on BOTH engines before "
+    "hashing: libm results may differ in the final ulp across "
+    "implementations, so the contract pins the comparable precision "
+    "(the hash-match discipline's float rule).",
+)
+def scalar_math_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 200
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 3), 6).alias(
+            "compound3"
+        ),
+        F.round(F.sin(F.radians("l_quantity")), 6).alias("sin_qty"),
+        F.round(F.cos(F.radians("l_quantity")), 6).alias("cos_qty"),
+        F.round(
+            F.atan2(F.col("l_quantity"), F.col("l_extendedprice") / 1000), 6
+        ).alias("atan2_qp"),
+        F.signum(F.col("l_quantity") - 25).cast("bigint").alias("sign_qty"),
+        F.floor(F.col("l_extendedprice") / 1000)
+        .cast("bigint")
+        .alias("price_kbin"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_week"),
+    )
