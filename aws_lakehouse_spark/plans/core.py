@@ -952,3 +952,98 @@ def scalar_date_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_to_y2k"),
         months_approx.alias("months_to_y2k_approx"),
     )
+
+
+@register(
+    "set_multiset_ops",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderpriority FROM orders WHERE o_custkey < 100
+    ), b AS (
+        SELECT o_orderpriority FROM orders
+        WHERE o_custkey BETWEEN 50 AND 150
+    ), ia AS (
+        SELECT o_orderpriority FROM a
+        INTERSECT ALL
+        SELECT o_orderpriority FROM b
+    ), ea AS (
+        SELECT o_orderpriority FROM a
+        EXCEPT ALL
+        SELECT o_orderpriority FROM b
+    )
+    SELECT 'intersect_all' AS op, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ia GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'except_all' AS op, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ea GROUP BY o_orderpriority
+    """,
+    category="2.7 set ops",
+    doc="Multiset INTERSECT ALL / EXCEPT ALL (the bag-semantics "
+    "complement of the distinct set ops): row multiplicity is "
+    "preserved — a priority occurring 3x in slice A and 2x in the "
+    "overlapping slice B intersects 2x and subtracts to 1x, which "
+    "DISTINCT-based set ops cannot express. Spark plans both as a "
+    "single-shuffle aggregate of per-side counts (no sort), the "
+    "same shape DuckDB uses — and the multiplicity rollup keyed on "
+    "a 5-value column makes the multiset arithmetic itself the "
+    "checked output.",
+)
+def set_multiset_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_custkey") < 100).select("o_orderpriority")
+    b = orders.filter(F.col("o_custkey").between(50, 150)).select(
+        "o_orderpriority"
+    )
+    ia = (
+        intersect_relations(a, b, keep_duplicates=True)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
+    )
+    ea = (
+        except_relations(a, b, keep_duplicates=True)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
+    )
+    return ia.unionByName(ea)
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+        SELECT NULLIF(c_nationkey, 5) AS k FROM customer
+    ), s AS (
+        SELECT NULLIF(s_nationkey, 5) AS k FROM supplier
+    )
+    SELECT c.k AS nation_k, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    ORDER BY nation_k NULLS FIRST
+    """,
+    category="2.3 joins (J-ext null-safe)",
+    doc="Null-safe equi-join (Spark `<=>` / SQL IS NOT DISTINCT "
+    "FROM): NULL keys match each other instead of silently dropping "
+    "— the semantics a dedup or reconciliation join needs when the "
+    "key itself can be legitimately absent (here NULLIF carves a "
+    "deterministic NULL class out of the nation key). Executes as a "
+    "regular broadcast hash join: `<=>` is an equality predicate to "
+    "the planner, so no fallback to nested-loop — same plan shape "
+    "at any scale.",
+)
+def join_null_safe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(5)).alias("ck")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(5)).alias("sk")
+    )
+    return (
+        cust.join(F.broadcast(supp), F.col("ck").eqNullSafe(F.col("sk")))
+        .groupBy(F.col("ck").alias("nation_k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(F.asc_nulls_first("nation_k"))
+    )

@@ -740,3 +740,108 @@ def dedup_cluster_survivor_quality_q(
     return near_duplicate_survivors_by_quality(
         docs, "doc_id", "text", quality, jaccard_threshold=0.5
     )
+
+
+@register(
+    "dedup_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH sig AS ({DUCK_SIG}),
+    bands AS (
+        SELECT doc_id, 0 AS band_id,
+               md5(minhash_0 || '|' || minhash_1) AS band_hash FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_id,
+               md5(minhash_2 || '|' || minhash_3) AS band_hash FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+    ),
+    sh AS (SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               ((CASE WHEN a.minhash_0 = b.minhash_0 THEN 1 ELSE 0 END)
+                + (CASE WHEN a.minhash_1 = b.minhash_1 THEN 1 ELSE 0 END)
+                + (CASE WHEN a.minhash_2 = b.minhash_2 THEN 1 ELSE 0 END)
+                + (CASE WHEN a.minhash_3 = b.minhash_3 THEN 1 ELSE 0 END))
+               / 4.0 AS jaccard_est
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.jaccard_est,
+           ROUND(len(list_intersect(x.shingles, y.shingles))
+                 / CAST(len(list_distinct(
+                       list_concat(x.shingles, y.shingles))) AS DOUBLE), 6)
+             AS jaccard_exact,
+           ROUND(abs(e.jaccard_est
+                 - len(list_intersect(x.shingles, y.shingles))
+                 / CAST(len(list_distinct(
+                       list_concat(x.shingles, y.shingles))) AS DOUBLE)), 6)
+             AS abs_err
+    FROM est e
+    JOIN sh x ON x.doc_id = e.doc_a
+    JOIN sh y ON y.doc_id = e.doc_b
+    """,
+    category="llm dedup",
+    doc="MinHash estimator calibration: for every LSH candidate "
+    "pair, the signature-based Jaccard ESTIMATE (fraction of equal "
+    "minhash components — the only number a sketch-based pipeline "
+    "ever sees at scale) against the EXACT shingle Jaccard, with "
+    "absolute error. This is the query that justifies the "
+    "verification threshold in near-dup resolution: it quantifies, "
+    "on the live corpus, how far the 4-hash estimate strays. Scale "
+    "shape: candidates from the banded equi-join (never all pairs), "
+    "signatures joined back per side, exact Jaccard only for "
+    "candidates.",
+)
+def dedup_minhash_jaccard_estimate_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_lakehouse_spark.llm.dedup import (
+        lsh_band_pairs,
+        minhash_signature,
+        shingles_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", *minhash_signature(shingles_col(F.col("text"), 3), 4)
+    ).localCheckpoint(eager=False)
+    cand = lsh_band_pairs(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=4, band_size=2
+    )
+    est_expr = (
+        sum(
+            F.when(
+                F.col(f"a.minhash_{i}") == F.col(f"b.minhash_{i}"), 1
+            ).otherwise(0)
+            for i in range(4)
+        )
+        / F.lit(4.0)
+    )
+    est = (
+        cand.join(sig.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", est_expr.alias("jaccard_est"))
+    )
+    sh = docs.select(
+        "doc_id", shingles_col(F.col("text"), 3).alias("sh")
+    ).localCheckpoint(eager=False)
+    exact = (
+        F.size(F.array_intersect("x.sh", "y.sh"))
+        / F.size(F.array_union("x.sh", "y.sh")).cast("double")
+    )
+    return (
+        est.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sh.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_est",
+            F.round(exact, 6).alias("jaccard_exact"),
+            F.round(F.abs(F.col("jaccard_est") - exact), 6).alias("abs_err"),
+        )
+    )
