@@ -438,3 +438,66 @@ def join_dynamic_partition_pruning_q(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "source_python_stream_datasource",
+    oracle="""
+    SELECT i AS doc_id,
+           md5('doc:' || CAST(i AS VARCHAR)) AS digest,
+           (['web', 'books', 'code', 'wiki'])[
+               (CAST('0x' || substring(
+                   md5('doc:' || CAST(i AS VARCHAR)), 1, 2) AS INT) % 4) + 1
+           ] AS source,
+           CAST(50 + CAST('0x' || substring(
+               md5('doc:' || CAST(i AS VARCHAR)), 3, 2) AS INT) % 200
+               AS INT) AS n_words
+    FROM range(0, 200) t(i)
+    """,
+    category="2.10 streaming (Python Data Source)",
+    doc="STREAMING Python Data Source under the oracle gate: the "
+    "same deterministic md5 source as source_python_datasource, but "
+    "drained through a REAL structured-streaming query — "
+    "SimpleDataSourceStreamReader offsets, checkpointed micro-"
+    "batches (200 rows at 60/batch = 4 commits), parquet sink — and "
+    "the sink is read back. A green row certifies offset planning, "
+    "exactly-once batch replay (readBetweenOffsets), and sink "
+    "atomicity end-to-end; the oracle regenerates the rows with SQL "
+    "md5 arithmetic. This is the queue/CDC-feed ingestion shape: "
+    "at scale the same reader contract pages a real log, and the "
+    "checkpoint makes restarts resume mid-stream.",
+)
+def source_python_stream_datasource_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time
+
+    from aws_lakehouse_spark.sources.pydatasource import register_synthdocs
+
+    register_synthdocs(spark)
+    base = tempfile.mkdtemp(prefix="lakehouse_pystream_")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    q = (
+        spark.readStream.format("synthdocs")
+        .option("n", 200)
+        .option("batch_size", 60)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 200:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.read.parquet(out)

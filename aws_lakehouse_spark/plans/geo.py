@@ -224,3 +224,86 @@ def geo_knn_bounded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# point-in-polygon demo region: a 6-vertex CONCAVE polygon over the
+# synthetic coordinate box. Vertices sit on .515/.485 offsets so no
+# 2-decimal synthetic point ever lies exactly on a horizontal edge;
+# the crossing arithmetic below is emitted with IDENTICAL
+# parenthesization on both engines, so even borderline floating-point
+# decisions agree bit-for-bit.
+_POLYGON = (
+    (41.515, -3.515),
+    (47.515, -1.515),
+    (49.515, 6.485),
+    (44.515, 13.485),
+    (43.515, 2.485),  # reflex vertex — the polygon is concave
+    (40.515, 5.485),
+)
+
+
+def _crossing_terms(px: str, py: str) -> list[str]:
+    """Ray-casting crossing indicator per polygon edge, as SQL text
+    shared verbatim by both engines (`px`,`py` are column exprs)."""
+    terms = []
+    n = len(_POLYGON)
+    for i in range(n):
+        yi, xi = _POLYGON[i]
+        yj, xj = _POLYGON[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({yi} > {py}) != ({yj} > {py})) AND "
+            f"({px} < ({xj} - {xi}) * ({py} - {yi}) / ({yj} - {yi}) "
+            f"+ {xi}) THEN 1 ELSE 0 END)"
+        )
+    return terms
+
+
+def _inside_sql(px: str, py: str) -> str:
+    return "((" + " + ".join(_crossing_terms(px, py)) + ") % 2 = 1)"
+
+
+@register(
+    "geo_polygon_contains",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey, c_nationkey,
+               {_LAT_SQL} AS lat, {_LON_SQL} AS lon
+        FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN {_inside_sql('lon', 'lat')}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+    FROM pts GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    category="geo",
+    doc="Point-in-polygon containment (ray casting over a literal "
+    "concave 6-gon): per nation, how many customers fall inside the "
+    "region — the geofence/territory classification every spatial "
+    "pipeline needs beyond radius queries. Pure scan-side "
+    "arithmetic: the polygon is a driver-side literal unrolled into "
+    "one crossing-parity expression per row, zero joins, zero "
+    "shuffles beyond the final group — the shape that scales to any "
+    "point count because each edge test is embarrassingly parallel. "
+    "Both engines run the char-identical crossing formula, so even "
+    "borderline IEEE decisions agree.",
+)
+def geo_polygon_contains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr(_LAT_SQL).alias("lat"),
+        F.expr(_LON_SQL).alias("lon"),
+    )
+    inside = F.expr(_inside_sql("lon", "lat"))
+    return (
+        pts.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.when(inside, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inside"),
+        )
+        .orderBy("c_nationkey")
+    )
