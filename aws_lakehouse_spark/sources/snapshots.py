@@ -309,6 +309,36 @@ def read_snapshot_pruned(
     )
 
 
+def read_snapshot_incremental(
+    spark: SparkSession,
+    table_path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Iceberg incremental-scan semantics: read ONLY the data files
+    ADDED after ``since_version`` up to ``to_version`` (default
+    latest) — the input an incremental consumer (downstream ETL, a
+    backfill, a CDC-less append feed) processes per cycle. A
+    metadata-only diff of the two manifests' file lists; cost is
+    proportional to the files appended, never the table. Overwritten
+    files (removed then re-added) count as added — same as Iceberg's
+    append-scan over an overwrite boundary."""
+    vs = versions(table_path)
+    if since_version not in vs:
+        raise ValueError(f"version {since_version} not in {vs}")
+    v_to = vs[-1] if to_version is None else to_version
+    if v_to not in vs:
+        raise ValueError(f"version {v_to} not in {vs}")
+    base = set(_read_manifest(table_path, since_version)["files"])
+    now = _read_manifest(table_path, v_to)["files"]
+    added = [f for f in now if f not in base]
+    if not added:
+        return spark.read.parquet(table_path).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(table_path, f) for f in added]
+    )
+
+
 def plan_pruned_files_multi(
     table_path: str,
     preds: dict,
