@@ -48,8 +48,37 @@ from aws_lakehouse_spark.registry import REGISTRY
 # rows-only specs (oracle=None) stay dead last so no `err: no_oracle`
 # rows appear in the gate.
 #
-# Remaining backlog after this window: the late-r3/r4 additions past
-# slot 50 rotate into the round-5 window (same mechanism).
+# Remaining backlog after this window (the ROUND-5 queue, same
+# mechanism — put these in slots 1-50 once the r4 rows land): the 49
+# r3 additions past slot 50 (join_bloom_prefilter, snapshot_tagged_read,
+# agg_hll_partial_merge, join_longest_prefix, quality_benford_drift,
+# agg_bitmap_distinct, snapshot_rollback_restore,
+# snapshot_stats_pruned_scan, format_roundtrip_json,
+# join_bucketed_colocated, scalar_map_family,
+# source_python_udtf_sentences, udaf_grouped_geomean, events_top_paths,
+# events_stream_stream_join, join_scd2_pointintime, sql_recursive_cte,
+# sql_lateral_topk, quality_winsorize, quality_ab_ttest,
+# quality_chisquare_drift, agg_countmin_heavy_hitters,
+# agg_hierarchy_rollup, events_ewma_trailing, window_cumulative_distinct,
+# order_pareto_frontier, window_period_over_period, agg_hll_intersection,
+# window_ntile_deciles, quality_psi_drift, quality_ks_drift,
+# events_cusum_changepoint, geo_haversine_neighbor_join,
+# geo_grid_density, geo_knn_bounded, graph_degree_distribution,
+# graph_triangle_count, graph_pagerank_topk, graph_connected_components,
+# text_quality_classifier, text_dsir_importance, text_bm25_topk,
+# ann_hybrid_rrf, ann_product_quantization, rag_index_pipeline,
+# dedup_incremental_bloom, embed_pca_covariance, embed_kmeans_iteration,
+# media_scene_cuts) plus the 18 round-4 additions
+# (embed_matryoshka_topk, agg_extended_moments,
+# dedup_cluster_survivor_quality, text_span_dedup_apply,
+# text_bpe_encode, snapshot_bloom_pruned_scan, layout_zorder_pruned_scan,
+# scalar_math_family, window_range_interval_frame,
+# join_dynamic_partition_pruning, set_multiset_ops, join_null_safe,
+# dedup_minhash_jaccard_estimate, source_python_stream_datasource,
+# geo_polygon_contains, snapshot_incremental_scan,
+# incremental_partition_recompute — all parity-green at sf0.001 AND
+# sf0.01 this round) = 67 candidates for 50 slots; grade the r3 tier
+# first (older debt), r4 additions fill the remainder, rest roll to r6.
 _PRIORITY = [
     # the one query whose sole driver row (r1) is red — supersede it first
     "agg_approx_count_distinct",

@@ -634,3 +634,67 @@ def test_bloom_carried_through_append_and_rollback(spark, tmp_path):
         table, "key", 1, version=v2
     )
     assert total == 1 and len(planned) == 1
+
+
+def test_incremental_scan_reads_only_appended(spark, tmp_path):
+    """read_snapshot_incremental returns exactly the rows of files
+    added after the anchor version; empty diff -> empty frame."""
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "incr")
+    a = spark.range(0, 100).withColumn("batch", F.lit("a"))
+    b = spark.range(100, 150).withColumn("batch", F.lit("b"))
+    v0 = snapshots.snapshot_write(spark, a.coalesce(1), table, "overwrite")
+    v1 = snapshots.snapshot_write(spark, b.coalesce(1), table, "append")
+    incr = snapshots.read_snapshot_incremental(spark, table, v0)
+    assert incr.count() == 50
+    assert incr.agg(F.min("id")).first()[0] == 100
+    # anchor at the head -> nothing new
+    assert snapshots.read_snapshot_incremental(spark, table, v1).count() == 0
+    # bounded to an explicit end version
+    v2 = snapshots.snapshot_write(
+        spark,
+        spark.range(150, 160).withColumn("batch", F.lit("c")).coalesce(1),
+        table,
+        "append",
+    )
+    mid = snapshots.read_snapshot_incremental(
+        spark, table, v0, to_version=v1
+    )
+    assert mid.count() == 50
+    full = snapshots.read_snapshot_incremental(spark, table, v0, v2)
+    assert full.count() == 60
+
+
+def test_multi_column_pruning_conjunctive(spark, tmp_path):
+    """plan_pruned_files_multi keeps a file only when EVERY predicate
+    intersects; a column without stats never causes a skip."""
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "multi")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("a"), (999 - F.col("id")).alias("b")
+    )
+    clustered = df.repartitionByRange(4, "a")
+    snapshots.snapshot_write(
+        spark, clustered, table, "overwrite", stats_cols=["a", "b"]
+    )
+    # a in [0,100] selects the low-a file; b in [899,999] agrees
+    planned, total = snapshots.plan_pruned_files_multi(
+        table, {"a": (0, 100), "b": (899, 999)}
+    )
+    assert total == 4 and len(planned) == 1
+    # contradictory predicates -> zero files
+    planned, _ = snapshots.plan_pruned_files_multi(
+        table, {"a": (0, 100), "b": (0, 50)}
+    )
+    assert planned == []
+    # un-stat'd column keeps all candidates from the other predicate
+    planned, _ = snapshots.plan_pruned_files_multi(
+        table, {"a": (0, 100), "nope": (0, 1)}
+    )
+    assert len(planned) == 1
+    got = snapshots.read_snapshot_pruned_multi(
+        spark, table, {"a": (0, 100), "b": (899, 999)}
+    )
+    assert got.count() == 101
