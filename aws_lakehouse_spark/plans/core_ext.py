@@ -1756,3 +1756,70 @@ def incremental_partition_recompute_q(
         ~F.col("event_date").isin(touched)
     ).unionByName(recomputed)
     return stitched.orderBy("event_date", "event_type")
+
+
+@register(
+    "snapshot_wap_publish",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.9 maintenance (M5 write-audit-publish)",
+    doc="Iceberg write-audit-publish (WAP): the new batch commits as "
+    "a STAGED snapshot — physically written, auditable by explicit "
+    "version, but INVISIBLE to the default (main) read; an audit "
+    "pass validates the staged state (row count grows, no null "
+    "keys — asserted in-query, as is main's isolation from the "
+    "stage); publish_staged then cherry-picks it onto main as a "
+    "metadata-only commit. The oracle recomputes the fully published "
+    "table, so a green row certifies staging isolation + audit + "
+    "cherry-pick end-to-end. This is how a 100 TB gold table takes "
+    "risky loads: bad batches die in the staging area without a "
+    "single reader ever seeing them, at zero data-copy cost.",
+)
+def snapshot_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        publish_staged,
+        read_snapshot,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_wap_"), "orders_snap"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    batch = orders.filter(F.col("o_orderkey") % 2 == 1)
+    snapshot_write(spark, base, table, "overwrite")
+    n_base = read_snapshot(spark, table).count()
+    staged_v = snapshot_write(
+        spark, batch, table, "append", staged_id="wap-batch-1"
+    )
+    # WRITE done; AUDIT: main still sees only the base, the staged
+    # version holds base + batch and passes the quality gate
+    assert read_snapshot(spark, table).count() == n_base
+    staged = read_snapshot(spark, table, version=staged_v)
+    n_staged = staged.count()
+    assert n_staged > n_base
+    assert staged.filter(F.col("o_orderkey").isNull()).count() == 0
+    # PUBLISH: metadata-only cherry-pick onto main
+    publish_staged(table, "wap-batch-1")
+    final = read_snapshot(spark, table)
+    assert final.count() == n_staged
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -2052,6 +2052,7 @@ def text_dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "digest is duplicated expand into positions), and reassembly is "
     "one per-doc aggregation with an in-group sort — no global sort, "
     "no all-pairs anything.",
+    bench=True,
 )
 def text_span_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2187,6 +2188,7 @@ def _bpe_encode_oracle() -> str:
     "encoded accumulator, so even the merge-order semantics are "
     "cross-engine-checked. Token streams surface joined by '|' so "
     "the value hash covers every token boundary.",
+    bench=True,
 )
 def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.llm.bpe import bpe_apply

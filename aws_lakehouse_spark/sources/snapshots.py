@@ -130,8 +130,16 @@ def snapshot_write(
     mode: str = "append",
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    staged_id: str | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the committed version.
+
+    ``staged_id`` commits the snapshot as STAGED (Iceberg
+    write-audit-publish: the snapshot exists, is auditable by
+    explicit version, but the default read — "main" — does not see
+    it until :func:`publish_staged` cherry-picks it). A staged
+    append's base is the last PUBLISHED manifest, so publishing
+    yields exactly base + batch.
 
     ``mode='append'``: new manifest = previous live files + new part
     files. ``mode='overwrite'``: new manifest = new part files only;
@@ -171,8 +179,11 @@ def snapshot_write(
     version = (vs[-1] + 1) if vs else 0
     stats: dict = {}
     bloom: dict = {}
-    if mode == "append" and vs:
-        prev = _read_manifest(table_path, vs[-1])
+    # append base: the last PUBLISHED state — a staged snapshot must
+    # never become part of another write's lineage before publish
+    pub = published_versions(table_path)
+    if mode == "append" and pub:
+        prev = _read_manifest(table_path, pub[-1])
         live = prev["files"]
         stats.update(prev.get("stats", {}))
         bloom.update(prev.get("bloom", {}))
@@ -194,6 +205,8 @@ def snapshot_write(
         "committed_at": time.time(),
         "files": sorted(set(live) | set(new_files)),
     }
+    if staged_id is not None:
+        manifest["staged"] = staged_id
     if stats:
         manifest["stats"] = {
             f: stats[f] for f in manifest["files"] if f in stats
@@ -231,16 +244,72 @@ def _commit_manifest(table_path: str, version: int, manifest: dict) -> None:
         os.remove(tmp)
 
 
+def published_versions(table_path: str) -> list[int]:
+    """Versions visible on "main": every committed version except
+    STAGED ones (write-audit-publish snapshots not yet published)."""
+    return [
+        v
+        for v in versions(table_path)
+        if "staged" not in _read_manifest(table_path, v)
+    ]
+
+
+def publish_staged(table_path: str, staged_id: str) -> int:
+    """PUBLISH step of write-audit-publish: cherry-pick the staged
+    snapshot carrying ``staged_id`` onto main — a NEW commit whose
+    file list (and stats/bloom) copies the staged manifest's, exactly
+    Iceberg's ``cherrypick_snapshot``. Metadata-only (no data files
+    move); the staged version stays in history for audit. Raises
+    ``ValueError`` when no staged snapshot carries ``staged_id``."""
+    staged_v = None
+    for v in versions(table_path):
+        if _read_manifest(table_path, v).get("staged") == staged_id:
+            staged_v = v  # latest wins if re-staged
+    if staged_v is None:
+        raise ValueError(
+            f"no staged snapshot with id {staged_id!r} at {table_path!r}"
+        )
+    target = _read_manifest(table_path, staged_v)
+    vs = versions(table_path)
+    new_version = vs[-1] + 1
+    manifest = {
+        "version": new_version,
+        "mode": "publish",
+        "published_from": staged_v,
+        "staged_id": staged_id,
+        "committed_at": time.time(),
+        "files": target["files"],
+    }
+    if target.get("stats"):
+        manifest["stats"] = target["stats"]
+    if target.get("bloom"):
+        manifest["bloom"] = target["bloom"]
+    _commit_manifest(table_path, new_version, manifest)
+    return new_version
+
+
 def read_snapshot(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
     """Time-travel read: the DataFrame scans exactly the part files
-    live at ``version`` (default: latest). Column pruning and filter
-    pushdown apply per-file as with any parquet scan."""
+    live at ``version`` (default: latest PUBLISHED — staged
+    write-audit-publish snapshots are invisible to main until
+    published, though an explicit ``version`` can audit them).
+    Column pruning and filter pushdown apply per-file as with any
+    parquet scan."""
     vs = versions(table_path)
     if not vs:
         raise ValueError(f"no snapshots at {table_path}")
-    v = vs[-1] if version is None else version
+    if version is None:
+        pub = published_versions(table_path)
+        if not pub:
+            raise ValueError(
+                f"no published snapshots at {table_path} "
+                f"(staged-only history; publish or read by version)"
+            )
+        v = pub[-1]
+    else:
+        v = version
     if v not in vs:
         raise ValueError(f"version {v} not in {vs} (expired or never committed)")
     files = _read_manifest(table_path, v)["files"]
@@ -264,7 +333,7 @@ def plan_pruned_files(
     vs = versions(table_path)
     if not vs:
         raise ValueError(f"no snapshots at {table_path}")
-    v = vs[-1] if version is None else version
+    v = (published_versions(table_path) or vs)[-1] if version is None else version
     if v not in vs:
         raise ValueError(f"version {v} not in {vs}")
     m = _read_manifest(table_path, v)
@@ -326,7 +395,7 @@ def read_snapshot_incremental(
     vs = versions(table_path)
     if since_version not in vs:
         raise ValueError(f"version {since_version} not in {vs}")
-    v_to = vs[-1] if to_version is None else to_version
+    v_to = (published_versions(table_path) or vs)[-1] if to_version is None else to_version
     if v_to not in vs:
         raise ValueError(f"version {v_to} not in {vs}")
     base = set(_read_manifest(table_path, since_version)["files"])
@@ -354,7 +423,7 @@ def plan_pruned_files_multi(
     vs = versions(table_path)
     if not vs:
         raise ValueError(f"no snapshots at {table_path}")
-    v = vs[-1] if version is None else version
+    v = (published_versions(table_path) or vs)[-1] if version is None else version
     if v not in vs:
         raise ValueError(f"version {v} not in {vs}")
     m = _read_manifest(table_path, v)
@@ -459,7 +528,7 @@ def plan_bloom_pruned_files(
     vs = versions(table_path)
     if not vs:
         raise ValueError(f"no snapshots at {table_path}")
-    v = vs[-1] if version is None else version
+    v = (published_versions(table_path) or vs)[-1] if version is None else version
     if v not in vs:
         raise ValueError(f"version {v} not in {vs}")
     m = _read_manifest(table_path, v)
@@ -505,9 +574,17 @@ def expire_snapshots(
     """M1 — drop old manifests (the snapshot metadata), keeping the
     newest ``retain_last`` and anything newer than ``older_than_s``.
     Mirrors Iceberg ``expire_snapshots`` (iceberg_maintenance.py:
-    47-56); orphaned data files are left for ``remove_orphans``."""
+    47-56); orphaned data files are left for ``remove_orphans``.
+
+    The last PUBLISHED version is always retained even when
+    ``retain_last`` newer staged snapshots exist — it is main's head
+    (Iceberg never expires a ref'd snapshot), and dropping it would
+    leave the table with no default-readable state."""
     vs = versions(table_path)
     keep = set(vs[-max(1, retain_last):])
+    pub = published_versions(table_path)
+    if pub:
+        keep.add(pub[-1])
     now = time.time()
     expired = []
     for v in vs:
@@ -613,7 +690,7 @@ def read_snapshot_evolved(
     vs = versions(table_path)
     if not vs:
         raise ValueError(f"no snapshots at {table_path}")
-    v = vs[-1] if version is None else version
+    v = (published_versions(table_path) or vs)[-1] if version is None else version
     if v not in vs:
         raise ValueError(f"version {v} not in {vs}")
     files = _read_manifest(table_path, v)["files"]
@@ -778,7 +855,7 @@ def tag_snapshot(
     vs = versions(table_path)
     if not vs:
         raise ValueError(f"no snapshots at {table_path}")
-    v = vs[-1] if version is None else version
+    v = (published_versions(table_path) or vs)[-1] if version is None else version
     if v not in vs:
         raise ValueError(f"version {v} not in {vs}")
     if "/" in name or name.startswith("."):

@@ -698,3 +698,71 @@ def test_multi_column_pruning_conjunctive(spark, tmp_path):
         spark, table, {"a": (0, 100), "b": (899, 999)}
     )
     assert got.count() == 101
+
+
+def test_wap_staged_invisible_until_published(spark, tmp_path):
+    """Write-audit-publish: a staged append is invisible to the
+    default read and to subsequent append lineage; publish
+    cherry-picks it; a bad batch is simply never published."""
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path / "wap")
+    base = spark.range(0, 100).coalesce(1)
+    snapshots.snapshot_write(spark, base, table, "overwrite")
+    staged_v = snapshots.snapshot_write(
+        spark, spark.range(100, 150).coalesce(1), table, "append",
+        staged_id="b1",
+    )
+    # main is isolated; the stage is auditable by explicit version
+    assert snapshots.read_snapshot(spark, table).count() == 100
+    assert snapshots.read_snapshot(spark, table, staged_v).count() == 150
+    assert snapshots.published_versions(table) == [0]
+    # an independent published append must NOT build on the stage
+    snapshots.snapshot_write(
+        spark, spark.range(200, 210).coalesce(1), table, "append"
+    )
+    assert snapshots.read_snapshot(spark, table).count() == 110
+    # publish the staged batch: metadata-only cherry-pick
+    v_pub = snapshots.publish_staged(table, "b1")
+    assert snapshots.read_snapshot(spark, table).count() == 150
+    assert snapshots.published_versions(table)[-1] == v_pub
+    with pytest.raises(ValueError):
+        snapshots.publish_staged(table, "no-such-id")
+
+
+def test_wap_abandoned_stage_files_reclaimed(spark, tmp_path):
+    """A never-published stage's data files become orphans once its
+    manifest is expired — remove_orphans reclaims them — and expiry
+    never drops main's head even when the stage is newer."""
+    from aws_lakehouse_spark.sources import snapshots
+    from aws_lakehouse_spark.sources.maintenance import remove_orphans
+
+    table = str(tmp_path / "wap_abandoned")
+    snapshots.snapshot_write(
+        spark, spark.range(0, 50).coalesce(1), table, "overwrite"
+    )
+    snapshots.snapshot_write(
+        spark, spark.range(50, 60).coalesce(1), table, "append",
+        staged_id="bad",
+    )
+    # the staged head is newest, but main's published head survives
+    # expiry (a ref'd snapshot never expires)
+    stats = snapshots.expire_snapshots(table, retain_last=1)
+    assert 0 in stats["retained_versions"]
+    assert snapshots.read_snapshot(spark, table).count() == 50
+    # main moves on without the stage; expiry now drops the
+    # abandoned stage's manifest, stranding its data files
+    snapshots.snapshot_write(
+        spark, spark.range(200, 210).coalesce(1), table, "append"
+    )
+    snapshots.expire_snapshots(table, retain_last=1)
+    n_files_before = len(
+        [f for f in os.listdir(table) if f.endswith(".parquet")]
+    )
+    stats = remove_orphans(spark, "ignored", table_path=table)
+    n_files_after = len(
+        [f for f in os.listdir(table) if f.endswith(".parquet")]
+    )
+    assert stats["removed_files"] >= 1
+    assert n_files_after < n_files_before
+    assert snapshots.read_snapshot(spark, table).count() == 60
