@@ -1598,11 +1598,16 @@ def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket, plus the bucket itself) -> token-budget shard "
     "assignment -> per-shard composition stats. Every stage reuses "
     "the registered single-op semantics, so the composite is "
-    "oracle-checked end-to-end. The enriched and survivor frames "
-    "are lazily checkpointed at their fan-out points, so the "
-    "corpus parquet is scanned ONCE — when the enriched checkpoint "
-    "materializes; every later stage reads its cached partitions — "
-    "and tokenize+shingle runs once per doc; the eval shingle set "
+    "oracle-checked end-to-end. The enriched frame is lazily "
+    "checkpointed at its fan-out point, so the corpus parquet is "
+    "scanned ONCE — when the enriched checkpoint materializes; "
+    "every later stage reads its cached partitions — and "
+    "tokenize+shingle runs once per doc. The wide shingles column "
+    "never crosses an exchange: the digest dedup shuffles only the "
+    "narrow survivor columns (map-side-combined min_by), and "
+    "decontamination candidates explode shingles straight out of "
+    "the cached enriched partitions (a candidate superset is "
+    "harmless under the anti-join); the eval shingle set "
     "broadcasts un-deduped (a semi-join probe only tests key "
     "existence, so the pre-broadcast distinct's exchange bought "
     "nothing; past the broadcast threshold AQE flips this to a "
@@ -1620,7 +1625,7 @@ def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aws_lakehouse_spark.layout import widen_if_narrow
     from aws_lakehouse_spark.llm.dedup import shingles_col
-    from aws_lakehouse_spark.operators import dedupe_by_key
+    from aws_lakehouse_spark.operators import dedupe_by_key_agg
 
     # the expensive stage is tokenize+shingle over every document; a
     # sub-split-size input would run it on ONE core — widen first
@@ -1643,12 +1648,20 @@ def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_col(F.col("text"), 5).alias("shingles"),
         bucket.alias("__bucket"),
     ).localCheckpoint(eager=False)
-    qualified = enriched.filter(
-        (F.col("n_tokens") >= 5) & (F.col("distinct_ratio") > 0.3)
-    )
-    survivors = dedupe_by_key(
-        qualified, ["digest"], [F.asc("doc_id")]
-    ).localCheckpoint(eager=False)
+    # the digest-dedup shuffle must NOT carry `shingles` (by far the
+    # widest column — at sf0.1 it dominated the exchange and forced a
+    # second wide checkpoint): survivorship needs only the narrow
+    # columns, and decontamination candidates can come straight from
+    # `enriched`'s cached partitions instead of from the survivors —
+    # the anti-join below is insensitive to a candidate SUPERSET
+    # (non-survivor doc_ids simply match nothing), so both frames
+    # stay semantically identical to the oracle while the wide column
+    # never crosses an exchange or a checkpoint again.
+    qualify = (F.col("n_tokens") >= 5) & (F.col("distinct_ratio") > 0.3)
+    qualified = enriched.select(
+        "doc_id", "lang", "digest", "n_tokens", "__bucket"
+    ).filter(qualify)
+    survivors = dedupe_by_key_agg(qualified, ["digest"], ["doc_id"])
     # no .distinct() on either join input: left_semi/left_anti are
     # insensitive to duplicate build-side keys, so the dedup
     # exchanges would be pure overhead (measured ~0.8 s of the
@@ -1657,7 +1670,7 @@ def text_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("shingles").alias("shingle")
     )
     contaminated = (
-        survivors.filter(F.col("__bucket") >= 10)
+        enriched.filter(qualify & (F.col("__bucket") >= 10))
         .select("doc_id", F.explode("shingles").alias("shingle"))
         .join(F.broadcast(eval_shingles), "shingle", "left_semi")
         .select("doc_id")
