@@ -117,36 +117,52 @@ def pagerank(
     joins + sorts from the plan, −40% wall at sf0.1).
 
     ``N`` comes off a count action — one scalar on the driver, never
-    row data. The adjacency is repartitioned by ``src`` ONCE and
-    checkpointed; the checkpoint preserves the hash partitioning,
-    and each round's ``pr`` arrives hash-partitioned on the same key
-    from the previous round's ``groupBy``, so the per-round join
-    needs ZERO exchanges — the only data-sized movement per round is
-    the contribution aggregate's shuffle, which map-side partial
+    row data. The adjacency is collapsed to per-node neighbor LISTS
+    (one row per node), repartitioned by node ONCE and checkpointed;
+    each round's ``pr`` arrives hash-partitioned on the same key
+    from the previous round's ``groupBy``, so the per-round join is
+    node-sized on BOTH sides with ZERO exchanges — messages explode
+    out of the neighbor lists only AFTER the join, so the edge-sized
+    frame is never a join input (vs joining the raw 2×|E| adjacency
+    every round). The only data-sized movement per round is the
+    contribution aggregate's shuffle, which map-side partial
     aggregation bounds at (nodes × partitions). This is the Pregel
     shape: edges stay put, only the O(N) rank vector moves.
     Per-round lazy ``localCheckpoint`` keeps the plan tree flat.
     """
     adj = symmetrize(edges)
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    adj_deg = (
-        adj.join(deg, "src").repartition("src").localCheckpoint(eager=False)
+    adj_lists = adj.groupBy("src").agg(
+        F.collect_list("dst").alias("nbrs")
     )
-    nodes = adj_deg.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()
-    pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    return pagerank_from_adjacency(adj_lists, iterations, damping)
+
+
+def pagerank_from_adjacency(
+    adj_lists: DataFrame, iterations: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """PageRank rounds over a prebuilt adjacency-list frame
+    ``(src, nbrs)`` — one row per node, ``nbrs`` its DISTINCT
+    neighbors. Callers that can produce neighbor lists in one shuffle
+    (e.g. ``collect_set`` straight off the pair expansion, which
+    dedups for free) skip the distinct-edge aggregate entirely; see
+    :func:`pagerank` for the algorithm/scale contract."""
+    adj_lists = adj_lists.repartition("src").localCheckpoint(eager=False)
+    n = adj_lists.count()
+    pr = adj_lists.select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("pr")
+    )
     base = (1.0 - damping) / n
     for _ in range(iterations):
+        msgs = adj_lists.join(
+            pr.select(F.col("node").alias("src"), "pr"), "src"
+        ).select(
+            F.explode("nbrs").alias("node"),
+            (F.col("pr") / F.size("nbrs")).alias("c"),
+        )
         pr = (
-            adj_deg.join(
-                pr.select(F.col("node").alias("src"), "pr"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
+            msgs.groupBy("node")
             .agg(
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.sum(F.col("pr") / F.col("deg"))
-                ).alias("pr")
+                (F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr")
             )
             .localCheckpoint(eager=False)
         )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_lakehouse_spark.catalog import load_table
 from aws_lakehouse_spark.operators.graph import (
     degrees,
-    pagerank,
+    pagerank_from_adjacency,
     triangle_count,
 )
 from aws_lakehouse_spark.registry import register
@@ -220,8 +220,29 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def graph_pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = copurchase_edges(spark, sf_dir)
-    pr = pagerank(edges, iterations=5, damping=0.85)
+    # adjacency lists in TWO shuffles total (order-key grouping, then
+    # node grouping): the per-order part sets expand to directed
+    # pairs and collect_set dedups them per node — PageRank needs
+    # distinct neighbors, not edge weights, so the (src, dst) weight
+    # aggregate copurchase_edges runs (a third, edge-sized shuffle)
+    # would be pure overhead here
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    directed = F.expr(
+        "flatten(transform(ps, x -> "
+        "transform(filter(ps, y -> y != x), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    adj_lists = (
+        per_order.select(F.explode(directed).alias("p"))
+        .groupBy(F.col("p.src").alias("src"))
+        .agg(F.collect_set("p.dst").alias("nbrs"))
+    )
+    pr = pagerank_from_adjacency(adj_lists, iterations=5, damping=0.85)
     return (
         pr.select(
             F.col("node").cast("bigint").alias("part_id"),

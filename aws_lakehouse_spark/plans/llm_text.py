@@ -2059,24 +2059,34 @@ def text_dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— all occurrences, the conservative boilerplate-strip variant) "
     "and the surviving tokens reassemble in position order into the "
     "cleaned text. Complements text_span_dedup, which only SCORES "
-    "docs by duplicated-span fraction. Scale: spans shuffle once "
-    "keyed by uniform 16-hex digest for the global count, the "
-    "covered-position set is semi-join bounded (only spans whose "
-    "digest is duplicated expand into positions), and reassembly is "
-    "one per-doc aggregation with an in-group sort — no global sort, "
-    "no all-pairs anything.",
+    "docs by duplicated-span fraction. Scale: spans materialize ONCE "
+    "(lazy checkpoint — they feed both the duplicate count and the "
+    "coverage expansion) and shuffle once keyed by uniform 16-hex "
+    "digest for the global count; the covered-position set is "
+    "semi-join bounded (only spans whose digest is duplicated expand "
+    "into positions) and collapses to ONE doc-keyed array, so the "
+    "rebuild is a doc-sized join plus linear array expressions — "
+    "array_except(sequence, covered) is hash-set based, O(tokens + "
+    "covered) per doc, preserves the sequence's order, and "
+    "element_at re-picks survivors in place. No token-level "
+    "anti-join, no per-group sort, no global sort, no all-pairs "
+    "anything.",
     bench=True,
 )
 def text_span_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    spans = docs.select(
-        "doc_id",
-        F.posexplode(_positional_ngrams(toks, 8)).alias("p0", "span"),
-    ).select(
-        "doc_id",
-        (F.col("p0") + 1).alias("pos"),
-        F.substring(F.md5("span"), 1, 16).alias("dg"),
+    spans = (
+        docs.select(
+            "doc_id",
+            F.posexplode(_positional_ngrams(toks, 8)).alias("p0", "span"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.substring(F.md5("span"), 1, 16).alias("dg"),
+        )
+        .localCheckpoint(eager=False)
     )
     dup = spans.groupBy("dg").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") > 1
@@ -2089,27 +2099,26 @@ def text_span_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(7))
             ).alias("tpos"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("tpos").alias("cov"))
     )
-    tokens = docs.select(
-        "doc_id", F.posexplode(toks).alias("t0", "tok")
-    ).select("doc_id", (F.col("t0") + 1).alias("tpos"), "tok")
-    kept = tokens.join(covered, ["doc_id", "tpos"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    cov = F.coalesce(F.col("cov"), F.expr("array()").cast("array<int>"))
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size(toks)), cov.cast("array<int>")
     )
-    return docs.join(agg, "doc_id", "left").select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    t = F.col("__t")
+    return (
+        docs.join(covered, "doc_id", "left")
+        .withColumn("__t", toks)
+        .select(
+            "doc_id",
+            F.size(t).cast("bigint").alias("n_tokens"),
+            F.size(kept_pos).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(kept_pos, lambda p: F.element_at(t, p)),
+            ).alias("clean_text"),
+        )
     )
 
 
