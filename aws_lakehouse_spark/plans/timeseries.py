@@ -430,3 +430,237 @@ def window_ntile_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bal",
         )
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS x
+        FROM orders GROUP BY 1
+    ), l AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag)
+    SELECT lag,
+           ROUND(corr(a.x, b.x), 4) AS acf,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM l
+    CROSS JOIN daily a
+    JOIN daily b ON b.day = a.day - lag
+    GROUP BY lag
+    """,
+    category="timeseries (engine extension)",
+    doc="Autocorrelation function of the daily-revenue series at "
+    "lags 1-7 (Pearson corr of the series against its lag-k shift) — "
+    "the seasonality/AR-structure probe run before picking a "
+    "forecasting model. Scale: the corpus collapses to a "
+    "CALENDAR-BOUNDED daily series in one map-side-combined "
+    "aggregate (~2.4k rows at ANY corpus size), so the 7-way "
+    "lag-join and per-lag corr run on a frame small enough to "
+    "broadcast; nothing downstream of the first aggregate scales "
+    "with the data.",
+)
+def ts_autocorrelation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("x"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    shifted = daily.select(
+        F.col("day").alias("lday"), F.col("x").alias("xl")
+    )
+    return (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(shifted),
+            F.col("lday") == F.date_sub(F.col("day"), F.col("lag")),
+        )
+        .groupBy("lag")
+        .agg(
+            F.round(F.corr("x", "xl"), 4).alias("acf"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS x
+        FROM orders GROUP BY 1
+    ), trended AS (
+        SELECT day, x,
+               AVG(x) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        FROM daily
+    )
+    SELECT CAST(date_part('dow', day) AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(x - trend), 4) AS seasonal,
+           ROUND(AVG(x), 4) AS avg_revenue
+    FROM trended
+    GROUP BY 1
+    """,
+    category="timeseries (engine extension)",
+    doc="Classical additive seasonal decomposition of daily revenue: "
+    "centered 7-day moving-average trend (row frame, edge-shortened "
+    "identically on both engines), residual = x - trend, seasonal "
+    "component = mean residual per day-of-week (DuckDB dow "
+    "convention, 0=Sunday). Scale: one map-side-combined aggregate "
+    "collapses the corpus to the calendar-bounded daily series; the "
+    "single-partition ordered window after it runs over ~2.4k rows "
+    "— bounded by the calendar, not the data — the same "
+    "vocabulary-sized-window exemption the shard planner uses.",
+)
+def ts_seasonal_decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("x"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day", "x", F.avg("x").over(w).alias("trend")
+    )
+    return (
+        trended.groupBy(
+            (F.dayofweek("day") - 1).cast("int").alias("dow")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg(F.col("x") - F.col("trend")), 4).alias("seasonal"),
+            F.round(F.avg("x"), 4).alias("avg_revenue"),
+        )
+    )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS x
+        FROM orders GROUP BY 1, 2
+    ), med AS (
+        SELECT priority, quantile_cont(x, 0.5) AS med FROM s GROUP BY 1
+    ), mad AS (
+        SELECT s.priority, quantile_cont(abs(s.x - m.med), 0.5) AS mad
+        FROM s JOIN med m USING (priority) GROUP BY 1
+    )
+    SELECT s.priority, CAST(s.day AS TIMESTAMP) AS day,
+           ROUND(s.x, 2) AS revenue,
+           ROUND((s.x - m.med) / (1.4826 * d.mad), 4) AS robust_z
+    FROM s
+    JOIN med m USING (priority)
+    JOIN mad d USING (priority)
+    WHERE abs(s.x - m.med) > 2.5 * 1.4826 * d.mad
+    """,
+    category="timeseries (engine extension)",
+    doc="Robust anomaly detection on per-priority daily revenue: "
+    "flag days whose deviation from the group median exceeds 2.5 "
+    "consistency-scaled MADs (1.4826·MAD estimates sigma under "
+    "normality; median/MAD are outlier-proof where mean/stddev are "
+    "not — the standard data-quality monitor for pipeline volume "
+    "drift). Exact interpolated medians via Spark's `percentile` == "
+    "DuckDB's `quantile_cont`. Scale: the corpus collapses to the "
+    "calendar-bounded (priority, day) series first; both median "
+    "passes and the flag join run group-keyed on that small frame, "
+    "with the 5-row median/MAD tables broadcast back.",
+)
+def ts_anomaly_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum("o_totalprice").alias("x"))
+    med = s.groupBy("priority").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    j = s.join(F.broadcast(med), "priority")
+    mad = j.groupBy("priority").agg(
+        F.expr("percentile(abs(x - med), 0.5)").alias("mad")
+    )
+    return (
+        j.join(F.broadcast(mad), "priority")
+        .filter(
+            F.abs(F.col("x") - F.col("med"))
+            > 2.5 * 1.4826 * F.col("mad")
+        )
+        .select(
+            "priority",
+            F.col("day").cast("timestamp").alias("day"),
+            F.round("x", 2).alias("revenue"),
+            F.round(
+                (F.col("x") - F.col("med"))
+                / (1.4826 * F.col("mad")),
+                4,
+            ).alias("robust_z"),
+        )
+    )
+
+
+@register(
+    "ts_linear_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT c.c_nationkey,
+               CAST(o.o_orderdate AS DATE) AS day,
+               SUM(o.o_totalprice) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT d.c_nationkey, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(regr_slope(d.x, date_diff('day', DATE '1992-01-01',
+                                           d.day)), 4) AS slope,
+           ROUND(regr_intercept(d.x, date_diff('day', DATE '1992-01-01',
+                                               d.day)), 2) AS intercept
+    FROM daily d JOIN nation n ON d.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    category="timeseries (engine extension)",
+    doc="Per-nation linear revenue trend: OLS slope + intercept of "
+    "the daily revenue series against a day index, via the "
+    "closed-form `regr_slope`/`regr_intercept` aggregates (single "
+    "pass, map-side combinable — identical definitions in Spark and "
+    "DuckDB, so the fit itself is cross-engine-checked). Scale: one "
+    "broadcast fact-dim join, then the corpus collapses to the "
+    "calendar×25-nation bounded daily frame; the regression "
+    "aggregates are one more map-side-combined pass over it — no "
+    "window, no sort, no iteration.",
+)
+def ts_linear_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    daily = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_nationkey", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    t = F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
+    return (
+        daily.join(
+            F.broadcast(nation),
+            daily.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("c_nationkey", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.regr_slope(F.col("x"), t.cast("double")), 4).alias(
+                "slope"
+            ),
+            F.round(
+                F.regr_intercept(F.col("x"), t.cast("double")), 2
+            ).alias("intercept"),
+        )
+    )
