@@ -1823,3 +1823,88 @@ def snapshot_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "snapshot_partition_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 200 AND 350
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.9 maintenance (M5 partition-spec evolution)",
+    doc="Iceberg partition-spec EVOLUTION: the table's first commit "
+    "lands under a coarse layout (4 range-clustered files over the "
+    "low keyspace), a later append lands under a FINER spec (16 "
+    "range-clustered files over the high keyspace) — old files are "
+    "never rewritten when the spec changes, exactly Iceberg's "
+    "contract. Reads are spec-agnostic (hidden partitioning): scan "
+    "planning prunes by each file's own footer stats, so a range "
+    "query in the new regime opens a couple of fine files and ZERO "
+    "coarse ones (in-query asserts: planned < total and planned is "
+    "a strict subset of the append's files), and the same read path "
+    "serves both layouts with no union logic. At 100 TB this is how "
+    "a table migrates month->day partitioning without a rewrite: "
+    "new data gets the new granularity, pruning just works on both.",
+)
+def snapshot_partition_evolution_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        plan_pruned_files,
+        read_snapshot_pruned,
+        snapshot_write,
+        versions,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    n_max = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    split = n_max // 2
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_specevo_"), "orders_evo"
+    )
+    # spec v0: coarse clustering (4 range files) over the high keys
+    # (the table's historical half)
+    high = orders.filter(F.col("o_orderkey") >= split).repartitionByRange(
+        4, "o_orderkey"
+    )
+    v0 = snapshot_write(
+        spark, high, table, "overwrite", stats_cols=["o_orderkey"]
+    )
+    files_v0 = set(_read_manifest(table, v0)["files"])
+    # spec v1: the SAME table evolves to a finer clustering (16 range
+    # files) for newly arriving data — old files stay as committed
+    low = orders.filter(F.col("o_orderkey") < split).repartitionByRange(
+        16, "o_orderkey"
+    )
+    v1 = snapshot_write(
+        spark, low, table, "append", stats_cols=["o_orderkey"]
+    )
+    new_files = set(_read_manifest(table, v1)["files"]) - files_v0
+    assert files_v0 <= set(_read_manifest(table, v1)["files"])
+    # a range inside the new regime plans only fine-spec files
+    planned, total = plan_pruned_files(table, "o_orderkey", 200, 350)
+    assert 0 < len(planned) < total, (planned, total)
+    assert set(planned) <= new_files, (planned, new_files)
+    assert versions(table) == [v0, v1]
+    pruned = read_snapshot_pruned(
+        spark, table, "o_orderkey", 200, 350
+    )
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -298,3 +298,81 @@ def graph_connected_components_q(
         .select(F.col("component").cast("bigint").alias("component"), "n_nodes")
         .orderBy(F.col("n_nodes").desc(), "component")
     )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    e2 AS (SELECT src, dst FROM edges WHERE w >= 2),
+    adj AS (
+        SELECT src, dst FROM e2
+        UNION ALL
+        SELECT dst, src FROM e2
+    ),
+    deg AS (SELECT src AS z, COUNT(*) AS d FROM adj GROUP BY 1),
+    cand AS (
+        SELECT m1.dst AS a, m2.dst AS b, m1.src AS z
+        FROM adj m1 JOIN adj m2 ON m1.src = m2.src
+        WHERE m1.dst < m2.dst
+    ),
+    nonedge AS (
+        SELECT c.a, c.b, c.z FROM cand c
+        ANTI JOIN e2 e ON c.a = e.src AND c.b = e.dst
+    )
+    SELECT CAST(n.a AS BIGINT) AS part_a, CAST(n.b AS BIGINT) AS part_b,
+           ROUND(SUM(1.0 / ln(d.d)), 6) AS aa_score,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM nonedge n JOIN deg d ON n.z = d.z
+    GROUP BY 1, 2
+    ORDER BY ROUND(SUM(1.0 / ln(d.d)), 6) DESC, part_a, part_b
+    LIMIT 20
+    """,
+    category="2.11 graph (engine extension)",
+    doc="Adamic-Adar link prediction on the w>=2 co-purchase "
+    "subgraph: for every 2-hop pair (a, b) NOT already an edge, "
+    "score = sum over common neighbors z of 1/ln(deg(z)) — hub "
+    "neighbors count less — and keep the top-20 predicted links. "
+    "The recommend-next-part / complete-the-basket primitive. A "
+    "common neighbor has degree >= 2 by construction, so ln(deg) "
+    "is never 0. Scale: wedge enumeration is one self-join of the "
+    "adjacency keyed on the CENTER node (sum-of-degrees-squared "
+    "bounded, on the weight-thresholded subgraph that's vocabulary-"
+    "sized), the existing-edge removal is an anti-join, and the "
+    "score is one keyed aggregate; ordering prunes to top-20 via "
+    "TakeOrdered, no global sort.",
+)
+def graph_adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir, min_weight=2).select(
+        "src", "dst"
+    )
+    adj = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = adj.groupBy(F.col("src").alias("z")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    m1 = adj.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    m2 = adj.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    cand = m1.join(m2, "z").filter(F.col("a") < F.col("b"))
+    nonedge = cand.join(
+        edges,
+        (cand.a == edges.src) & (cand.b == edges.dst),
+        "left_anti",
+    )
+    return (
+        nonedge.join(F.broadcast(deg), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.round(F.sum(1.0 / F.log("d")), 6).alias("aa_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        )
+        .select(
+            F.col("a").cast("bigint").alias("part_a"),
+            F.col("b").cast("bigint").alias("part_b"),
+            "aa_score",
+            "n_common",
+        )
+        .orderBy(F.col("aa_score").desc(), "part_a", "part_b")
+        .limit(20)
+    )

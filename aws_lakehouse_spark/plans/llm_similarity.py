@@ -436,3 +436,51 @@ def embed_matryoshka_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = sliced.filter(F.col("vec_id") < 10)
     return brute_force_topk(sliced, queries, k=5, round_digits=6)
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_cos('q.v', 'c.v')}, 6) AS cosine_sim
+        FROM c, q WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim
+    FROM scored WHERE cosine_sim >= 0.2
+    """,
+    category="llm similarity",
+    doc="RANGE search (radius query): ALL corpus neighbors within "
+    "cosine >= 0.2 of each of 10 query vectors — the "
+    "fixed-similarity-floor complement to top-k (near-dup sweeps "
+    "and contamination checks want 'everything this close', not "
+    "'the k closest'). The 0.2 floor sits inside the synthetic "
+    "corpus's similarity range so matches are non-vacuous. Scale: "
+    "query side broadcast, corpus scanned once, selection is a "
+    "pure filter — no window, no sort; the LSH-bucketed variant "
+    "replaces the scan when the query set grows.",
+)
+def ann_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    sim = F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6)
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= 0.2)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cosine_sim",
+        )
+    )
