@@ -77,8 +77,14 @@ from aws_lakehouse_spark.registry import REGISTRY
 # dedup_minhash_jaccard_estimate, source_python_stream_datasource,
 # geo_polygon_contains, snapshot_incremental_scan,
 # incremental_partition_recompute — all parity-green at sf0.001 AND
-# sf0.01 this round) = 67 candidates for 50 slots; grade the r3 tier
-# first (older debt), r4 additions fill the remainder, rest roll to r6.
+# sf0.01 this round) plus the 8 round-4-second-pass additions
+# (ts_autocorrelation, ts_seasonal_decompose, ts_anomaly_mad,
+# ts_linear_trend, snapshot_partition_evolution,
+# sink_dynamic_partition_overwrite, graph_adamic_adar,
+# ann_range_search, snapshot_branch_merge, events_time_to_convert —
+# same dual-SF parity) = 77 candidates for 50 slots; grade the r3
+# tier first (older debt), r4 additions fill the remainder, rest
+# roll to r6.
 _PRIORITY = [
     # the one query whose sole driver row (r1) is red — supersede it first
     "agg_approx_count_distinct",

@@ -1839,8 +1839,9 @@ def snapshot_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="2.9 maintenance (M5 partition-spec evolution)",
     doc="Iceberg partition-spec EVOLUTION: the table's first commit "
     "lands under a coarse layout (4 range-clustered files over the "
-    "low keyspace), a later append lands under a FINER spec (16 "
-    "range-clustered files over the high keyspace) — old files are "
+    "historical high keyspace), a later append lands under a FINER "
+    "spec (16 range-clustered files over the low keyspace) — old "
+    "files are "
     "never rewritten when the spec changes, exactly Iceberg's "
     "contract. Reads are spec-agnostic (hidden partitioning): scan "
     "planning prunes by each file's own footer stats, so a range "
@@ -1902,6 +1903,79 @@ def snapshot_partition_evolution_q(
     )
     return (
         pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "snapshot_branch_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.9 maintenance (M5 branches)",
+    doc="Iceberg BRANCHES: a movable named ref over the snapshot log "
+    "(where a tag is frozen and WAP staging is the anonymous "
+    "one-shot case). The table's base commits to main, an 'etl' "
+    "branch forks from it, and TWO successive appends land on the "
+    "branch — each chaining off the BRANCH head, invisible to main "
+    "(asserted in-query after every branch commit); "
+    "fast_forward_main then publishes the branch head as one "
+    "metadata-only commit. The oracle recomputes the fully merged "
+    "table, so a green row certifies branch isolation + multi-commit "
+    "chaining + fast-forward. At 100 TB this is the multi-batch "
+    "experiment lane: N risky loads accumulate on a branch, readers "
+    "see none of them, and merging is one manifest write.",
+)
+def snapshot_branch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        create_branch,
+        fast_forward_main,
+        list_branches,
+        read_branch,
+        read_snapshot,
+        resolve_branch,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_branch_"), "orders_snap"
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b1 = orders.filter(F.col("o_orderkey") % 3 == 1)
+    b2 = orders.filter(F.col("o_orderkey") % 3 == 2)
+    v0 = snapshot_write(spark, base, table, "overwrite")
+    n_base = read_snapshot(spark, table).count()
+    assert create_branch(table, "etl") == v0
+    bv1 = snapshot_write(spark, b1, table, "append", branch="etl")
+    assert resolve_branch(table, "etl") == bv1
+    # main is isolated from the first branch commit
+    assert read_snapshot(spark, table).count() == n_base
+    bv2 = snapshot_write(spark, b2, table, "append", branch="etl")
+    assert list_branches(table) == {"etl": bv2}
+    assert read_snapshot(spark, table).count() == n_base
+    # the second branch commit chained off the FIRST branch commit
+    n_branch = read_branch(spark, table, "etl").count()
+    assert n_branch > n_base
+    fast_forward_main(table, "etl")
+    final = read_snapshot(spark, table)
+    assert final.count() == n_branch
+    return (
+        final.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),

@@ -1088,3 +1088,71 @@ def window_range_interval_frame_q(
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS fv
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, v.fv, MIN(CAST(e.ts AS TIMESTAMP)) AS fp
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.fv
+        GROUP BY e.user_id, v.fv
+    ), lat AS (
+        SELECT CAST(CAST(fv AS DATE) AS TIMESTAMP) AS cohort_day,
+               date_diff('microsecond', fv, fp) / 60000000.0 AS mins
+        FROM p
+    )
+    SELECT cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(mins, 0.5), 4) AS median_minutes,
+           ROUND(quantile_cont(mins, 0.9), 4) AS p90_minutes,
+           ROUND(AVG(mins), 4) AS avg_minutes
+    FROM lat GROUP BY cohort_day
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Conversion-latency distribution per first-view cohort day: "
+    "minutes from a user's first view to their first SUBSEQUENT "
+    "purchase, summarized as count/median/p90/mean — the funnel's "
+    "'how fast', complementing events_funnel's 'how many'. "
+    "Latencies are exact microsecond differences (integer epoch "
+    "arithmetic on both engines — second-granularity truncation "
+    "would diverge) and the interpolated `percentile` == "
+    "`quantile_cont`. Scale: both stage reductions and the cohort "
+    "rollup shuffle on user_id then the calendar-bounded cohort "
+    "key; per-group percentile state is bounded by the cohort's "
+    "converter count.",
+)
+def events_time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id", "fv")
+        .agg(F.min("ts").alias("fp"))
+    )
+    lat = p.select(
+        F.to_date("fv").cast("timestamp").alias("cohort_day"),
+        (
+            (
+                F.unix_micros(F.col("fp").cast("timestamp"))
+                - F.unix_micros(F.col("fv").cast("timestamp"))
+            )
+            / 60000000.0
+        ).alias("mins"),
+    )
+    return lat.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(mins, 0.5)"), 4).alias("median_minutes"),
+        F.round(F.expr("percentile(mins, 0.9)"), 4).alias("p90_minutes"),
+        F.round(F.avg("mins"), 4).alias("avg_minutes"),
+    )

@@ -131,6 +131,7 @@ def snapshot_write(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     staged_id: str | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the committed version.
 
@@ -155,9 +156,21 @@ def snapshot_write(
     :func:`read_snapshot_bloom_pruned` uses to plan EQUALITY lookups
     — the skipping structure for high-cardinality keys that min/max
     ranges can't prune unless the data is range-clustered.
+
+    ``branch`` commits onto a named BRANCH (Iceberg branch
+    semantics): the append base is the branch's current head — never
+    main's — the manifest is marked with the branch name so main
+    readers (:func:`published_versions`) skip it, and on success the
+    branch ref advances to the new version. The branch must already
+    exist (:func:`create_branch`). ``staged_id`` and ``branch`` are
+    mutually exclusive (staging IS the anonymous one-shot branch).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write mode must be append/overwrite, got {mode!r}")
+    if staged_id is not None and branch is not None:
+        raise ValueError("staged_id and branch are mutually exclusive")
+    if branch is not None:
+        resolve_branch(table_path, branch)  # must exist; raises otherwise
     os.makedirs(_log_path(table_path), exist_ok=True)
     # Stage into a PRIVATE directory, then move part files into the
     # table root. Writing straight into the table root would (a) share
@@ -179,11 +192,16 @@ def snapshot_write(
     version = (vs[-1] + 1) if vs else 0
     stats: dict = {}
     bloom: dict = {}
-    # append base: the last PUBLISHED state — a staged snapshot must
-    # never become part of another write's lineage before publish
-    pub = published_versions(table_path)
-    if mode == "append" and pub:
-        prev = _read_manifest(table_path, pub[-1])
+    # append base: the branch head for branch commits, else the last
+    # PUBLISHED state — a staged snapshot must never become part of
+    # another write's lineage before publish
+    if branch is not None:
+        base_v: int | None = resolve_branch(table_path, branch)
+    else:
+        pub = published_versions(table_path)
+        base_v = pub[-1] if pub else None
+    if mode == "append" and base_v is not None:
+        prev = _read_manifest(table_path, base_v)
         live = prev["files"]
         stats.update(prev.get("stats", {}))
         bloom.update(prev.get("bloom", {}))
@@ -207,6 +225,8 @@ def snapshot_write(
     }
     if staged_id is not None:
         manifest["staged"] = staged_id
+    if branch is not None:
+        manifest["branch"] = branch
     if stats:
         manifest["stats"] = {
             f: stats[f] for f in manifest["files"] if f in stats
@@ -216,6 +236,8 @@ def snapshot_write(
             f: bloom[f] for f in manifest["files"] if f in bloom
         }
     _commit_manifest(table_path, version, manifest)
+    if branch is not None:
+        _move_branch(table_path, branch, version)
     return version
 
 
@@ -246,11 +268,14 @@ def _commit_manifest(table_path: str, version: int, manifest: dict) -> None:
 
 def published_versions(table_path: str) -> list[int]:
     """Versions visible on "main": every committed version except
-    STAGED ones (write-audit-publish snapshots not yet published)."""
+    STAGED ones (write-audit-publish snapshots not yet published)
+    and BRANCH commits (visible only through their branch ref)."""
     return [
         v
         for v in versions(table_path)
-        if "staged" not in _read_manifest(table_path, v)
+        if not (
+            {"staged", "branch"} & _read_manifest(table_path, v).keys()
+        )
     ]
 
 
@@ -579,12 +604,16 @@ def expire_snapshots(
     The last PUBLISHED version is always retained even when
     ``retain_last`` newer staged snapshots exist — it is main's head
     (Iceberg never expires a ref'd snapshot), and dropping it would
-    leave the table with no default-readable state."""
+    leave the table with no default-readable state. Every BRANCH
+    head is protected for the same reason (Iceberg never expires a
+    snapshot a ref points to); drop the branch first to let its
+    head expire."""
     vs = versions(table_path)
     keep = set(vs[-max(1, retain_last):])
     pub = published_versions(table_path)
     if pub:
         keep.add(pub[-1])
+    keep.update(list_branches(table_path).values())
     now = time.time()
     expired = []
     for v in vs:
@@ -900,3 +929,122 @@ def list_tags(table_path: str) -> dict[str, int]:
                 d = json.load(fh)
             out[d["name"]] = int(d["version"])
     return out
+
+
+def _branches_dir(table_path: str) -> str:
+    return os.path.join(_log_path(table_path), "branches")
+
+
+def create_branch(
+    table_path: str, name: str, version: int | None = None
+) -> int:
+    """Create a named BRANCH ref (Iceberg branch semantics: a
+    MOVABLE ref, where a tag is frozen) pointing at ``version``
+    (default: main's published head). Creation is put-if-absent —
+    hard-link commit like manifests/tags, so racing creators get a
+    ``ValueError`` instead of silently stealing the name. Branch
+    commits land via ``snapshot_write(..., branch=name)``; main
+    readers never see them until :func:`fast_forward_main`."""
+    vs = versions(table_path)
+    if version is None:
+        pub = published_versions(table_path)
+        if not pub:
+            raise ValueError(f"no published snapshots at {table_path!r}")
+        version = pub[-1]
+    if version not in vs:
+        raise ValueError(f"version {version} not in {vs}")
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid branch name {name!r}")
+    os.makedirs(_branches_dir(table_path), exist_ok=True)
+    final = os.path.join(_branches_dir(table_path), f"{name}.json")
+    tmp = final + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"name": name, "version": version, "updated_at": time.time()}, fh
+        )
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise ValueError(
+            f"branch {name!r} already exists at {table_path!r}"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return version
+
+
+def _move_branch(table_path: str, name: str, version: int) -> None:
+    """Advance an existing branch ref. The manifest commit this
+    follows is the put-if-absent race arbiter; the ref move itself is
+    an atomic replace (manifests are immutable, so the ref always
+    names a fully committed snapshot)."""
+    final = os.path.join(_branches_dir(table_path), f"{name}.json")
+    tmp = final + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"name": name, "version": version, "updated_at": time.time()}, fh
+        )
+    os.replace(tmp, final)
+
+
+def resolve_branch(table_path: str, name: str) -> int:
+    """Branch name -> current head version."""
+    path = os.path.join(_branches_dir(table_path), f"{name}.json")
+    try:
+        with open(path) as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        raise ValueError(
+            f"unknown branch {name!r} at {table_path!r}"
+        ) from None
+
+
+def list_branches(table_path: str) -> dict[str, int]:
+    """All branches as name -> head version."""
+    d = _branches_dir(table_path)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                j = json.load(fh)
+            out[j["name"]] = int(j["version"])
+    return out
+
+
+def read_branch(
+    spark: SparkSession, table_path: str, name: str
+) -> DataFrame:
+    """Read a branch's head state (``SELECT ... VERSION AS OF`` the
+    branch ref)."""
+    return read_snapshot(
+        spark, table_path, version=resolve_branch(table_path, name)
+    )
+
+
+def fast_forward_main(table_path: str, name: str) -> int:
+    """Fast-forward MAIN to a branch's head (Iceberg
+    ``fast_forward('main', branch)``): a NEW published commit whose
+    file list (and stats/bloom) copies the branch head's manifest —
+    metadata-only, no data files move; the branch's commit history
+    stays intact for audit. The branch keeps pointing at its head
+    (drop it separately if the experiment is finished)."""
+    head = resolve_branch(table_path, name)
+    target = _read_manifest(table_path, head)
+    vs = versions(table_path)
+    new_version = vs[-1] + 1
+    manifest = {
+        "version": new_version,
+        "mode": "publish",
+        "fast_forwarded_from": name,
+        "published_from": head,
+        "committed_at": time.time(),
+        "files": target["files"],
+    }
+    if target.get("stats"):
+        manifest["stats"] = target["stats"]
+    if target.get("bloom"):
+        manifest["bloom"] = target["bloom"]
+    _commit_manifest(table_path, new_version, manifest)
+    return new_version

@@ -89,3 +89,32 @@ def test_copurchase_edges_are_canonical(spark):
     assert bad == 0
     # distinct pairs: no duplicate edges
     assert e.count() == e.select("src", "dst").distinct().count()
+
+
+def test_pagerank_from_adjacency_matches_edge_form(spark):
+    """The adjacency-list fast path must produce the same ranks as
+    pagerank() over the equivalent edge list."""
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.operators.graph import (
+        pagerank,
+        pagerank_from_adjacency,
+        symmetrize,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)], "src long, dst long"
+    )
+    via_edges = {
+        r["node"]: round(r["pr"], 10)
+        for r in pagerank(edges, iterations=4).collect()
+    }
+    adj = symmetrize(edges).groupBy("src").agg(
+        F.collect_set("dst").alias("nbrs")
+    )
+    via_adj = {
+        r["node"]: round(r["pr"], 10)
+        for r in pagerank_from_adjacency(adj, iterations=4).collect()
+    }
+    assert via_edges == via_adj
+    assert abs(sum(via_adj.values()) - 1.0) < 1e-9

@@ -808,3 +808,56 @@ def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
         for r in mmr_rerank(cand, k=2, lambda_relevance=1.0).collect()
     }
     assert out == {(0, 1): 1, (0, 2): 2, (1, 1): 4, (1, 2): 5}
+
+
+def _bpe_fold_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sequential reference for one word: per rule, left-to-right
+    non-overlapping simultaneous-pass replacement over the symbol
+    sequence (the _merge_pair contract)."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        jm = False
+        for x in syms:
+            if out and not jm and out[-1] == a and x == b:
+                out[-1] = a + b
+                jm = True
+            else:
+                out.append(x)
+                jm = False
+        syms = out
+    return syms
+
+
+def test_bpe_apply_matches_fold_reference_edge_cases(spark):
+    """The string-replace formulation must reproduce the fold
+    semantics on the awkward inputs: self-pair rules (a,a) over runs,
+    cascading multi-char rules, newlines inside words, and repeated
+    separators."""
+    from aws_lakehouse_spark.llm.bpe import bpe_apply
+
+    rules = [("a", "a"), ("aa", "a"), ("t", "h"), ("th", "e"), ("e", "\n")]
+    merges = [
+        {"rank": i, "left": a, "right": b} for i, (a, b) in enumerate(rules)
+    ]
+    texts = [
+        "aaaa aaa aa a",          # run of self-pairs: (a,a) then (aa,a)
+        "the theater  aethe",     # cascade + double space
+        "the\nthe e\na",          # newline is a symbol INSIDE a word
+        "x",                      # untouched
+        "aaaaaa",                 # long run: [aa,aa,aa] -> [aaa? no: see ref
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_apply(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        expect: list[str] = []
+        for w in t.split(" "):
+            if w:
+                expect.extend(_bpe_fold_reference(w, rules))
+        assert got[i][0] == expect, (t, got[i][0], expect)
+        assert got[i][1] == len(expect)

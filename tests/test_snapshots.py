@@ -766,3 +766,56 @@ def test_wap_abandoned_stage_files_reclaimed(spark, tmp_path):
     assert stats["removed_files"] >= 1
     assert n_files_after < n_files_before
     assert snapshots.read_snapshot(spark, table).count() == 60
+
+
+def test_branch_lifecycle_isolation_and_fast_forward(spark, tmp_path):
+    from aws_lakehouse_spark.sources import snapshots
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 10).withColumnRenamed("id", "k")
+    v0 = snapshots.snapshot_write(spark, base, t, "overwrite")
+    assert snapshots.create_branch(t, "exp") == v0
+    # duplicate creation is put-if-absent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshots.create_branch(t, "exp")
+    # two chained branch commits, main isolated throughout
+    snapshots.snapshot_write(
+        spark, spark.range(10, 15).withColumnRenamed("id", "k"), t,
+        "append", branch="exp",
+    )
+    head = snapshots.snapshot_write(
+        spark, spark.range(15, 18).withColumnRenamed("id", "k"), t,
+        "append", branch="exp",
+    )
+    assert snapshots.read_snapshot(spark, t).count() == 10
+    assert snapshots.read_branch(spark, t, "exp").count() == 18
+    assert snapshots.published_versions(t) == [v0]
+    # branch heads survive expiry
+    snapshots.expire_snapshots(t, retain_last=1)
+    assert snapshots.read_branch(spark, t, "exp").count() == 18
+    # fast-forward publishes the branch head onto main
+    snapshots.fast_forward_main(t, "exp")
+    assert snapshots.read_snapshot(spark, t).count() == 18
+    assert snapshots.resolve_branch(t, "exp") == head
+
+
+def test_branch_requires_existing_ref_and_excludes_staged(spark, tmp_path):
+    from aws_lakehouse_spark.sources import snapshots
+
+    t = str(tmp_path / "tbl")
+    snapshots.snapshot_write(
+        spark, spark.range(3).withColumnRenamed("id", "k"), t, "overwrite"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshots.snapshot_write(
+            spark, spark.range(3), t, "append", branch="nope"
+        )
+    with _pytest.raises(ValueError):
+        snapshots.snapshot_write(
+            spark, spark.range(3), t, "append",
+            branch="b", staged_id="s",
+        )
