@@ -960,7 +960,13 @@ def create_branch(
     tmp = final + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
-            {"name": name, "version": version, "updated_at": time.time()}, fh
+            {
+                "name": name,
+                "version": version,
+                "fork_base": version,
+                "updated_at": time.time(),
+            },
+            fh,
         )
     try:
         os.link(tmp, final)
@@ -973,16 +979,31 @@ def create_branch(
     return version
 
 
-def _move_branch(table_path: str, name: str, version: int) -> None:
-    """Advance an existing branch ref. The manifest commit this
+def _move_branch(
+    table_path: str,
+    name: str,
+    version: int,
+    fork_base: int | None = None,
+) -> None:
+    """Advance an existing branch ref (preserving its recorded fork
+    base unless a new one is given). The manifest commit this
     follows is the put-if-absent race arbiter; the ref move itself is
     an atomic replace (manifests are immutable, so the ref always
     names a fully committed snapshot)."""
     final = os.path.join(_branches_dir(table_path), f"{name}.json")
+    if fork_base is None:
+        with open(final) as fh:
+            fork_base = json.load(fh).get("fork_base")
     tmp = final + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(
-            {"name": name, "version": version, "updated_at": time.time()}, fh
+            {
+                "name": name,
+                "version": version,
+                "fork_base": fork_base,
+                "updated_at": time.time(),
+            },
+            fh,
         )
     os.replace(tmp, final)
 
@@ -1029,8 +1050,34 @@ def fast_forward_main(table_path: str, name: str) -> int:
     file list (and stats/bloom) copies the branch head's manifest —
     metadata-only, no data files move; the branch's commit history
     stays intact for audit. The branch keeps pointing at its head
-    (drop it separately if the experiment is finished)."""
-    head = resolve_branch(table_path, name)
+    (drop it separately if the experiment is finished).
+
+    True fast-forward ONLY: if main's published head has moved past
+    the branch's fork base (a competing main commit landed since the
+    fork), the merge is refused with ``ValueError`` — Iceberg's
+    fast_forward likewise requires the target to be an ancestor of
+    the source; resolving divergence is the caller's decision, never
+    a silent overwrite. On success the branch's fork base advances
+    to the new main head, so continue-then-merge-again flows keep
+    working."""
+    ref_path = os.path.join(_branches_dir(table_path), f"{name}.json")
+    try:
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+    except FileNotFoundError:
+        raise ValueError(
+            f"unknown branch {name!r} at {table_path!r}"
+        ) from None
+    head = int(ref["version"])
+    fork_base = ref.get("fork_base")
+    pub = published_versions(table_path)
+    main_head = pub[-1] if pub else None
+    if fork_base is not None and main_head != fork_base:
+        raise ValueError(
+            f"cannot fast-forward main to branch {name!r}: main moved "
+            f"from the fork base {fork_base} to {main_head}; rebase or "
+            f"merge explicitly"
+        )
     target = _read_manifest(table_path, head)
     vs = versions(table_path)
     new_version = vs[-1] + 1
@@ -1047,4 +1094,7 @@ def fast_forward_main(table_path: str, name: str) -> int:
     if target.get("bloom"):
         manifest["bloom"] = target["bloom"]
     _commit_manifest(table_path, new_version, manifest)
+    # continue-then-merge-again: the branch keeps its head, but its
+    # fork base advances to the commit main just gained
+    _move_branch(table_path, name, head, fork_base=new_version)
     return new_version

@@ -819,3 +819,25 @@ def test_branch_requires_existing_ref_and_excludes_staged(spark, tmp_path):
             spark, spark.range(3), t, "append",
             branch="b", staged_id="s",
         )
+
+
+def test_fast_forward_refused_when_main_diverged(spark, tmp_path):
+    from aws_lakehouse_spark.sources import snapshots
+
+    t = str(tmp_path / "tbl")
+    snapshots.snapshot_write(
+        spark, spark.range(5).withColumnRenamed("id", "k"), t, "overwrite"
+    )
+    snapshots.create_branch(t, "exp")
+    snapshots.snapshot_write(
+        spark, spark.range(5, 8).withColumnRenamed("id", "k"), t,
+        "append", branch="exp",
+    )
+    # a competing commit lands on MAIN after the fork
+    snapshots.snapshot_write(
+        spark, spark.range(8, 9).withColumnRenamed("id", "k"), t, "append"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fast-forward"):
+        snapshots.fast_forward_main(t, "exp")
