@@ -25,6 +25,7 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
     tpch3,
     graph,
     llm_text,
+    behavior,
     retrieval,
     llm_dedup,
     llm_similarity,
@@ -82,7 +83,10 @@ from aws_lakehouse_spark.registry import REGISTRY
 # ts_linear_trend, snapshot_partition_evolution,
 # sink_dynamic_partition_overwrite, graph_adamic_adar,
 # ann_range_search, snapshot_branch_merge, events_time_to_convert —
-# same dual-SF parity) = 77 candidates for 50 slots; grade the r3
+# same dual-SF parity) plus the round-4-third-pass behavioral tier
+# (events_funnel_steps, events_interval_merge, ts_gap_fill,
+# recsys_item_cosine, market_basket_rules, sink_identity_column —
+# dual-SF parity-green) = 83+ candidates for 50 slots; grade the r3
 # tier first (older debt), r4 additions fill the remainder, rest
 # roll to r6.
 _PRIORITY = [

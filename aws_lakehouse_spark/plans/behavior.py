@@ -1,0 +1,532 @@
+"""Behavioral / product-analytics surface (engine extension).
+
+Multi-step funnels, interval coverage (gaps-and-islands union),
+calendar gap-filling with LOCF, item-item collaborative filtering,
+association rules, and distributed contiguous id assignment — the
+product-analytics and feature-engineering tier a lakehouse serves on
+the same event/order tables. The reference's Athena-on-Gold surface
+(SURVEY §3.3) answers exactly these question shapes interactively.
+
+Scale notes (100 TB): every query reduces the raw table with a keyed
+shuffle first (per-user stage reductions, per-order item sets,
+per-day rollups) before any window or join; the lone unpartitioned
+windows run on calendar- or vocabulary-bounded frames; co-occurrence
+self-joins fan out by lines-per-order (bounded small), never all
+pairs; id assignment is a two-level prefix sum, never a global sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from aws_lakehouse_spark.catalog import load_table
+from aws_lakehouse_spark.registry import register
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    ),
+    steps AS (
+        SELECT 1 AS step_no, 'view' AS step, COUNT(*) AS users FROM v
+        UNION ALL
+        SELECT 2, 'view>click', COUNT(*) FROM c
+        UNION ALL
+        SELECT 3, 'view>click>purchase', COUNT(*) FROM p
+    )
+    SELECT step_no, step, users,
+           ROUND(CAST(users AS DOUBLE)
+                 / MAX(users) OVER (), 4) AS pct_of_entry
+    FROM steps
+    """,
+    category="2.14 behavioral analytics (engine extension)",
+    doc="Strictly-ordered 3-step funnel (view -> later click -> later "
+    "purchase): per-user first-touch timestamps chained by "
+    "happened-after semi-joins, then step-level user counts and "
+    "conversion vs the entry step. Scale shape: each stage is a "
+    "keyed MIN aggregate per user (map-side combinable) and the "
+    "chain joins are user-keyed equi-joins on the already-reduced "
+    "per-user frames — the raw event table is scanned once per "
+    "stage predicate and never self-joined row-to-row; the final "
+    "window runs over exactly 3 rows.",
+)
+def events_funnel_steps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    steps = (
+        v.agg(F.count("*").alias("users")).select(
+            F.lit(1).alias("step_no"), F.lit("view").alias("step"), "users"
+        )
+        .unionByName(
+            c.agg(F.count("*").alias("users")).select(
+                F.lit(2).alias("step_no"),
+                F.lit("view>click").alias("step"),
+                "users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("users")).select(
+                F.lit(3).alias("step_no"),
+                F.lit("view>click>purchase").alias("step"),
+                "users",
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return steps.select(
+        "step_no",
+        "step",
+        "users",
+        F.round(
+            F.col("users").cast("double") / F.max("users").over(w), 4
+        ).alias("pct_of_entry"),
+    )
+
+
+@register(
+    "events_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM marked
+    ),
+    merged AS (
+        SELECT user_id, island,
+               MIN(s) AS island_s, MAX(e) AS island_e
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(island_e - island_s) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+    category="2.14 behavioral analytics (engine extension)",
+    doc="Interval union per user (gaps-and-islands): every event opens "
+    "a 30-minute activity interval; overlapping intervals merge, and "
+    "the output is each user's merged-interval count plus exact "
+    "covered time in integer microseconds (the 'active time' metric "
+    "ad-hoc sessionization gets wrong by double-counting overlaps). "
+    "Scale shape: one shuffle on user_id; island detection is the "
+    "running-max-of-prior-ends window identity (never a self-join), "
+    "so per-user work is a single ordered scan.",
+)
+def events_interval_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id", us.alias("s"), (us + F.lit(1800000000)).alias("e")
+    )
+    prev_w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(prev_w), 1).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(run_w))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("island_e") - F.col("island_s")).alias("covered_us"),
+    )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+               MAX(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders
+    ),
+    calendar AS (
+        SELECT p.priority, CAST(gs.day AS DATE) AS day
+        FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p
+        CROSS JOIN (
+            SELECT UNNEST(generate_series(
+                (SELECT d0 FROM bounds), (SELECT d1 FROM bounds),
+                INTERVAL 1 DAY)) AS day
+        ) gs
+    )
+    SELECT c.priority, c.day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue,
+           ROUND(COALESCE(
+               LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+                   PARTITION BY c.priority ORDER BY c.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0.0), 2) AS prev_known_revenue
+    FROM calendar c LEFT JOIN daily d
+      ON c.priority = d.priority AND c.day = d.day
+    """,
+    category="2.14 behavioral analytics (engine extension)",
+    doc="Calendar densification + last-observation-carried-forward: "
+    "daily revenue per order priority exploded onto the complete "
+    "min..max date range (absent days appear with zero orders), plus "
+    "the most recent prior known revenue per priority (LOCF) — the "
+    "gap-filling step every downstream time-series model assumes has "
+    "already happened. Scale shape: the fact table collapses to one "
+    "row per (priority, day) BEFORE the calendar join; the calendar "
+    "is sequence()-generated from a broadcast one-row min/max "
+    "aggregate, so the dense frame is calendar-sized, and the LOCF "
+    "window runs per-priority over that bounded frame.",
+)
+def ts_gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    priorities = orders.select(
+        F.col("o_orderpriority").alias("priority")
+    ).distinct()
+    calendar = (
+        priorities.crossJoin(F.broadcast(bounds))
+        .select(
+            "priority",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    locf_w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        calendar.join(daily, ["priority", "day"], "left")
+        .select(
+            "priority",
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.round(
+                F.coalesce(
+                    F.last("revenue", ignorenulls=True).over(locf_w),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("prev_known_revenue"),
+        )
+    )
+
+
+# shared co-occurrence base for the two market-basket queries: DISTINCT
+# (order, part) pairs, then an ordered self-join on the order key —
+# fan-out is bounded by lines-per-order, never all part pairs
+_COOC_SQL = """
+    items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    part_cnt AS (
+        SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS pair_cnt
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _cooc(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    return items, part_cnt, pairs
+
+
+@register(
+    "recsys_item_cosine",
+    oracle=f"""
+    WITH {_COOC_SQL},
+    sym AS (
+        SELECT pa AS item, pb AS other, pair_cnt FROM pairs
+        UNION ALL
+        SELECT pb AS item, pa AS other, pair_cnt FROM pairs
+    ),
+    scored AS (
+        SELECT s.item, s.other,
+               ROUND(s.pair_cnt / SQRT(ca.cnt * cb.cnt), 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.item
+                   ORDER BY s.pair_cnt / SQRT(ca.cnt * cb.cnt) DESC,
+                            s.other
+               ) AS rk
+        FROM sym s
+        JOIN part_cnt ca ON s.item = ca.l_partkey
+        JOIN part_cnt cb ON s.other = cb.l_partkey
+        WHERE s.pair_cnt >= 2
+    )
+    SELECT item, other, cosine, rk
+    FROM scored WHERE rk <= 3
+    """,
+    category="2.14 behavioral analytics (engine extension)",
+    doc="Item-item collaborative filtering: top-3 neighbors per part "
+    "by co-purchase cosine (pair count over the geometric mean of "
+    "per-part order counts), minimum support 2 — the classic "
+    "neighborhood recommender build. Scale shape: DISTINCT "
+    "(order, part) first, so the self-join fans out by items per "
+    "order (bounded ~7 for this schema), never by part popularity "
+    "alone; per-part counts are a broadcastable dimension-sized "
+    "join-back; top-3 is a per-item window with a deterministic "
+    "neighbor-id tie-break.",
+)
+def recsys_item_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items, part_cnt, pairs = _cooc(spark, sf_dir)
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "pair_cnt"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"), "pair_cnt"
+        )
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("item"), F.col("cnt").alias("cnt_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("other"), F.col("cnt").alias("cnt_b")
+    )
+    raw_cos = F.col("pair_cnt") / F.sqrt(F.col("cnt_a") * F.col("cnt_b"))
+    scored = (
+        sym.filter(F.col("pair_cnt") >= 2)
+        .join(F.broadcast(ca), "item")
+        .join(F.broadcast(cb), "other")
+        .withColumn("__raw", raw_cos)
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("__raw"), "other")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "item",
+            "other",
+            F.round("__raw", 6).alias("cosine"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@register(
+    "market_basket_rules",
+    oracle=f"""
+    WITH {_COOC_SQL},
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, pair_cnt FROM pairs
+        UNION ALL
+        SELECT pb AS antecedent, pa AS consequent, pair_cnt FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.pair_cnt,
+           ROUND(CAST(r.pair_cnt AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(r.pair_cnt AS DOUBLE) / ca.cnt, 6) AS confidence,
+           ROUND((CAST(r.pair_cnt AS DOUBLE) / ca.cnt)
+                 / (CAST(cb.cnt AS DOUBLE) / n.n_orders), 6) AS lift
+    FROM rules r
+    JOIN part_cnt ca ON r.antecedent = ca.l_partkey
+    JOIN part_cnt cb ON r.consequent = cb.l_partkey
+    CROSS JOIN n
+    WHERE r.pair_cnt >= 3
+    ORDER BY lift DESC, r.antecedent, r.consequent
+    LIMIT 20
+    """,
+    category="2.14 behavioral analytics (engine extension)",
+    doc="Association rules (A -> B) over order baskets: support, "
+    "confidence, and lift from the same bounded co-occurrence join, "
+    "top-20 by lift with deterministic pair tie-breaks — the "
+    "market-basket rule mine (Agrawal-Srikant frequent-pairs tier) "
+    "expressed as three keyed aggregates. Scale shape: identical "
+    "pair fan-out bound as recsys_item_cosine; the order-count "
+    "denominator is a broadcast one-row aggregate; top-20 plans as "
+    "TakeOrderedAndProject, no global sort materializes.",
+)
+def market_basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items, part_cnt, pairs = _cooc(spark, sf_dir)
+    n = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "pair_cnt",
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "pair_cnt",
+        )
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("antecedent"), F.col("cnt").alias("cnt_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("consequent"), F.col("cnt").alias("cnt_b")
+    )
+    conf = F.col("pair_cnt").cast("double") / F.col("cnt_a")
+    return (
+        rules.filter(F.col("pair_cnt") >= 3)
+        .join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("cnt_b").cast("double") / F.col("n_orders")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+@register(
+    "sink_identity_column",
+    oracle="""
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (ORDER BY lang, doc_id) AS row_id
+    FROM documents
+    """,
+    category="2.14 behavioral analytics (engine extension)",
+    doc="Distributed contiguous id assignment: every document gets a "
+    "gap-free 1..N row_id in (lang, doc_id) order WITHOUT a global "
+    "sort — the identity-column / surrogate-key write shape "
+    "(zipWithIndex expressed natively in DataFrame ops). Scale "
+    "shape: a two-level prefix sum — order-preserving (lang, "
+    "doc_id-range) buckets, per-bucket counts (one small agg), "
+    "exclusive bucket offsets via a window over the bucket-count- "
+    "sized frame, broadcast back, then a PARTITIONED local "
+    "row_number per bucket (groups bounded by the bucket width). "
+    "The full table never passes through a single-partition window; "
+    "bucket width is the knob that keeps the offset frame "
+    "driver-broadcastable at 100 TB.",
+)
+def sink_identity_column_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket_width = 64
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("doc_id") / bucket_width).alias("__dbucket"),
+    )
+    per_bucket = d.groupBy("lang", "__dbucket").agg(
+        F.count("*").alias("__n")
+    )
+    off_w = Window.orderBy("lang", "__dbucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "lang",
+        "__dbucket",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__offset"),
+    )
+    local_w = Window.partitionBy("lang", "__dbucket").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), ["lang", "__dbucket"])
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("__offset") + F.row_number().over(local_w)).alias(
+                "row_id"
+            ),
+        )
+    )
