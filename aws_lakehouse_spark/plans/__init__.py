@@ -85,8 +85,11 @@ from aws_lakehouse_spark.registry import REGISTRY
 # ann_range_search, snapshot_branch_merge, events_time_to_convert —
 # same dual-SF parity) plus the round-4-third-pass behavioral tier
 # (events_funnel_steps, events_interval_merge, ts_gap_fill,
-# recsys_item_cosine, market_basket_rules, sink_identity_column —
-# dual-SF parity-green) = 83+ candidates for 50 slots; grade the r3
+# recsys_item_cosine, market_basket_rules, sink_identity_column,
+# snapshot_clone_shallow, events_cohort_retention,
+# quality_referential_integrity, agg_filtered_kpis,
+# window_percent_rank_cume — dual-SF parity-green) = 89+ candidates
+# for 50 slots; grade the r3
 # tier first (older debt), r4 additions fill the remainder, rest
 # roll to r6.
 _PRIORITY = [

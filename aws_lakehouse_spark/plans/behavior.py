@@ -530,3 +530,73 @@ def sink_identity_column_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                 AS week
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+    ),
+    act AS (
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, uw.week) // 7
+                    AS BIGINT) AS week_offset,
+               COUNT(DISTINCT uw.user_id) AS n_active
+        FROM uw JOIN cohort c ON uw.user_id = c.user_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size
+        FROM cohort GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset, a.n_active,
+           ROUND(CAST(a.n_active AS DOUBLE) / s.cohort_size, 4)
+             AS retention
+    FROM act a JOIN sizes s ON a.cohort_week = s.cohort_week
+    """,
+    category="2.14 behavioral analytics (engine extension)",
+    doc="Cohort retention triangle: users grouped by the week of "
+    "their first activity, then the fraction of each cohort active "
+    "at every week offset — the canonical growth-analytics matrix. "
+    "Scale shape: the raw event table collapses to DISTINCT (user, "
+    "week) FIRST (one shuffle, map-side combinable), so the cohort "
+    "min-reduction and the offset rollup both run on the reduced "
+    "frame; cohort sizes are a weeks-sized broadcast join-back.",
+)
+def events_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("week"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return act.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 4
+        ).alias("retention"),
+    )

@@ -1982,3 +1982,123 @@ def snapshot_branch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "snapshot_clone_shallow",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.9 maintenance (M5 shallow clone)",
+    doc="Delta SHALLOW CLONE / Iceberg snapshot-ref: the clone's "
+    "version-0 manifest references the source's live files by "
+    "absolute path — ZERO bytes copied (asserted in-query: the clone "
+    "directory holds no data files of its own at clone time) — then "
+    "evolves independently: the second half of the table is appended "
+    "to the CLONE, and the source's main read still sees only the "
+    "base half (asserted). The oracle recomputes the full table, so "
+    "a green row certifies clone fidelity + divergence end-to-end. "
+    "At 100 TB this is the dev/test-against-prod workflow: a "
+    "writable copy of a petabyte table for the cost of one manifest "
+    "write, with copy-on-write DML diverging locally.",
+)
+def snapshot_clone_shallow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        _data_files,
+        clone_snapshot,
+        read_snapshot,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="lakehouse_clone_")
+    src = os.path.join(root, "orders_src")
+    dst = os.path.join(root, "orders_clone")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    delta = orders.filter(F.col("o_orderkey") % 2 == 1)
+    snapshot_write(spark, base, src, "overwrite")
+    n_base = read_snapshot(spark, src).count()
+    clone_snapshot(src, dst)
+    # zero-copy: the clone owns no data files at clone time, yet
+    # reads the full base
+    assert _data_files(dst) == set()
+    assert read_snapshot(spark, dst).count() == n_base
+    # divergence: the append lands on the CLONE only
+    snapshot_write(spark, delta, dst, "append")
+    assert read_snapshot(spark, src).count() == n_base
+    return (
+        read_snapshot(spark, dst)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_filtered_kpis",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+                AS BIGINT) AS n_finished,
+           ROUND(COALESCE(SUM(o_totalprice)
+                 FILTER (WHERE o_orderstatus = 'O'), 0.0), 2)
+             AS open_value,
+           ROUND(AVG(o_totalprice)
+                 FILTER (WHERE o_totalprice > 200000), 2)
+             AS avg_large_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.4 aggregations (conditional / FILTER clause)",
+    doc="Segmented KPI matrix via conditional aggregation — the "
+    "FILTER-clause face (count/sum/avg each over a different "
+    "predicate slice) that replaces N separate filtered scans with "
+    "ONE pass: every conditional aggregate is a CASE inside the "
+    "same hash aggregate, so the fact table is scanned and shuffled "
+    "once regardless of how many KPI slices are defined. An "
+    "all-NULL slice (no large orders in a group) yields NULL "
+    "identically on both engines.",
+)
+def agg_filtered_kpis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    large = F.when(
+        F.col("o_totalprice") > 200000, F.col("o_totalprice")
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1))
+            .cast("bigint")
+            .alias("n_finished"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderstatus") == "O",
+                            F.col("o_totalprice"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("open_value"),
+            F.round(F.avg(large), 2).alias("avg_large_order"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -213,3 +213,87 @@ def quality_column_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust,
         {"c_name": "hash", "c_mktsegment": "partial", "c_acctbal": "null"},
     )
+
+
+@register(
+    "quality_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_check,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customers_without_orders',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'parts_never_ordered',
+           CAST((SELECT COUNT(*) FROM part p
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_partkey = p.p_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'suppliers_never_used',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_suppkey = s.s_suppkey))
+                AS BIGINT)
+    """,
+    category="2.14 data quality (engine extension)",
+    doc="Referential-integrity audit: per foreign-key relationship, "
+    "the count of child rows whose parent is missing (anti-join), "
+    "plus the coverage complements (parents with no children — "
+    "customers without orders, parts never ordered, suppliers never "
+    "used) that are naturally non-zero on TPC-H-shaped data and "
+    "prove the probe detects. The audit every warehouse runs after "
+    "ingest. Scale shape: each check is ONE left-anti join on its "
+    "key — the dimension sides broadcast, the two fact-vs-fact "
+    "checks shuffle on the join key only; results are 6 scalar "
+    "rows.",
+)
+def quality_referential_integrity_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def _count_anti(child, parent, lk, rk, label):
+        return (
+            child.join(
+                parent, child[lk] == parent[rk], "left_anti"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(F.lit(label).alias("fk_check"), "n_violations")
+        )
+
+    checks = [
+        _count_anti(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        _count_anti(orders, cust, "o_custkey", "c_custkey", "orders->customer"),
+        _count_anti(cust, nation, "c_nationkey", "n_nationkey", "customer->nation"),
+        _count_anti(cust, orders, "c_custkey", "o_custkey", "customers_without_orders"),
+        _count_anti(part, li, "p_partkey", "l_partkey", "parts_never_ordered"),
+        _count_anti(supp, li, "s_suppkey", "l_suppkey", "suppliers_never_used"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

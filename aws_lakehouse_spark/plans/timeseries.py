@@ -664,3 +664,34 @@ def ts_linear_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+    category="2.5 windows (distribution ranks)",
+    doc="Distribution-rank normalization: percent_rank and cume_dist "
+    "of account balance within each market segment — the "
+    "feature-scaling step that turns a raw metric into its "
+    "within-cohort quantile position (rank-based, so ties land "
+    "identically on any engine, unlike value-based normalization "
+    "that inherits float noise). One keyed shuffle on the segment; "
+    "frames are segment-sized.",
+)
+def window_percent_rank_cume_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )

@@ -872,6 +872,61 @@ def rollback_to(table_path: str, version: int) -> int:
     return new_version
 
 
+def clone_snapshot(
+    src_table: str, dst_table: str, version: int | None = None
+) -> int:
+    """SHALLOW clone (Delta ``CREATE TABLE ... SHALLOW CLONE`` /
+    Iceberg snapshot-ref semantics): commit version 0 of
+    ``dst_table`` whose manifest references the SOURCE's live data
+    files by absolute path — zero bytes copied, so cloning a
+    petabyte table costs one manifest write. The clone then evolves
+    independently: appends land new files in the clone's own
+    directory, and copy-on-write DML (``delete_where`` /
+    ``update_where`` / ``merge_into``) rewrites survivors locally,
+    never touching the source. Per-file stats/bloom skipping
+    metadata is carried over, so the clone keeps the source's scan
+    pruning from commit zero.
+
+    Caveat (same as Delta's): ``expire_snapshots`` +
+    ``remove_orphans`` on the SOURCE can delete files a clone still
+    references — retention policy on a cloned table must account
+    for its clones, exactly as VACUUM on a Delta source breaks its
+    shallow clones.
+    """
+    vs = versions(src_table)
+    if not vs:
+        raise ValueError(f"no snapshots at {src_table}")
+    v = (published_versions(src_table) or vs)[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} not in {vs}")
+    if versions(dst_table):
+        raise ValueError(f"clone target {dst_table!r} already has snapshots")
+    src = _read_manifest(src_table, v)
+    src_root = os.path.abspath(src_table)
+    # absolute refs: read_snapshot's os.path.join(dst, f) returns f
+    # unchanged when f is absolute, so the clone's reads, appends and
+    # copy-on-write DML work with no special-casing anywhere
+    remap = {f: os.path.join(src_root, f) for f in src["files"]}
+    os.makedirs(_log_path(dst_table), exist_ok=True)
+    manifest = {
+        "version": 0,
+        "mode": "clone",
+        "cloned_from": {"table": src_root, "version": v},
+        "committed_at": time.time(),
+        "files": sorted(remap.values()),
+    }
+    if src.get("stats"):
+        manifest["stats"] = {
+            remap[f]: s for f, s in src["stats"].items() if f in remap
+        }
+    if src.get("bloom"):
+        manifest["bloom"] = {
+            remap[f]: b for f, b in src["bloom"].items() if f in remap
+        }
+    _commit_manifest(dst_table, 0, manifest)
+    return 0
+
+
 def tag_snapshot(
     table_path: str, name: str, version: int | None = None
 ) -> int:

@@ -841,3 +841,58 @@ def test_fast_forward_refused_when_main_diverged(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="fast-forward"):
         snapshots.fast_forward_main(t, "exp")
+
+
+def test_shallow_clone_zero_copy_reads_and_diverges(spark, tmp_path):
+    src = str(tmp_path / "clone_src")
+    dst = str(tmp_path / "clone_dst")
+    snapshots.snapshot_write(spark, _df(spark, 0, 10), src, "overwrite")
+    snapshots.snapshot_write(spark, _df(spark, 10, 15), src, "append")
+
+    assert snapshots.clone_snapshot(src, dst) == 0
+    # zero-copy: the clone directory holds NO parquet of its own
+    assert snapshots._data_files(dst) == set()
+    assert {r["id"] for r in snapshots.read_snapshot(spark, dst).collect()} == set(
+        range(15)
+    )
+
+    # clone evolves independently: append lands locally, source main
+    # is untouched
+    snapshots.snapshot_write(spark, _df(spark, 100, 103), dst, "append")
+    assert snapshots.read_snapshot(spark, dst).count() == 18
+    assert snapshots.read_snapshot(spark, src).count() == 15
+    assert len(snapshots._data_files(dst)) > 0
+
+    # copy-on-write DML on the clone never rewrites source files
+    src_files_before = snapshots._data_files(src)
+    snapshots.delete_where(spark, dst, F.col("id") < 5)
+    assert snapshots.read_snapshot(spark, dst).count() == 13
+    assert snapshots.read_snapshot(spark, src).count() == 15
+    assert snapshots._data_files(src) == src_files_before
+
+
+def test_shallow_clone_carries_stats_and_time_travels(spark, tmp_path):
+    src = str(tmp_path / "clone_stats_src")
+    dst = str(tmp_path / "clone_stats_dst")
+    snapshots.snapshot_write(
+        spark,
+        _df(spark, 0, 100).repartitionByRange(4, "id"),
+        src,
+        "overwrite",
+        stats_cols=["id"],
+    )
+    v_old = snapshots.snapshot_write(
+        spark, _df(spark, 100, 110), src, "append", stats_cols=["id"]
+    )
+    snapshots.clone_snapshot(src, dst)
+    # min/max skipping works from commit zero on the clone
+    planned, total = snapshots.plan_pruned_files(dst, "id", 0, 10)
+    assert 0 < len(planned) < total
+    # cloning a PAST version pins that version's file set
+    dst2 = str(tmp_path / "clone_stats_dst2")
+    snapshots.snapshot_write(spark, _df(spark, 500, 510), src, "overwrite")
+    snapshots.clone_snapshot(src, dst2, version=v_old)
+    assert snapshots.read_snapshot(spark, dst2).count() == 110
+    # a clone target with existing history is refused
+    with pytest.raises(ValueError):
+        snapshots.clone_snapshot(src, dst)
