@@ -310,24 +310,41 @@ _COOC_SQL = """
 
 
 def _cooc(spark: SparkSession, sf_dir: str):
+    """Market-basket base frames from ONE fact scan and ONE
+    order-keyed shuffle: per-order distinct part sets (collect_set
+    dedups in the same aggregate), lazily checkpointed at the
+    fan-out — the basket count, the per-part counts, and the ordered
+    pair expansion all reuse it. The pair fan-out is the nested
+    array transform bounded by lines-per-order² (the same
+    group-then-expand shape plans/graph.py measured 3x faster than
+    the items self-join); pairs checkpoint too because both
+    consumers symmetrize them via a two-branch union."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("pair_cnt"))
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
     )
-    return items, part_cnt, pairs
+    n_orders = per_order.agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_cnt = (
+        per_order.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pair_rows = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(x AS pa, y AS pb))))"
+    )
+    pairs = (
+        per_order.select(F.explode(pair_rows).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count("*").alias("pair_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    return n_orders, part_cnt, pairs
 
 
 @register(
@@ -367,7 +384,7 @@ def _cooc(spark: SparkSession, sf_dir: str):
     "neighbor-id tie-break.",
 )
 def recsys_item_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items, part_cnt, pairs = _cooc(spark, sf_dir)
+    _n_orders, part_cnt, pairs = _cooc(spark, sf_dir)
     sym = pairs.select(
         F.col("pa").alias("item"), F.col("pb").alias("other"), "pair_cnt"
     ).unionByName(
@@ -435,10 +452,7 @@ def recsys_item_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject, no global sort materializes.",
 )
 def market_basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items, part_cnt, pairs = _cooc(spark, sf_dir)
-    n = items.select("l_orderkey").distinct().agg(
-        F.count("*").alias("n_orders")
-    )
+    n, part_cnt, pairs = _cooc(spark, sf_dir)
     rules = pairs.select(
         F.col("pa").alias("antecedent"),
         F.col("pb").alias("consequent"),

@@ -675,3 +675,161 @@ def media_scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_cut"),
     )
+
+
+def _neardup_fixture() -> list[tuple[int, bytes]]:
+    """12 sawtooth-patterned base PNGs + a NEAR-duplicate variant of
+    every even-indexed one: the variant re-encodes the same image
+    with ONE sampled grid pixel's red channel shifted, so its 64-bit
+    dHash differs from the base's by at most 2 bits (only the two
+    horizontal gradients touching grid point (4, 3) can flip) —
+    inside the hamming<=3 near-dup threshold — while unrelated bases
+    differ by ~half their bits. Odd-indexed bases have no variant
+    (negative cases: the query must NOT pair them)."""
+    out = []
+    for i in range(12):
+        w, h = 24 + i, 16 + (i % 7)
+        px4, py3 = (4 * w) // 9, (3 * h) // 8
+
+        def px(x: int, y: int, i: int = i) -> tuple[int, int, int]:
+            return (
+                (x * 73 + y * 29 + i * 11) % 256,
+                (x * 151 + i * 7) % 256,
+                (y * 97 + x * 13 + i * 3) % 256,
+            )
+
+        out.append((i, png_encode(w, h, px)))
+        if i % 2 == 0:
+
+            def pxv(
+                x: int, y: int, px=px, px4: int = px4, py3: int = py3
+            ) -> tuple[int, int, int]:
+                r, g, b = px(x, y)
+                if (x, y) == (px4, py3):
+                    r = (r + 128) % 256
+                return (r, g, b)
+
+            out.append((200 + i, png_encode(w, h, pxv)))
+    return out
+
+
+def _neardup_expected_hashes() -> dict[int, int]:
+    """dHash per near-dup fixture id from the pixel FORMULA (pure
+    Python, codec-independent)."""
+    hashes: dict[int, int] = {}
+    for i in range(12):
+        w, h = 24 + i, 16 + (i % 7)
+        px4, py3 = (4 * w) // 9, (3 * h) // 8
+        for mid, perturb in ((i, False),) + (
+            ((200 + i, True),) if i % 2 == 0 else ()
+        ):
+            xs = [(x * w) // 9 for x in range(9)]
+            ys = [(y * h) // 8 for y in range(8)]
+            val = 0
+            for y in ys:
+                row = []
+                for x in xs:
+                    r = (x * 73 + y * 29 + i * 11) % 256
+                    g = (x * 151 + i * 7) % 256
+                    b = (y * 97 + x * 13 + i * 3) % 256
+                    if perturb and (x, y) == (px4, py3):
+                        r = (r + 128) % 256
+                    row.append((299 * r + 587 * g + 114 * b) // 1000)
+                for j in range(8):
+                    val = (val << 1) | (1 if row[j] > row[j + 1] else 0)
+            hashes[mid] = val
+    return hashes
+
+
+def _neardup_oracle() -> str:
+    """Expected near-dup pairs via the SAME band+verify contract run
+    in pure Python over the formula-derived hashes."""
+    hashes = _neardup_expected_hashes()
+    ids = sorted(hashes)
+    pairs = []
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ha, hb = hashes[a], hashes[b]
+            # candidates: share at least one 16-bit band
+            shares = any(
+                ((ha >> (16 * k)) & 0xFFFF) == ((hb >> (16 * k)) & 0xFFFF)
+                for k in range(4)
+            )
+            ham = bin(ha ^ hb).count("1")
+            if shares and ham <= 3:
+                pairs.append(f"({a}, {b}, {ham})")
+    values = ",\n        ".join(sorted(pairs))
+    return f"""
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM (VALUES
+        {values}
+    ) t(id_a, id_b, hamming)
+    """
+
+
+@register(
+    "media_image_neardup",
+    oracle=_neardup_oracle(),
+    category="llm multimodal",
+    doc="Perceptual image NEAR-dedup: 64-bit dHash per PNG (Arrow "
+    "batches), 4x16-bit band bucketing for candidates (pigeonhole: "
+    "any pair within hamming 3 shares at least one exact band), "
+    "then exact hamming distance as pure built-in expressions "
+    "(conv/xor/bit_count per 16-bit chunk) with a <=3 cut — the "
+    "scaled-image/recompression dedup exact hashing misses. The "
+    "fixture plants one-grid-pixel-perturbed variants (<=2 bits "
+    "flipped by construction) beside untouched negatives; the "
+    "oracle replays band+verify in pure Python over formula-derived "
+    "hashes, independent of the codec and the join path. Scale "
+    "shape: the banded equi-join moves 8-byte hashes, never pixels "
+    "or an all-pairs product; band width is the recall/candidate "
+    "knob exactly as in MinHash-LSH.",
+)
+def media_image_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import image_dhash
+
+    rows = [(i, bytearray(png)) for i, png in _neardup_fixture()]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    hashed = image_dhash(media)
+    # 4x16-bit bands straight off the hex string (4 hex chars each)
+    bands = hashed.select(
+        "media_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[F.substring("dhash", 1 + 4 * k, 4) for k in range(4)]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("ha", 1 + 4 * k, 4), 16, 10).cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("hb", 1 + 4 * k, 4), 16, 10).cast("long")
+            )
+        )
+        for k in range(4)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
