@@ -88,7 +88,8 @@ from aws_lakehouse_spark.registry import REGISTRY
 # recsys_item_cosine, market_basket_rules, sink_identity_column,
 # snapshot_clone_shallow, events_cohort_retention,
 # quality_referential_integrity, agg_filtered_kpis,
-# window_percent_rank_cume — dual-SF parity-green) = 89+ candidates
+# window_percent_rank_cume, media_image_neardup, text_weighted_sample,
+# scalar_interval_family — dual-SF parity-green) = 92+ candidates
 # for 50 slots; grade the r3
 # tier first (older debt), r4 additions fill the remainder, rest
 # roll to r6.

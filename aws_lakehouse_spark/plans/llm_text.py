@@ -2226,3 +2226,36 @@ def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tokens", "|").alias("tokens"),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "text_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) AS BIGINT) AS draw
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) < n_chars * 400000
+    """,
+    category="llm text",
+    doc="Weight-proportional (PPS / Poisson) sampling: each document "
+    "is selected with probability proportional to its length — the "
+    "mixture-construction primitive that up-weights long documents "
+    "without materializing w copies. The inclusion test is PURE "
+    "INTEGER arithmetic (md5-derived 32-bit draw < weight x scale), "
+    "so selection is bit-reproducible across engines, runs, and "
+    "partitionings — no pow/ln in the hot path, no libm divergence "
+    "to pin, unlike a u^(1/w) Efraimidis-Spirakis key (whose "
+    "last-ulp float ordering can flip a top-k cut between engines). "
+    "Pure scan+filter, zero shuffles; the scale constant is the "
+    "sampling-rate knob.",
+)
+def text_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return docs.filter(draw < F.col("n_chars") * 400000).select(
+        "doc_id", "lang", "n_chars", draw.alias("draw")
+    )

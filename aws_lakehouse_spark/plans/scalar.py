@@ -802,3 +802,47 @@ def scalar_math_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_kbin"),
         F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_week"),
     )
+
+
+@register(
+    "scalar_interval_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS plus_3_months,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY AS DATE)
+             AS plus_45_days,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)
+             AS month_end,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+             AS quarter_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+                AS BIGINT) AS days_to_cutoff
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+    category="2.8 scalar functions (calendar intervals)",
+    doc="Calendar-interval arithmetic family: month addition (with "
+    "end-of-month clamping — Jan 31 + 1 month lands on Feb's last "
+    "day on BOTH engines), fixed-day offsets, last_day, quarter "
+    "truncation, and day-difference to a cutoff — the due-date / "
+    "aging-bucket toolkit. Month arithmetic is where hand-rolled "
+    "day-math goes wrong; the engines' clamping conventions agree "
+    "and the oracle proves it. Pure scan-side projection over a "
+    "pushed-down key slice.",
+)
+def scalar_interval_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.date_add(d, 45).alias("plus_45_days"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_cutoff"),
+    )

@@ -370,3 +370,93 @@ def test_asof_nearest_equals_reference(spark, left, right, tol):
             (min(cands)[1], min(cands)[2]) if cands else (None, None)
         )
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=400),  # start offset (min)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_interval_merge_equals_sweep_reference(spark, rows):
+    """events_interval_merge must equal a sequential sweep-line union
+    of the same [ts, ts+30min) intervals, per user."""
+    import datetime as dt
+
+    import aws_lakehouse_spark.plans.behavior as mod
+    from aws_lakehouse_spark.plans.behavior import events_interval_merge_q
+
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, "view")
+            for i, (u, m) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(mod, "load_table", lambda s, d, n: ev)
+        got = {
+            r["user_id"]: (r["n_intervals"], r["covered_us"])
+            for r in events_interval_merge_q(spark, "unused").collect()
+        }
+
+    width = 30 * 60 * 1_000_000
+    per_user: dict[int, list[int]] = defaultdict(list)
+    for u, m in rows:
+        per_user[u].append(m * 60 * 1_000_000)
+    want = {}
+    for u, starts in per_user.items():
+        starts.sort()
+        islands = []
+        for s in starts:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], s + width)
+            else:
+                islands.append([s, s + width])
+        want[u] = (len(islands), sum(e - s for s, e in islands))
+    assert got == want
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=5000),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    langs=st.lists(
+        st.sampled_from(["en", "de", "fr", "zh"]), min_size=40, max_size=40
+    ),
+)
+@settings(**SETTINGS)
+def test_identity_column_matches_global_sort(spark, ids, langs):
+    """The two-level prefix-sum id assignment must equal row_number
+    over a true global sort for ANY id distribution (sparse, dense,
+    bucket-straddling)."""
+    import aws_lakehouse_spark.plans.behavior as mod
+    from aws_lakehouse_spark.plans.behavior import sink_identity_column_q
+
+    rows = [(i, langs[k]) for k, i in enumerate(ids)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(mod, "load_table", lambda s, d, n: docs)
+        got = {
+            r["doc_id"]: r["row_id"]
+            for r in sink_identity_column_q(spark, "unused").collect()
+        }
+    want = {
+        doc: k + 1
+        for k, (lang, doc) in enumerate(
+            sorted((lang, doc) for doc, lang in rows)
+        )
+    }
+    assert got == want
