@@ -89,7 +89,8 @@ from aws_lakehouse_spark.registry import REGISTRY
 # snapshot_clone_shallow, events_cohort_retention,
 # quality_referential_integrity, agg_filtered_kpis,
 # window_percent_rank_cume, media_image_neardup, text_weighted_sample,
-# scalar_interval_family — dual-SF parity-green) = 92+ candidates
+# scalar_interval_family, customer_rfm_segmentation,
+# agg_abc_classification — dual-SF parity-green) = 94+ candidates
 # for 50 slots; grade the r3
 # tier first (older debt), r4 additions fill the remainder, rest
 # roll to r6.

@@ -614,3 +614,168 @@ def events_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("double") / F.col("cohort_size"), 4
         ).alias("retention"),
     )
+
+
+@register(
+    "customer_rfm_segmentation",
+    oracle="""
+    WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+    rfm AS (
+        SELECT o_custkey AS c_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         (SELECT ref_d FROM ref)) AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT ROUND(quantile_cont(recency_days, 0.5), 6) AS r50,
+               ROUND(quantile_cont(frequency, 0.5), 6) AS f50,
+               ROUND(quantile_cont(monetary, 0.5), 6) AS m50
+        FROM rfm
+    )
+    SELECT r.c_custkey,
+           CAST(r.recency_days AS BIGINT) AS recency_days,
+           CAST(r.frequency AS BIGINT) AS frequency,
+           r.monetary,
+           CAST(CASE WHEN r.recency_days <= b.r50 THEN 2 ELSE 1 END
+                AS BIGINT) AS r_score,
+           CAST(CASE WHEN r.frequency > b.f50 THEN 2 ELSE 1 END
+                AS BIGINT) AS f_score,
+           CAST(CASE WHEN r.monetary > b.m50 THEN 2 ELSE 1 END
+                AS BIGINT) AS m_score,
+           CASE
+             WHEN r.recency_days <= b.r50 AND r.frequency > b.f50
+                  AND r.monetary > b.m50 THEN 'champion'
+             WHEN r.recency_days <= b.r50 THEN 'active'
+             WHEN r.frequency > b.f50 OR r.monetary > b.m50
+                  THEN 'at_risk_valuable'
+             ELSE 'dormant'
+           END AS segment
+    FROM rfm r CROSS JOIN b
+    """,
+    category="2.14 behavioral analytics (engine extension)",
+    doc="RFM customer segmentation (recency / frequency / monetary): "
+    "per-customer metrics reduced in ONE keyed aggregate, scored "
+    "against exact interpolated median boundaries (Spark "
+    "`percentile` == DuckDB `quantile_cont`, 6-dp-rounded before "
+    "comparison so the cut is engine-stable), then a CASE segment "
+    "label. Scale shape: boundaries come from one map-side-"
+    "combinable aggregate broadcast back as a ONE-ROW frame — the "
+    "production-scalable design (assign-by-comparison), NOT an "
+    "ntile window over the whole customer dimension, which would "
+    "funnel every customer through one partition.",
+)
+def customer_rfm_segmentation_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("ref_d")
+    )
+    rfm = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(
+                F.first("ref_d"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = rfm.agg(
+        F.round(F.expr("percentile(recency_days, 0.5)"), 6).alias("r50"),
+        F.round(F.expr("percentile(frequency, 0.5)"), 6).alias("f50"),
+        F.round(F.expr("percentile(monetary, 0.5)"), 6).alias("m50"),
+    )
+    r_hot = F.col("recency_days") <= F.col("r50")
+    f_hot = F.col("frequency") > F.col("f50")
+    m_hot = F.col("monetary") > F.col("m50")
+    return rfm.crossJoin(F.broadcast(b)).select(
+        "c_custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        F.when(r_hot, 2).otherwise(1).cast("bigint").alias("r_score"),
+        F.when(f_hot, 2).otherwise(1).cast("bigint").alias("f_score"),
+        F.when(m_hot, 2).otherwise(1).cast("bigint").alias("m_score"),
+        F.when(r_hot & f_hot & m_hot, "champion")
+        .when(r_hot, "active")
+        .when(f_hot | m_hot, "at_risk_valuable")
+        .otherwise("dormant")
+        .alias("segment"),
+    )
+
+
+@register(
+    "agg_abc_classification",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(revenue_cents) AS total FROM pr),
+    c AS (
+        SELECT l_partkey, revenue_cents,
+               ROUND(CAST(SUM(revenue_cents) OVER (
+                   ORDER BY revenue_cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / (SELECT total FROM tot), 9) AS cum_share
+        FROM pr
+    )
+    SELECT l_partkey, revenue_cents, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    category="2.14 behavioral analytics (engine extension)",
+    doc="ABC (Pareto) inventory classification: per-part revenue, "
+    "cumulative revenue share in descending-revenue order, and the "
+    "80/95 class cut — the stock-prioritization classic. Revenue is "
+    "INTEGER CENTS: each row's double product is bit-identical on "
+    "both engines, floor(x*100+0.5) lands it on the same integer, "
+    "and integer sums are addition-order-free — so neither the "
+    "per-part totals nor the running shares can drift at a rounding "
+    "boundary the way ROUND(SUM(double)) does. Scale shape: "
+    "the fact table collapses to the PART DIMENSION first (one "
+    "keyed shuffle); the ranked cumsum then runs over that "
+    "dimension-sized frame — fine while parts ≪ facts; a "
+    "corpus-scale variant would reuse the two-level prefix sum "
+    "(sink_identity_column) over revenue-ordered buckets.",
+)
+def agg_abc_classification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents).cast("bigint").alias("revenue_cents"))
+        .localCheckpoint(eager=False)
+    )
+    tot = pr.agg(F.sum("revenue_cents").alias("total"))
+    w = Window.orderBy(F.desc("revenue_cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = pr.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share",
+        F.round(
+            F.sum("revenue_cents").over(w).cast("double") / F.col("total"),
+            9,
+        ),
+    )
+    return c.select(
+        "l_partkey",
+        "revenue_cents",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
