@@ -167,3 +167,59 @@ def pagerank_from_adjacency(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection) on an
+    undirected ``(src < dst)`` distinct edge list; returns
+    ``(node, label)`` after ``rounds`` iterations.
+
+    Every node starts labeled with its own id; each round, a node
+    adopts the label held by the MOST of its neighbors, ties broken
+    by the smallest label — a fully deterministic variant of
+    Raghavan et al.'s LPA (the classic formulation breaks ties
+    randomly, which no distributed gate can reproduce). Synchronous
+    update: round k+1 reads only round k's labels.
+
+    Pregel shape, same contract as :func:`pagerank_from_adjacency`:
+    the adjacency is collapsed to per-node neighbor lists,
+    repartitioned on the node key ONCE and checkpointed; each
+    round's label vector arrives hash-partitioned on that same key
+    from the previous round's aggregate, so the per-round join is
+    node-sized on both sides with zero extra exchanges. Votes
+    explode out of the neighbor lists only after the join, and the
+    vote count's map-side partial aggregation bounds the shuffle at
+    (node, label)-cardinality. The per-node argmax runs
+    ``min_by(label, (-votes, label))`` — one aggregate, no window
+    sort. Per-round lazy ``localCheckpoint`` keeps the plan flat, so
+    round cost is constant: O(rounds) keyed shuffles total.
+    """
+    adj = symmetrize(edges)
+    adj_lists = (
+        adj.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    labels = adj_lists.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            adj_lists.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .select(F.explode("nbrs").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.expr(
+                    "min_by(label, struct(-v, label))"
+                ).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -376,3 +376,88 @@ def graph_adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    e2 AS (SELECT src, dst FROM edges WHERE w >= 2),
+    adj AS (
+        SELECT src, dst FROM e2
+        UNION ALL
+        SELECT dst, src FROM e2
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj),
+    v1 AS (
+        SELECT a.src AS node, l.label, COUNT(*) AS v
+        FROM adj a JOIN l0 l ON l.node = a.dst
+        GROUP BY 1, 2
+    ),
+    l1 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY v DESC, label
+                   ) AS rn
+            FROM v1
+        ) WHERE rn = 1
+    ),
+    v2 AS (
+        SELECT a.src AS node, l.label, COUNT(*) AS v
+        FROM adj a JOIN l1 l ON l.node = a.dst
+        GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY v DESC, label
+                   ) AS rn
+            FROM v2
+        ) WHERE rn = 1
+    ),
+    v3 AS (
+        SELECT a.src AS node, l.label, COUNT(*) AS v
+        FROM adj a JOIN l2 l ON l.node = a.dst
+        GROUP BY 1, 2
+    ),
+    l3 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY v DESC, label
+                   ) AS rn
+            FROM v3
+        ) WHERE rn = 1
+    )
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l3 GROUP BY label
+    ORDER BY n_nodes DESC, community
+    """,
+    category="2.11 graph (engine extension)",
+    doc="Community detection on the w>=2 co-purchase subgraph: 3 "
+    "synchronous label-propagation rounds (every node adopts its "
+    "neighbors' majority label, ties to the smallest — the "
+    "deterministic LPA variant; random tie-breaks are "
+    "irreproducible across engines), summarized as (community, "
+    "size). Pregel shape shared with PageRank: adjacency lists "
+    "partitioned once, only the O(N) label vector moves per round, "
+    "vote counts map-side combined, per-node argmax as one min_by "
+    "aggregate over a (-votes, label) struct — no window sort. The "
+    "oracle unrolls the same 3 rounds as chained CTEs.",
+)
+def graph_label_propagation_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_lakehouse_spark.operators.graph import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir, min_weight=2)
+    labels = label_propagation(edges.select("src", "dst"), rounds=3)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.col("label").cast("bigint").alias("community"), "n_nodes")
+        .orderBy(F.col("n_nodes").desc(), "community")
+    )

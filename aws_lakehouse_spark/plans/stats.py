@@ -453,3 +453,132 @@ def agg_extended_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     )
+
+
+@register(
+    "agg_correlation_matrix",
+    oracle="""
+    WITH ints AS (
+        SELECT CAST(ROUND(l_quantity * 100) AS HUGEINT) AS q,
+               CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS e,
+               CAST(ROUND(l_discount * 100) AS HUGEINT) AS d,
+               CAST(ROUND(l_tax * 100) AS HUGEINT) AS t
+        FROM lineitem
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(q) AS sq, SUM(e) AS se, SUM(d) AS sd, SUM(t) AS st,
+               SUM(q * q) AS pqq, SUM(e * e) AS pee,
+               SUM(d * d) AS pdd, SUM(t * t) AS ptt,
+               SUM(q * e) AS pqe, SUM(q * d) AS pqd, SUM(q * t) AS pqt,
+               SUM(e * d) AS ped, SUM(e * t) AS pet, SUM(d * t) AS pdt
+        FROM ints
+    )
+    SELECT metric_a, metric_b,
+           ROUND(cov / (sqrt(va) * sqrt(vb)), 6) AS corr
+    FROM (
+        SELECT 'l_quantity' AS metric_a, 'l_extendedprice' AS metric_b,
+               CAST(n * pqe - sq * se AS DOUBLE) AS cov,
+               CAST(n * pqq - sq * sq AS DOUBLE) AS va,
+               CAST(n * pee - se * se AS DOUBLE) AS vb
+        FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               CAST(n * pqd - sq * sd AS DOUBLE),
+               CAST(n * pqq - sq * sq AS DOUBLE),
+               CAST(n * pdd - sd * sd AS DOUBLE)
+        FROM m
+        UNION ALL
+        SELECT 'l_quantity', 'l_tax',
+               CAST(n * pqt - sq * st AS DOUBLE),
+               CAST(n * pqq - sq * sq AS DOUBLE),
+               CAST(n * ptt - st * st AS DOUBLE)
+        FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               CAST(n * ped - se * sd AS DOUBLE),
+               CAST(n * pee - se * se AS DOUBLE),
+               CAST(n * pdd - sd * sd AS DOUBLE)
+        FROM m
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_tax',
+               CAST(n * pet - se * st AS DOUBLE),
+               CAST(n * pee - se * se AS DOUBLE),
+               CAST(n * ptt - st * st AS DOUBLE)
+        FROM m
+        UNION ALL
+        SELECT 'l_discount', 'l_tax',
+               CAST(n * pdt - sd * st AS DOUBLE),
+               CAST(n * pdd - sd * sd AS DOUBLE),
+               CAST(n * ptt - st * st AS DOUBLE)
+        FROM m
+    )
+    ORDER BY metric_a, metric_b
+    """,
+    category="2.4 aggregation (feature statistics)",
+    doc="Pairwise Pearson correlation matrix over the four lineitem "
+    "numeric measures (quantity, extendedprice, discount, tax) — "
+    "the feature-redundancy screen run before model training or "
+    "mixture design. NOT the built-in corr(): a double-summed "
+    "co-moment depends on partition merge order (flaky at a rounding "
+    "boundary), so every measure is scaled to exact integer cents "
+    "and ONE map-side-combinable aggregate accumulates all 15 "
+    "decimal-exact sums/products; the 6 correlations are then closed-"
+    "form double arithmetic on identical integers — bit-stable on "
+    "both engines, any partitioning, one fact scan, one 1-row "
+    "exchange.",
+)
+def agg_correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "q": "l_quantity",
+        "e": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    dec = "decimal(38,0)"
+    ints = li.select(
+        *[
+            F.round(F.col(c) * 100).cast(dec).alias(k)
+            for k, c in cols.items()
+        ]
+    )
+    keys = list(cols)
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    aggs += [F.sum(k).alias(f"s{k}") for k in keys]
+    for i, a in enumerate(keys):
+        for b in keys[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a) * F.col(b)).cast(dec)
+                ).alias(f"p{a}{b}")
+            )
+    m = ints.agg(*aggs)
+
+    def corr(a: str, b: str):
+        cov = (
+            F.col("n") * F.col(f"p{a}{b}") - F.col(f"s{a}") * F.col(f"s{b}")
+        ).cast("double")
+        va = (
+            F.col("n") * F.col(f"p{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
+        ).cast("double")
+        vb = (
+            F.col("n") * F.col(f"p{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
+        ).cast("double")
+        return F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6)
+
+    rows = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            rows.append(
+                F.struct(
+                    F.lit(cols[a]).alias("metric_a"),
+                    F.lit(cols[b]).alias("metric_b"),
+                    corr(a, b).alias("corr"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.metric_a", "r.metric_b", "r.corr")
+        .orderBy("metric_a", "metric_b")
+    )

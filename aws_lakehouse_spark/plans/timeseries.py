@@ -65,8 +65,12 @@ def window_rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     )
     SELECT b1.event_type, b1.bucket,
-           ROUND(0.3 * SUM(
-               power(0.7, date_diff('hour', b2.bucket, b1.bucket)) * b2.x
+           ROUND(0.3 * list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(
+                   power(0.7, date_diff('hour', b2.bucket, b1.bucket)) * b2.x
+                   ORDER BY date_diff('hour', b2.bucket, b1.bucket)
+               )),
+               (acc, t) -> acc + t
            ), 4) AS ewma
     FROM buckets b1
     JOIN buckets b2
@@ -83,7 +87,13 @@ def window_rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time. Truncation keeps the formula a BOUNDED banded self-join "
     "(<=24x fan-out on the hour axis, equi-keyed on event_type) — "
     "the scale-safe form; an unbounded recursive EWMA needs "
-    "power((1-a), -t) terms that overflow doubles past ~700 steps.",
+    "power((1-a), -t) terms that overflow doubles past ~700 steps. "
+    "The <=24 weighted terms per bucket are summed as an ORDERED "
+    "left fold (sort_array + aggregate here, list ORDER BY + "
+    "list_reduce in the oracle): a plain SUM's association order "
+    "depends on AQE partition merge order run-to-run, and a "
+    "1-ulp association difference can flip the 4 dp rounding at a "
+    "boundary — the ordered fold is bit-stable on both engines.",
 )
 def events_ewma_trailing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -115,7 +125,21 @@ def events_ewma_trailing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(0.3)
-                * F.sum(F.pow(F.lit(0.7), hours) * F.col("b2.x")),
+                * F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                hours.cast("int").alias("h"),
+                                (
+                                    F.pow(F.lit(0.7), hours)
+                                    * F.col("b2.x")
+                                ).alias("t"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"],
+                ),
                 4,
             ).alias("ewma")
         )
@@ -694,4 +718,79 @@ def window_percent_rank_cume_q(
         "c_mktsegment",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               (date_part('year', o_orderdate) - 1992) * 12
+                   + date_part('month', o_orderdate) - 1 AS midx,
+               SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS y
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.o_orderpriority,
+               CAST(b.y - a.y AS DOUBLE)
+                   / CAST(b.midx - a.midx AS DOUBLE) AS slope
+        FROM monthly a
+        JOIN monthly b
+          ON a.o_orderpriority = b.o_orderpriority
+         AND a.midx < b.midx
+    )
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(slope, 0.5) / 100, 6) AS trend_per_month
+    FROM slopes
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="2.6 windows (robust statistics)",
+    doc="Theil-Sen estimator of the monthly revenue trend per order "
+    "priority: the MEDIAN of all pairwise month-to-month slopes — "
+    "the robust alternative to OLS (ts_linear_trend) with a 29% "
+    "breakdown point, immune to a quarter of the months being "
+    "outliers. The fact table collapses to the (priority, month) "
+    "frame FIRST (one map-side-combinable aggregate of exact "
+    "integer-cent sums — order-free, bit-stable), so the O(m²) "
+    "pairwise self-join acts on ~80 rows per group, never on data; "
+    "slopes are double ratios of identical exact integers and the "
+    "exact interpolated median sorts them engine-identically.",
+)
+def ts_theil_sen_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - 1992) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("midx"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+        ).alias("y")
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+        & (F.col("a.midx") < F.col("b.midx")),
+    ).select(
+        F.col("a.o_orderpriority").alias("o_orderpriority"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.midx") - F.col("a.midx")).cast("double")
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.expr("percentile(slope, 0.5)") / 100, 6
+            ).alias("trend_per_month")
+        )
+        .orderBy("o_orderpriority")
     )
