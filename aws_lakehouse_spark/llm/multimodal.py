@@ -526,3 +526,68 @@ def extract_image_histograms(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(data)
 
     return media.mapInPandas(_extract, IMAGE_HISTOGRAM_SCHEMA)
+
+
+AUDIO_LOUDNESS_SCHEMA = (
+    "media_id bigint, n_frames bigint, peak_amp bigint, "
+    "rms double, dbfs double"
+)
+
+
+def extract_audio_loudness(media: DataFrame) -> DataFrame:
+    """Loudness profile over mono 16-bit WAV payloads (Arrow
+    batches): per clip, the peak absolute amplitude, RMS level, and
+    dBFS relative to int16 full scale — the normalization /
+    too-quiet-clip filter an audio training pipeline runs before
+    feature extraction (clips near the noise floor train nothing;
+    clipped peaks flag corrupted captures).
+
+    The sum of squared samples is EXACT integer arithmetic (int16²
+    sums never overflow Python ints), so ``rms = sqrt(ssq / n)`` and
+    ``dbfs = 20·log10(rms / 32768)`` start from identical integers
+    on any partitioning — bit-stable, batch-order-free. Decoding
+    goes through :func:`codecs.wav_samples` (mono/16-bit enforced,
+    ``ValueError`` on malformed payloads). A fully-silent clip has
+    no finite dBFS; it reports the -120.0 floor.
+    """
+    import math
+
+    from aws_lakehouse_spark.llm.codecs import wav_samples
+
+    def analyze(payload: bytes) -> dict:
+        _rate, n_channels, _n, samples = wav_samples(payload)
+        if n_channels != 1:
+            raise ValueError(
+                f"extract_audio_loudness requires mono WAV, got "
+                f"{n_channels} channels"
+            )
+        n = len(samples)
+        ssq = sum(s * s for s in samples)
+        peak = max((abs(s) for s in samples), default=0)
+        rms = math.sqrt(ssq / n) if n else 0.0
+        dbfs = (
+            round(20.0 * math.log10(rms / 32768.0), 6)
+            if rms > 0.0
+            else -120.0
+        )
+        return {
+            "n_frames": n,
+            "peak_amp": peak,
+            "rms": round(rms, 6),
+            "dbfs": dbfs,
+        }
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["content"].map(analyze)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": feats.map(lambda d: d["n_frames"]),
+                    "peak_amp": feats.map(lambda d: d["peak_amp"]),
+                    "rms": feats.map(lambda d: d["rms"]),
+                    "dbfs": feats.map(lambda d: d["dbfs"]),
+                }
+            )
+
+    return media.mapInPandas(_extract, AUDIO_LOUDNESS_SCHEMA)

@@ -833,3 +833,61 @@ def media_image_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _audio_loudness_oracle() -> str:
+    """Analytic oracle: peak/RMS/dBFS recomputed from the PLANT
+    amplitude formula in pure Python — the exact integer sum of
+    squares feeds the identical sqrt/log10 the executors run, so the
+    expected doubles are bit-equal without ever touching the codec."""
+    import math
+
+    rows = []
+    for i, _wav, n, lead, trail in _audio_silence_fixture():
+        amps = []
+        for j in range(n):
+            if j < lead or j >= n - trail:
+                amps.append(0)
+            else:
+                amps.append(100 + ((j * 31 + i * 7) % 1500))
+        ssq = sum(a * a for a in amps)
+        peak = max(amps)
+        rms = math.sqrt(ssq / n)
+        dbfs = round(20.0 * math.log10(rms / 32768.0), 6)
+        rows.append(f"({i}, {n}, {peak}, {round(rms, 6)!r}, {dbfs!r})")
+    values = ",\n        ".join(rows)
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(peak_amp AS BIGINT) AS peak_amp,
+           CAST(rms AS DOUBLE) AS rms,
+           CAST(dbfs AS DOUBLE) AS dbfs
+    FROM (VALUES
+        {values}
+    ) t(media_id, n_frames, peak_amp, rms, dbfs)
+    """
+
+
+@register(
+    "media_audio_rms_loudness",
+    oracle=_audio_loudness_oracle(),
+    category="llm multimodal",
+    doc="Loudness profiling over real PCM samples (Arrow batches): "
+    "peak amplitude, RMS level, and dBFS vs int16 full scale — the "
+    "normalization / too-quiet-clip gate audio pipelines apply "
+    "before chunking. The squared-sample sum is exact integer "
+    "arithmetic (order-free at any partitioning); the oracle "
+    "recomputes peak/RMS/dBFS analytically from the planted "
+    "amplitude formula, never decoding a byte, so a green row "
+    "certifies encode → decode → loudness math against codec-"
+    "independent ground truth.",
+)
+def media_audio_rms_loudness_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import extract_audio_loudness
+
+    rows = [(i, bytearray(wav)) for i, wav, _n, _l, _t in
+            _audio_silence_fixture()]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    return extract_audio_loudness(media)
