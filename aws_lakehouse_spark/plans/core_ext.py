@@ -2102,3 +2102,100 @@ def agg_filtered_kpis_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "snapshot_segmented_manifest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) / 100.0, 2)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.9 maintenance (M5 segmented manifests)",
+    doc="Iceberg manifest-list hierarchy for the snapshot log: each "
+    "commit's new files land in one immutable SEGMENT, and an "
+    "append's manifest is the base's segment list plus that one "
+    "segment — metadata written per append is O(files added), "
+    "never O(files in table), the property that lets a petabyte "
+    "table absorb appends without rewriting its file inventory "
+    "every commit (sources/snapshots.py:snapshot_write "
+    "segmented=True; vs the reference's Iceberg manifests, "
+    "noaa_ghcn_bronze_to_silver.py:117-138). The query commits "
+    "three segmented snapshots (overwrite + 2 appends), asserts "
+    "IN-BAND that each append added exactly one segment and reused "
+    "the base's verbatim, then aggregates the resolved read; the "
+    "oracle recomputes from source, so a green row proves "
+    "segment-resolved reads lose and duplicate nothing. Exact "
+    "integer-cent totals keep the sum order-free.",
+)
+def snapshot_segmented_manifest_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        _read_manifest_raw,
+        read_snapshot,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_segmf_"), "orders_snap"
+    )
+    v0 = snapshot_write(
+        spark,
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        table,
+        "overwrite",
+        segmented=True,
+    )
+    v1 = snapshot_write(
+        spark,
+        orders.filter(F.col("o_orderkey") % 3 == 1),
+        table,
+        "append",
+        segmented=True,
+    )
+    v2 = snapshot_write(
+        spark,
+        orders.filter(F.col("o_orderkey") % 3 == 2),
+        table,
+        "append",
+        segmented=True,
+    )
+    s0 = _read_manifest_raw(table, v0)["segments"]
+    s1 = _read_manifest_raw(table, v1)["segments"]
+    s2 = _read_manifest_raw(table, v2)["segments"]
+    if not (s1[: len(s0)] == s0 and len(s1) == len(s0) + 1):
+        raise AssertionError(
+            f"append v1 must reuse v0's segments + 1: {s0} -> {s1}"
+        )
+    if not (s2[: len(s1)] == s1 and len(s2) == len(s1) + 1):
+        raise AssertionError(
+            f"append v2 must reuse v1's segments + 1: {s1} -> {s2}"
+        )
+    return (
+        read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

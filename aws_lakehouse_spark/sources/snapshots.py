@@ -73,9 +73,55 @@ def versions(table_path: str) -> list[int]:
     )
 
 
-def _read_manifest(table_path: str, version: int) -> dict:
+def _segments_dir(table_path: str) -> str:
+    return os.path.join(_log_path(table_path), "segments")
+
+
+def _read_manifest_raw(table_path: str, version: int) -> dict:
+    """The manifest exactly as committed — a segmented manifest keeps
+    its ``segments`` reference list, files unresolved."""
     with open(_manifest_file(table_path, version)) as fh:
         return json.load(fh)
+
+
+def _write_segment(table_path: str, content: dict) -> str:
+    """Persist an immutable manifest segment (its own file subset +
+    per-file stats/bloom); returns the segment file name. Segments are
+    content-complete and never rewritten, so later commits reference
+    them by name at O(1) metadata cost."""
+    seg_dir = _segments_dir(table_path)
+    os.makedirs(seg_dir, exist_ok=True)
+    name = f"seg-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(seg_dir, name + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(content, fh)
+    os.replace(tmp, os.path.join(seg_dir, name))
+    return name
+
+
+def _read_manifest(table_path: str, version: int) -> dict:
+    """Resolved manifest view: always carries ``files`` (and merged
+    ``stats``/``bloom``), whether the commit was inline or segmented —
+    every reader downstream sees ONE shape."""
+    m = _read_manifest_raw(table_path, version)
+    if "segments" not in m:
+        return m
+    files: set[str] = set()
+    stats: dict = {}
+    bloom: dict = {}
+    for name in m["segments"]:
+        with open(os.path.join(_segments_dir(table_path), name)) as fh:
+            seg = json.load(fh)
+        files.update(seg["files"])
+        stats.update(seg.get("stats", {}))
+        bloom.update(seg.get("bloom", {}))
+    out = dict(m)
+    out["files"] = sorted(files)
+    if stats:
+        out["stats"] = stats
+    if bloom:
+        out["bloom"] = bloom
+    return out
 
 
 def _data_files(table_path: str) -> set[str]:
@@ -132,6 +178,7 @@ def snapshot_write(
     bloom_cols: list[str] | None = None,
     staged_id: str | None = None,
     branch: str | None = None,
+    segmented: bool = False,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the committed version.
 
@@ -156,6 +203,19 @@ def snapshot_write(
     :func:`read_snapshot_bloom_pruned` uses to plan EQUALITY lookups
     — the skipping structure for high-cardinality keys that min/max
     ranges can't prune unless the data is range-clustered.
+
+    ``segmented=True`` commits the manifest as a SEGMENT REFERENCE
+    LIST instead of an inline file list (Iceberg's manifest-list →
+    manifest-file hierarchy): each commit's new files (plus their
+    stats/bloom) land in one immutable segment; an append's manifest
+    is the base's segment list + that one new segment. Metadata
+    written per append is O(files added), never O(files in table) —
+    the property that lets a petabyte table absorb appends without
+    rewriting its file inventory every commit. Readers are unchanged
+    (resolution is transparent in ``_read_manifest``), inline and
+    segmented commits interoperate on the same log (an append onto an
+    inline base converts the base into one segment, once), and
+    ``remove_orphans`` reclaims segments no live manifest references.
 
     ``branch`` commits onto a named BRANCH (Iceberg branch
     semantics): the append base is the branch's current head — never
@@ -200,11 +260,16 @@ def snapshot_write(
     else:
         pub = published_versions(table_path)
         base_v = pub[-1] if pub else None
+    prev_segments: list[str] | None = None
+    prev: dict | None = None
     if mode == "append" and base_v is not None:
         prev = _read_manifest(table_path, base_v)
         live = prev["files"]
         stats.update(prev.get("stats", {}))
         bloom.update(prev.get("bloom", {}))
+        prev_segments = _read_manifest_raw(table_path, base_v).get(
+            "segments"
+        )
     else:
         live = []
     if stats_cols:
@@ -221,20 +286,56 @@ def snapshot_write(
         "version": version,
         "mode": mode,
         "committed_at": time.time(),
-        "files": sorted(set(live) | set(new_files)),
     }
+    if segmented:
+        segs: list[str] = []
+        if mode == "append" and live:
+            if prev_segments:
+                segs.extend(prev_segments)  # O(1) reuse, never rewritten
+            else:
+                # inline base: convert its full state into ONE segment
+                # (one-time O(files) cost; every later append is O(delta))
+                assert prev is not None
+                segs.append(
+                    _write_segment(
+                        table_path,
+                        {
+                            "files": list(prev["files"]),
+                            "stats": prev.get("stats", {}),
+                            "bloom": prev.get("bloom", {}),
+                        },
+                    )
+                )
+        if new_files:
+            segs.append(
+                _write_segment(
+                    table_path,
+                    {
+                        "files": sorted(new_files),
+                        "stats": {
+                            f: stats[f] for f in new_files if f in stats
+                        },
+                        "bloom": {
+                            f: bloom[f] for f in new_files if f in bloom
+                        },
+                    },
+                )
+            )
+        manifest["segments"] = segs
+    else:
+        manifest["files"] = sorted(set(live) | set(new_files))
+        if stats:
+            manifest["stats"] = {
+                f: stats[f] for f in manifest["files"] if f in stats
+            }
+        if bloom:
+            manifest["bloom"] = {
+                f: bloom[f] for f in manifest["files"] if f in bloom
+            }
     if staged_id is not None:
         manifest["staged"] = staged_id
     if branch is not None:
         manifest["branch"] = branch
-    if stats:
-        manifest["stats"] = {
-            f: stats[f] for f in manifest["files"] if f in stats
-        }
-    if bloom:
-        manifest["bloom"] = {
-            f: bloom[f] for f in manifest["files"] if f in bloom
-        }
     _commit_manifest(table_path, version, manifest)
     if branch is not None:
         _move_branch(table_path, branch, version)
@@ -638,12 +739,33 @@ def remove_orphans(table_path: str) -> dict:
     .py:74-81). Run after ``expire_snapshots``; files belonging to
     still-retained versions are never touched."""
     live: set[str] = set()
+    live_segments: set[str] = set()
     for v in versions(table_path):
         live |= set(_read_manifest(table_path, v)["files"])
+        live_segments |= set(
+            _read_manifest_raw(table_path, v).get("segments", [])
+        )
     orphans = sorted(_data_files(table_path) - live)
     for f in orphans:
         os.remove(os.path.join(table_path, f))
-    return {"op": "remove_orphans", "applied": True, "removed_files": len(orphans)}
+    # manifest segments referenced by no live manifest (their
+    # manifests were expired) are metadata orphans — same contract
+    seg_dir = _segments_dir(table_path)
+    seg_orphans: list[str] = []
+    if os.path.isdir(seg_dir):
+        seg_orphans = sorted(
+            f
+            for f in os.listdir(seg_dir)
+            if f.endswith(".json") and f not in live_segments
+        )
+        for f in seg_orphans:
+            os.remove(os.path.join(seg_dir, f))
+    return {
+        "op": "remove_orphans",
+        "applied": True,
+        "removed_files": len(orphans),
+        "removed_segments": len(seg_orphans),
+    }
 
 
 def delete_where(

@@ -896,3 +896,110 @@ def test_shallow_clone_carries_stats_and_time_travels(spark, tmp_path):
     # a clone target with existing history is refused
     with pytest.raises(ValueError):
         snapshots.clone_snapshot(src, dst)
+
+
+def test_segmented_append_reuses_segments(spark, table_path):
+    """Segment reuse contract: an append onto a segmented base writes
+    exactly ONE new segment and keeps the base's segments verbatim —
+    metadata per append is O(files added), not O(files in table)."""
+    v0 = snapshots.snapshot_write(
+        spark, _df(spark, 0, 10), table_path, "overwrite", segmented=True
+    )
+    m0 = snapshots._read_manifest_raw(table_path, v0)
+    assert "files" not in m0 and len(m0["segments"]) == 1
+
+    v1 = snapshots.snapshot_write(
+        spark, _df(spark, 10, 15), table_path, "append", segmented=True
+    )
+    m1 = snapshots._read_manifest_raw(table_path, v1)
+    # prefix is the base's segment list, untouched; one new segment
+    assert m1["segments"][: len(m0["segments"])] == m0["segments"]
+    assert len(m1["segments"]) == len(m0["segments"]) + 1
+
+    v2 = snapshots.snapshot_write(
+        spark, _df(spark, 15, 18), table_path, "append", segmented=True
+    )
+    m2 = snapshots._read_manifest_raw(table_path, v2)
+    assert m2["segments"][: len(m1["segments"])] == m1["segments"]
+    assert len(m2["segments"]) == len(m1["segments"]) + 1
+
+    # resolved reads are identical to the inline form
+    assert snapshots.read_snapshot(spark, table_path).count() == 18
+    assert snapshots.read_snapshot(spark, table_path, v1).count() == 15
+    assert snapshots.read_snapshot(spark, table_path, v0).count() == 10
+
+
+def test_segmented_interoperates_with_inline_log(spark, table_path):
+    """Inline and segmented commits share one log: a segmented append
+    onto an inline base converts the base into one segment (once),
+    and a later inline append resolves the segmented base fine."""
+    snapshots.snapshot_write(spark, _df(spark, 0, 10), table_path, "overwrite")
+    v1 = snapshots.snapshot_write(
+        spark, _df(spark, 10, 15), table_path, "append", segmented=True
+    )
+    m1 = snapshots._read_manifest_raw(table_path, v1)
+    assert len(m1["segments"]) == 2  # converted base + new batch
+    assert snapshots.read_snapshot(spark, table_path, v1).count() == 15
+
+    v2 = snapshots.snapshot_write(
+        spark, _df(spark, 15, 18), table_path, "append"
+    )
+    m2 = snapshots._read_manifest_raw(table_path, v2)
+    assert "segments" not in m2 and len(m2["files"]) > 0
+    assert snapshots.read_snapshot(spark, table_path, v2).count() == 18
+
+
+def test_segmented_stats_carried_and_pruned(spark, table_path):
+    """Per-file stats recorded into segments still drive min/max file
+    skipping through the resolved manifest view."""
+    snapshots.snapshot_write(
+        spark,
+        _df(spark, 0, 10),
+        table_path,
+        "overwrite",
+        stats_cols=["id"],
+        segmented=True,
+    )
+    snapshots.snapshot_write(
+        spark,
+        _df(spark, 1000, 1010),
+        table_path,
+        "append",
+        stats_cols=["id"],
+        segmented=True,
+    )
+    m = snapshots._read_manifest(table_path, 1)
+    assert m["stats"]  # merged across segments
+    planned, total = snapshots.plan_pruned_files(
+        table_path, "id", 1000, 1050
+    )
+    assert 0 < len(planned) < total
+    got = snapshots.read_snapshot_pruned(
+        spark, table_path, "id", 1000, 1050
+    )
+    assert got.count() == 10
+
+
+def test_segment_gc_after_expiry(spark, table_path):
+    """Expiring segmented manifests leaves their unshared segments
+    unreferenced; remove_orphans reclaims exactly those."""
+    snapshots.snapshot_write(
+        spark, _df(spark, 0, 10), table_path, "overwrite", segmented=True
+    )
+    snapshots.snapshot_write(
+        spark, _df(spark, 10, 15), table_path, "append", segmented=True
+    )
+    # overwrite: fresh single segment; earlier segments now only
+    # referenced by the expired-soon manifests
+    snapshots.snapshot_write(
+        spark, _df(spark, 100, 103), table_path, "overwrite", segmented=True
+    )
+    seg_dir = snapshots._segments_dir(table_path)
+    assert len(os.listdir(seg_dir)) == 3
+
+    snapshots.expire_snapshots(table_path, retain_last=1, older_than_s=0.0)
+    res = snapshots.remove_orphans(table_path)
+    assert res["removed_segments"] == 2
+    assert len(os.listdir(seg_dir)) == 1
+    # survivor still reads
+    assert snapshots.read_snapshot(spark, table_path).count() == 3
