@@ -2259,3 +2259,64 @@ def text_weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(draw < F.col("n_chars") * 400000).select(
         "doc_id", "lang", "n_chars", draw.alias("draw")
     )
+
+
+@register(
+    "text_unicode_nfc",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               substring(text, 1, 40)
+                   || 'e' || chr(769) || 'A' || chr(776) AS s
+        FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS raw_len,
+           CAST(length(nfc_normalize(s)) AS BIGINT) AS nfc_len,
+           md5(nfc_normalize(s)) AS nfc_md5
+    FROM raw
+    ORDER BY doc_id
+    """,
+    category="2.11 UDF surface (Arrow Python UDF)",
+    doc="Unicode NFC normalization via an ARROW-optimized Python UDF "
+    "(useArrow=True) — the canonicalization pass multilingual "
+    "curation needs before hashing/dedup (visually-identical text "
+    "in composed vs decomposed form hashes differently; NFC is the "
+    "W3C-recommended canonical form) and exactly the kind of "
+    "transform Spark has no built-in for: unicodedata lives in "
+    "Python. Arrow batches move columns, not pickled rows (the "
+    "modern slow-path contract: when Python is unavoidable, it is "
+    "vectorized transport, never per-row serialization). Each doc "
+    "gets deterministic decomposed sequences appended (e+U+0301, "
+    "A+U+0308), so the code-point length MUST contract by 2 and "
+    "the md5 of the normalized text hash-matches DuckDB's native "
+    "nfc_normalize — certifying byte-identical normalization "
+    "against an independent ICU-family implementation.",
+)
+def text_unicode_nfc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+
+    nfc = F.udf(
+        lambda s: unicodedata.normalize("NFC", s) if s is not None else None,
+        "string",
+        useArrow=True,
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit("éÄ")
+        ).alias("s"),
+    )
+    return (
+        raw.select(
+            "doc_id",
+            F.length("s").cast("bigint").alias("raw_len"),
+            F.length(nfc(F.col("s"))).cast("bigint").alias("nfc_len"),
+            F.md5(nfc(F.col("s")).cast("binary")).alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -388,3 +388,88 @@ ORDER BY region, n_nationkey
 def sql_lateral_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ("region", "nation"))
     return spark.sql(LATERAL_TOPK_SQL)
+
+
+# Spark 4 SQL pipe syntax (|>): each |> stage is a self-contained
+# transform over the previous result — the linear-dataflow face of
+# the same logical plan ANSI nesting expresses inside-out. Catalyst
+# compiles both to the identical optimized plan.
+PIPE_SYNTAX_SQL = """
+FROM orders
+|> JOIN customer ON o_custkey = c_custkey
+|> WHERE o_orderstatus = 'F'
+|> AGGREGATE COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+   GROUP BY c_mktsegment
+|> ORDER BY revenue DESC, c_mktsegment
+"""
+
+PIPE_SYNTAX_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_mktsegment
+ORDER BY revenue DESC, c_mktsegment
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle=PIPE_SYNTAX_ORACLE,
+    category="3.3 interactive SQL (pipe syntax)",
+    doc="Spark 4 SQL pipe syntax: the segment-revenue query written "
+    "as a |> dataflow chain (FROM |> JOIN |> WHERE |> AGGREGATE "
+    "|> ORDER BY) — the linear read-top-to-bottom form Spark 4.0 "
+    "added for interactive analytics. Catalyst compiles the chain "
+    "to the same optimized plan as the nested ANSI form the oracle "
+    "runs, so a green row certifies the pipe-syntax front end "
+    "end-to-end (parser -> analyzer -> identical results), and the "
+    "engine's SQL surface accepts both dialects a user might bring.",
+)
+def sql_pipe_syntax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(PIPE_SYNTAX_SQL)
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="3.3 interactive SQL (parameter binding)",
+    doc="Named-parameter SQL (spark.sql(..., args={...})): the "
+    "query text carries :min_price / :status placeholders and the "
+    "values bind server-side as literal foldable expressions — the "
+    "injection-safe template pattern every dashboard and report "
+    "scheduler needs (string-interpolated SQL is both unsafe and "
+    "uncacheable; bound parameters keep ONE parse tree across "
+    "invocations and still constant-fold into pushed-down scan "
+    "filters). The oracle inlines the same literals.",
+)
+def sql_parameterized_query_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders
+        WHERE o_totalprice >= :min_price
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 150000.0, "status": "O"},
+    )
