@@ -90,8 +90,14 @@ from aws_lakehouse_spark.registry import REGISTRY
 # quality_referential_integrity, agg_filtered_kpis,
 # window_percent_rank_cume, media_image_neardup, text_weighted_sample,
 # scalar_interval_family, customer_rfm_segmentation,
-# agg_abc_classification — dual-SF parity-green) = 94+ candidates
-# for 50 slots; grade the r3
+# agg_abc_classification — dual-SF parity-green) plus the
+# round-4-fourth-pass additions (graph_label_propagation,
+# agg_correlation_matrix, ts_theil_sen_slope, ann_ivf_pq,
+# media_audio_rms_loudness, snapshot_segmented_manifest,
+# sql_pipe_syntax, sql_parameterized_query, text_unicode_nfc — all
+# dual-SF parity-green; events_ewma_trailing's flaky float-association
+# rounding also hardened via ordered-fold summation this pass) = 100+
+# candidates for 50 slots; grade the r3
 # tier first (older debt), r4 additions fill the remainder, rest
 # roll to r6.
 _PRIORITY = [
