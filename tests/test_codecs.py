@@ -518,3 +518,34 @@ def test_extract_audio_silence_rejects_bad_payloads(spark):
     )
     with _pytest.raises(Exception, match="mono"):
         extract_audio_silence(stereo).collect()
+
+
+def test_extract_audio_loudness_known_signals(spark):
+    """Constant-amplitude clip: RMS equals the amplitude exactly;
+    all-silent clip reports the -120 dBFS floor; stereo rejected."""
+    import math
+
+    import pytest as _pytest
+
+    from aws_lakehouse_spark.llm.codecs import wav_encode
+    from aws_lakehouse_spark.llm.multimodal import extract_audio_loudness
+
+    const = wav_encode(100, 8000, lambda i: 1000)
+    silent = wav_encode(50, 8000, lambda i: 0)
+    media = spark.createDataFrame(
+        [(1, const), (2, silent)], "media_id bigint, content binary"
+    )
+    rows = {r["media_id"]: r for r in extract_audio_loudness(media).collect()}
+    assert rows[1]["peak_amp"] == 1000
+    assert rows[1]["rms"] == 1000.0
+    assert rows[1]["dbfs"] == round(20 * math.log10(1000 / 32768), 6)
+    assert rows[2]["peak_amp"] == 0
+    assert rows[2]["rms"] == 0.0
+    assert rows[2]["dbfs"] == -120.0
+
+    stereo = spark.createDataFrame(
+        [(3, wav_encode(40, 8000, lambda i: 500, n_channels=2))],
+        "media_id bigint, content binary",
+    )
+    with _pytest.raises(Exception, match="mono"):
+        extract_audio_loudness(stereo).collect()

@@ -118,3 +118,67 @@ def test_pagerank_from_adjacency_matches_edge_form(spark):
     }
     assert via_edges == via_adj
     assert abs(sum(via_adj.values()) - 1.0) < 1e-9
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA labels each
+    triangle with its minimum member id; the deterministic min-label
+    tie-break keeps the bridge endpoints in their own cliques."""
+    from aws_lakehouse_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    tri2 = [(4, 5), (4, 6), (5, 6)]
+    bridge = [(3, 4)]
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            _edges(spark, tri1 + tri2 + bridge), rounds=3
+        ).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    # clique 2 converges to its own min label (4's neighbors 5,6
+    # vote their clique's labels; the bridge's single vote loses)
+    assert labels[5] == labels[6] == labels[4]
+    assert labels[4] != labels[1]
+
+
+def test_label_propagation_sequential_reference(spark):
+    """Synchronous LPA on a random-ish graph matches an independent
+    sequential implementation of the same update rule."""
+    import random
+
+    from aws_lakehouse_spark.operators.graph import label_propagation
+
+    rng = random.Random(7)
+    nodes = list(range(20))
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(40)
+            for a, b in [sorted(rng.sample(nodes, 2))]
+        }
+    )
+    rounds = 3
+
+    # sequential reference: same majority-with-min-tie-break rule
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[lab[m]] = counts.get(lab[m], 0) + 1
+            nxt[n] = min(
+                counts, key=lambda c: (-counts[c], c)
+            )
+        lab = nxt
+
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(_edges(spark, pairs), rounds).collect()
+    }
+    assert got == lab

@@ -202,3 +202,51 @@ def test_bm25_pushes_term_filter_below_aggregation(spark):
     for i in filt_idx:
         below = "\n".join(lines[i + 1 : i + 3])
         assert "Generate explode" in below, plan
+
+
+def test_ivf_pq_consistent_with_full_pq_scan(spark):
+    """ann_ivf_pq must assign every returned candidate the SAME
+    ADC distance the full-corpus PQ scan computes (same codebook,
+    same query), and its ranking must be the full scan's ranking
+    restricted to the probed cells' candidates — IVF routing only
+    drops candidates, never rescores them."""
+    ivf = {
+        r["vec_id"]: r["approx_d2"]
+        for r in REGISTRY["ann_ivf_pq"].fn(spark, SF).collect()
+    }
+    assert len(ivf) == 10
+    full = {
+        r["vec_id"]: r["approx_d2"]
+        for r in REGISTRY["ann_product_quantization"].fn(spark, SF).collect()
+    }
+    shared = set(ivf) & set(full)
+    assert shared, "expected overlap between IVF-PQ and full PQ top-k"
+    for vid in shared:
+        assert ivf[vid] == full[vid], (vid, ivf[vid], full[vid])
+
+
+def test_ivf_pq_candidates_come_from_probed_cells(spark):
+    """Every returned neighbor's coarse cell must be one of the
+    query's nprobe nearest cells (recomputed independently with
+    numpy from the same deterministic centroids)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = {
+        int(r.vec_id): np.array([float(x) for x in r.embedding])
+        for r in emb.itertuples()
+    }
+    cents = {c: vecs[15 + c] for c in (1, 2, 3, 4)}
+
+    def cos(a, b):
+        return round(
+            float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 6
+        )
+
+    q = vecs[42]
+    probe = sorted(cents, key=lambda c: (-cos(q, cents[c]), c))[:2]
+
+    def cell(v):
+        return min(cents, key=lambda c: (-cos(v, cents[c]), c))
+
+    out = REGISTRY["ann_ivf_pq"].fn(spark, SF).collect()
+    for r in out:
+        assert cell(vecs[int(r["vec_id"])]) in probe, r

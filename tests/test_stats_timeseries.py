@@ -211,3 +211,58 @@ def test_bitmap_distinct_is_exact(spark):
         .collect()
     }
     assert out == exact
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    """The exact-integer-moment Pearson matrix equals numpy's corrcoef
+    on the same (cent-rounded) data to float precision."""
+    import numpy as np
+
+    out = {
+        (r["metric_a"], r["metric_b"]): r["corr"]
+        for r in _run(spark, "agg_correlation_matrix").collect()
+    }
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .toPandas()
+    )
+    cents = np.round(li.to_numpy(dtype=np.float64) * 100)
+    ref = np.corrcoef(cents, rowvar=False)
+    cols = list(li.columns)
+    assert len(out) == 6
+    for (a, b), got in out.items():
+        expected = ref[cols.index(a), cols.index(b)]
+        assert abs(got - expected) < 1e-6, (a, b, got, expected)
+
+
+def test_theil_sen_matches_sequential_reference(spark):
+    """Theil-Sen slope per priority equals an independent
+    median-of-pairwise-slopes computation over the same monthly
+    integer-cent frame."""
+    import statistics
+
+    out = {
+        r["o_orderpriority"]: r["trend_per_month"]
+        for r in _run(spark, "ts_theil_sen_slope").collect()
+    }
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    monthly: dict[tuple, int] = {}
+    for r in orders.collect():
+        m = (r["o_orderdate"].year - 1992) * 12 + r["o_orderdate"].month - 1
+        k = (r["o_orderpriority"], m)
+        monthly[k] = monthly.get(k, 0) + round(r["o_totalprice"] * 100)
+    by_p: dict[str, list[tuple[int, int]]] = {}
+    for (p, m), y in monthly.items():
+        by_p.setdefault(p, []).append((m, y))
+    for p, series in by_p.items():
+        series.sort()
+        slopes = [
+            (y2 - y1) / (m2 - m1)
+            for i, (m1, y1) in enumerate(series)
+            for m2, y2 in series[i + 1:]
+        ]
+        expected = round(statistics.median(slopes) / 100, 6)
+        assert abs(out[p] - expected) < 1e-9, (p, out[p], expected)
