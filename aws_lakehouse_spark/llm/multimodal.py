@@ -591,3 +591,58 @@ def extract_audio_loudness(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, AUDIO_LOUDNESS_SCHEMA)
+
+
+IMAGE_PROFILE_SCHEMA = (
+    "media_id bigint, width int, height int, n_pixels bigint, "
+    "mean_luma double, dhash string"
+)
+
+
+def decode_image_profile(media: DataFrame) -> DataFrame:
+    """ONE decode pass per image producing everything the curation
+    pipeline downstream needs: dimensions, pixel count, mean integer
+    luma, and the 64-bit perceptual dHash — so the composite
+    quality-gate → near-dup → survivor flow never decodes a payload
+    twice. Luma accumulates as an exact integer sum before the one
+    division (order-free, bit-stable); the hash path is
+    :func:`_dhash_one`'s integer-exact grid."""
+    import numpy as np
+
+    from aws_lakehouse_spark.llm.codecs import png_decode_pixels
+
+    def profile(payload: bytes) -> dict:
+        d = png_decode_pixels(bytes(payload))
+        w, h, c = d["width"], d["height"], d["channels"]
+        arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, c)
+        if c >= 3:
+            a = arr.astype(np.int64)
+            luma = (
+                299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+            ) // 1000
+        else:
+            luma = arr[:, :, 0].astype(np.int64)
+        n = w * h
+        return {
+            "width": w,
+            "height": h,
+            "n_pixels": n,
+            "mean_luma": round(int(luma.sum()) / n, 6),
+            "dhash": _dhash_one(bytes(payload)),
+        }
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["content"].map(profile)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": feats.map(lambda d: d["width"]),
+                    "height": feats.map(lambda d: d["height"]),
+                    "n_pixels": feats.map(lambda d: d["n_pixels"]),
+                    "mean_luma": feats.map(lambda d: d["mean_luma"]),
+                    "dhash": feats.map(lambda d: d["dhash"]),
+                }
+            )
+
+    return media.mapInPandas(_extract, IMAGE_PROFILE_SCHEMA)

@@ -891,3 +891,119 @@ def media_audio_rms_loudness_q(
             _audio_silence_fixture()]
     media = spark.createDataFrame(rows, "media_id bigint, content binary")
     return extract_audio_loudness(media)
+
+
+def _media_curation_expected() -> list[tuple]:
+    """The full curation pipeline recomputed in pure Python from the
+    fixture pixel FORMULAS (no codec, no numpy): profile → quality
+    gate → per-hash survivor. Returns survivor rows."""
+    profiles = []
+    for i in range(20):
+        specs = [(i, 1)] + ([(100 + i, 2)] if i % 4 == 0 else [])
+        for mid, factor in specs:
+            w, h = (24 + i) * factor, (16 + (i % 7)) * factor
+            total = 0
+            for y in range(h):
+                for x in range(w):
+                    sx, sy = x // factor, y // factor
+                    r = (sx * 73 + sy * 29 + i * 11) % 256
+                    g = (sx * 151 + i * 7) % 256
+                    b = (sy * 97 + sx * 13 + i * 3) % 256
+                    total += (299 * r + 587 * g + 114 * b) // 1000
+            profiles.append(
+                {
+                    "media_id": mid,
+                    "width": w,
+                    "height": h,
+                    "n_pixels": w * h,
+                    "mean_luma": round(total / (w * h), 6),
+                    "dhash": _dhash_expected()[mid],
+                }
+            )
+    gated = [p for p in profiles if p["n_pixels"] >= 500]
+    by_hash: dict[str, list[dict]] = {}
+    for p in gated:
+        by_hash.setdefault(p["dhash"], []).append(p)
+    rows = []
+    for hx, members in by_hash.items():
+        keep = min(members, key=lambda p: p["media_id"])
+        rows.append(
+            (
+                keep["media_id"],
+                hx,
+                keep["width"],
+                keep["height"],
+                keep["mean_luma"],
+                len(members),
+            )
+        )
+    rows.sort()
+    return rows
+
+
+def _media_curation_oracle() -> str:
+    values = ",\n        ".join(
+        f"({mid}, '{hx}', {w}, {h}, {luma!r}, {n})"
+        for mid, hx, w, h, luma, n in _media_curation_expected()
+    )
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id, dhash,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(mean_luma AS DOUBLE) AS mean_luma,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM (VALUES
+        {values}
+    ) t(media_id, dhash, width, height, mean_luma, n_copies)
+    """
+
+
+@register(
+    "media_curation_pipeline",
+    oracle=_media_curation_oracle(),
+    category="llm multimodal (composite pipeline)",
+    doc="The image half of a training-data curation run as ONE "
+    "Catalyst plan: decode-once profiling (dimensions + exact-"
+    "integer mean luma + perceptual dHash in a single Arrow pass — "
+    "payloads are never decoded twice), a quality gate (tiny "
+    "images dropped BEFORE any shuffle, so rejected pixels never "
+    "move), then perceptual near-dup resolution grouping on the "
+    "8-byte hash with lowest-id survivorship. The gate composes "
+    "with dedup the way real corpora need: a gated-out base image "
+    "can lose its group's survivorship to its upscaled clone. The "
+    "oracle replays profile → gate → survivor from the fixture "
+    "pixel formulas in pure Python, independent of codec, numpy, "
+    "and Spark — green means the whole composite, not one stage. "
+    "At 100 TB the only exchange carries (8-byte hash, scalar "
+    "profile) rows for gate-passing images; pixels stay in the "
+    "scan stage.",
+)
+def media_curation_pipeline_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import decode_image_profile
+
+    rows = [(i, bytearray(png)) for i, png in _dhash_fixture()]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    profile = decode_image_profile(media)
+    gated = profile.filter(F.col("n_pixels") >= 500)
+    survivors = (
+        gated.groupBy("dhash")
+        .agg(
+            F.min_by(
+                F.struct("media_id", "width", "height", "mean_luma"),
+                F.col("media_id"),
+            ).alias("keep"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .select(
+            F.col("keep.media_id").alias("media_id"),
+            "dhash",
+            F.col("keep.width").alias("width"),
+            F.col("keep.height").alias("height"),
+            F.col("keep.mean_luma").alias("mean_luma"),
+            "n_copies",
+        )
+        .orderBy("media_id")
+    )
+    return survivors
