@@ -2199,3 +2199,108 @@ def snapshot_segmented_manifest_q(
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o.o_totalprice * 100) AS HUGEINT))
+                 / 100.0, 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    category="2.8 composition (incremental view maintenance)",
+    doc="Incremental maintenance of a materialized join-aggregate "
+    "(per-nation revenue over orders x customer x nation) by the "
+    "classic delta decomposition: after base batches O0/C0 "
+    "materialize the standing aggregate M (persisted through the "
+    "snapshot log and READ BACK — the incremental path never "
+    "re-touches base data), delta batches dO (late orders) and dC "
+    "(late customers) fold in as exactly dO*C0 + O0*dC + dO*dC, "
+    "re-aggregated with M on the nation-sized frame. Join work is "
+    "proportional to the DELTAS; at 100 TB the standing view "
+    "updates in delta time while a full rebuild re-shuffles "
+    "history. The oracle recomputes the whole join from source, so "
+    "a green row proves the three delta terms tile the update "
+    "space exactly (each late order-customer pairing is produced "
+    "once, none twice, none missed). Exact integer-cent revenue "
+    "makes the two-stage fold bit-equal to the oracle's one-pass "
+    "SUM — a double sum would drift at the re-aggregation step.",
+)
+def incremental_join_maintenance_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+
+    o0 = orders.filter(F.col("o_orderkey") % 5 != 0)
+    d_o = orders.filter(F.col("o_orderkey") % 5 == 0)
+    c0 = customer.filter(F.col("c_custkey") % 7 != 0)
+    d_c = customer.filter(F.col("c_custkey") % 7 == 0)
+
+    def joined(o_side: DataFrame, c_side: DataFrame) -> DataFrame:
+        return (
+            o_side.join(
+                c_side, F.col("o_custkey") == F.col("c_custkey")
+            )
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .select(F.col("n_name").alias("nation"), cents.alias("cents"))
+        )
+
+    def agg(rows: DataFrame) -> DataFrame:
+        return rows.groupBy("nation").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+
+    # base view, materialized and read back — the standing M
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_ivm_"), "nation_rev"
+    )
+    snapshot_write(spark, agg(joined(o0, c0)), table, "overwrite")
+    m0 = read_snapshot(spark, table)
+
+    # delta terms: dO x C0, O0 x dC, dO x dC — tile the update space
+    delta = agg(
+        joined(d_o, c0).unionByName(joined(o0, d_c)).unionByName(
+            joined(d_o, d_c)
+        )
+    )
+    return (
+        m0.unionByName(delta)
+        .groupBy("nation")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "nation",
+            "n_orders",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("nation")
+    )

@@ -461,3 +461,64 @@ def graph_label_propagation_q(
         .select(F.col("label").cast("bigint").alias("community"), "n_nodes")
         .orderBy(F.col("n_nodes").desc(), "community")
     )
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    e2 AS (SELECT src, dst FROM edges WHERE w >= 2),
+    adj AS (
+        SELECT src, dst FROM e2
+        UNION ALL
+        SELECT dst, src FROM e2
+    ),
+    srcn AS (SELECT MIN(src) AS s FROM adj),
+    walk(node, d) AS (
+        SELECT s, 0 FROM srcn
+        UNION
+        SELECT a.dst, w.d + 1
+        FROM walk w JOIN adj a ON a.src = w.node
+        WHERE w.d < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(d) AS INTEGER) AS dist
+    FROM walk GROUP BY node ORDER BY dist, node
+    """,
+    category="2.11 graph (engine extension)",
+    doc="Breadth-first hop distances from the minimum-id node of the "
+    "w>=2 co-purchase subgraph, bounded to 3 hops — the ego-network "
+    "/ blast-radius primitive (which parts sit within K association "
+    "hops of this one). Frontier expansion is the scale shape: each "
+    "round joins ONLY the newest frontier against the adjacency and "
+    "anti-joins already-labeled nodes away, so a round's work is "
+    "proportional to the frontier's edge boundary, never the graph "
+    "— and the hop bound caps total work at the K-ball size. The "
+    "oracle reaches the same labeling with a recursive min-distance "
+    "CTE.",
+)
+def graph_bfs_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.graph import symmetrize
+
+    edges = copurchase_edges(spark, sf_dir, min_weight=2)
+    adj = symmetrize(edges.select("src", "dst"))
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    source = nodes.agg(F.min("node")).collect()[0][0]  # one scalar
+    labels = (
+        nodes.filter(F.col("node") == source)
+        .select("node", F.lit(0).cast("int").alias("dist"))
+    )
+    frontier = labels
+    for r in range(1, 4):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(labels, "node", "left_anti")
+            .select("node", F.lit(r).cast("int").alias("dist"))
+        )
+        labels = labels.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = labels.filter(F.col("dist") == r)
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"), "dist"
+    ).orderBy("dist", "node")

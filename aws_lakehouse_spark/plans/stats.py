@@ -582,3 +582,116 @@ def agg_correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.metric_a", "r.metric_b", "r.corr")
         .orderBy("metric_a", "metric_b")
     )
+
+
+@register(
+    "quality_ratio_delta_method",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS x,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS HUGEINT) AS y
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy,
+               SUM(x * y) AS sxy
+        FROM per_user
+    ),
+    d AS (
+        SELECT CAST(n AS DOUBLE) AS n,
+               CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+               CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+               CAST(sxy AS DOUBLE) AS sxy
+        FROM m
+    ),
+    v AS (
+        SELECT n, sx / sy AS r,
+               (sxx - sx * sx / n) / (n - 1) AS vx,
+               (syy - sy * sy / n) / (n - 1) AS vy,
+               (sxy - sx * sy / n) / (n - 1) AS cxy,
+               sy / n AS ybar
+        FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(r, 6) AS ratio,
+           ROUND(sqrt((vx - 2 * r * cxy + r * r * vy)
+                      / (n * ybar * ybar)), 6) AS se,
+           ROUND(r - 1.96 * sqrt((vx - 2 * r * cxy + r * r * vy)
+                                 / (n * ybar * ybar)), 6) AS ci_lo,
+           ROUND(r + 1.96 * sqrt((vx - 2 * r * cxy + r * r * vy)
+                                 / (n * ybar * ybar)), 6) AS ci_hi
+    FROM v
+    """,
+    category="2.4 aggregation (ratio-metric inference)",
+    doc="Delta-method standard error and 95% CI for a RATIO metric "
+    "(cohort click-through = total clicks / total views with "
+    "user-level clustering, Deng et al.'s linearization): naive "
+    "per-event binomial SEs are wrong because a user's events are "
+    "correlated — the unit of randomization is the user. One keyed "
+    "aggregate collapses events to per-user (clicks, views), one "
+    "moment aggregate yields n/Sx/Sy/Sxx/Syy/Sxy as EXACT integers "
+    "(counts — order-free, bit-stable), and Var(x̄/ȳ) ≈ "
+    "(s²x − 2R·s_xy + R²·s²y)/(n·ȳ²) is closed-form double "
+    "arithmetic written identically on both engines. Two map-side-"
+    "combinable shuffles total at any scale.",
+)
+def quality_ratio_delta_method_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    dec = "decimal(38,0)"
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast(dec)
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        )
+        .cast(dec)
+        .alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    d = m.select(
+        *[F.col(c).cast("double").alias(c) for c in
+          ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    )
+    r = F.col("sx") / F.col("sy")
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    ybar = F.col("sy") / F.col("n")
+    var = (vx - F.lit(2) * r * cxy + r * r * vy) / (
+        F.col("n") * ybar * ybar
+    )
+    se = F.sqrt(var)
+    return d.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(r + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )
