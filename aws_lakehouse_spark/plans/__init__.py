@@ -94,7 +94,9 @@ from aws_lakehouse_spark.registry import REGISTRY
 # round-4-fourth-pass additions (graph_label_propagation,
 # agg_correlation_matrix, ts_theil_sen_slope, ann_ivf_pq,
 # media_audio_rms_loudness, snapshot_segmented_manifest,
-# sql_pipe_syntax, sql_parameterized_query, text_unicode_nfc — all
+# sql_pipe_syntax, sql_parameterized_query, text_unicode_nfc,
+# graph_bfs_distance, incremental_join_maintenance,
+# quality_ratio_delta_method, media_curation_pipeline — all
 # dual-SF parity-green; events_ewma_trailing's flaky float-association
 # rounding also hardened via ordered-fold summation this pass) = 100+
 # candidates for 50 slots; grade the r3
