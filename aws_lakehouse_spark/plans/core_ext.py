@@ -2304,3 +2304,109 @@ def incremental_join_maintenance_q(
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "snapshot_optimize_zorder",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                 / 100.0, 2) AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 20 AND 60
+      AND o_totalprice BETWEEN 50000 AND 150000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.9 maintenance (OPTIMIZE ZORDER)",
+    doc="Delta-style OPTIMIZE ZORDER BY as a snapshot-log maintenance "
+    "op (sources/snapshots.py:optimize_zorder): a table ingested in "
+    "arrival (order-key) order is rewritten clustered by the Morton "
+    "interleave of (custkey, totalprice) and committed as a new "
+    "time-travelable overwrite with fresh per-file stats. The query "
+    "asserts IN-BAND that a 2-D range predicate's conjunctive file "
+    "plan STRICTLY SHRINKS after optimization (pre-optimize, "
+    "arrival clustering leaves every file overlapping both "
+    "predicates), then answers the range query through the pruned "
+    "read; the oracle recomputes from source, proving the rewrite "
+    "lost and duplicated nothing. Z-ranges come from one profiling "
+    "pass (min/max scalars), so the op is scale-factor-agnostic — "
+    "this is the periodic re-clustering that keeps multi-dimension "
+    "pruning effective as 100 TB of time-ordered data accumulates.",
+)
+def snapshot_optimize_zorder_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        optimize_zorder,
+        plan_pruned_files_multi,
+        read_snapshot_pruned_multi,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_optz_"), "orders_snap"
+    )
+    # ingest in arrival order (order-key clustered), 8 files, with
+    # stats recorded — the layout queries suffer before OPTIMIZE
+    snapshot_write(
+        spark,
+        orders.repartitionByRange(8, "o_orderkey"),
+        table,
+        "overwrite",
+        stats_cols=["o_custkey", "o_totalprice"],
+    )
+    preds = {
+        "o_custkey": (20, 60),
+        "o_totalprice": (50000.0, 150000.0),
+    }
+    before, total_before = plan_pruned_files_multi(table, preds)
+
+    # one profiling pass supplies the Z-ranges (table statistics)
+    rng = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    optimize_zorder(
+        spark,
+        table,
+        {
+            "o_custkey": (float(rng[0]), float(rng[1]) + 1.0),
+            "o_totalprice": (float(rng[2]), float(rng[3]) + 1.0),
+        },
+        n_files=8,
+    )
+    after, total_after = plan_pruned_files_multi(table, preds)
+    if not (
+        len(after) / total_after < len(before) / total_before
+        and len(after) < total_after
+    ):
+        raise AssertionError(
+            f"OPTIMIZE ZORDER must strictly improve 2-D pruning: "
+            f"before {len(before)}/{total_before}, "
+            f"after {len(after)}/{total_after}"
+        )
+    pruned = read_snapshot_pruned_multi(spark, table, preds)
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -594,6 +594,48 @@ def read_snapshot_pruned_multi(
     ).filter(residual)
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    table_path: str,
+    col_ranges: dict,
+    n_files: int,
+    bits: int = 8,
+) -> int:
+    """Delta ``OPTIMIZE ... ZORDER BY`` for the snapshot log: rewrite
+    the CURRENT snapshot's live rows clustered by the Morton
+    interleave of ``col_ranges`` (one range-partition shuffle +
+    within-partition sort — ``layout.zorder_code``'s pure-codegen
+    expression, no UDF) and commit the rewrite as a new OVERWRITE
+    snapshot carrying fresh per-file min/max stats for every
+    clustered column. The pre-optimize files stay on disk,
+    time-travelable until expiry — OPTIMIZE is a logical rewrite,
+    exactly like Delta's.
+
+    Why this is a maintenance operation and not a write option: data
+    usually ARRIVES clustered by ingest time, while queries filter on
+    other columns; re-clustering periodically makes every file's
+    footer range tight on every Z-ordered column simultaneously, so
+    ``plan_pruned_files_multi``'s conjunctive pruning drops from
+    "every file overlaps" to a cell of the file grid. Returns the
+    committed version."""
+    from aws_lakehouse_spark.layout import zorder_code
+
+    current = read_snapshot(spark, table_path)
+    clustered = (
+        current.withColumn("__z", zorder_code(col_ranges, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return snapshot_write(
+        spark,
+        clustered,
+        table_path,
+        "overwrite",
+        stats_cols=list(col_ranges),
+    )
+
+
 BLOOM_M_BITS = 16384  # bloom bitset width per (file, column)
 BLOOM_K = 3  # hash functions
 

@@ -1003,3 +1003,34 @@ def test_segment_gc_after_expiry(spark, table_path):
     assert len(os.listdir(seg_dir)) == 1
     # survivor still reads
     assert snapshots.read_snapshot(spark, table_path).count() == 3
+
+
+def test_optimize_zorder_preserves_data_and_history(spark, table_path):
+    """OPTIMIZE ZORDER is a logical rewrite: same rows, new version,
+    pre-optimize snapshot still time-travelable; the committed
+    manifest carries stats for every clustered column."""
+    df = _df(spark, 0, 500).withColumn(
+        "w", (F.col("id") * 37 % 101).cast("double")
+    )
+    v0 = snapshots.snapshot_write(
+        spark, df.repartition(4), table_path, "overwrite",
+        stats_cols=["id"],
+    )
+    v1 = snapshots.optimize_zorder(
+        spark, table_path,
+        {"id": (0.0, 500.0), "w": (0.0, 101.0)},
+        n_files=4,
+    )
+    assert v1 == v0 + 1
+    before = {
+        (r["id"], r["w"])
+        for r in snapshots.read_snapshot(spark, table_path, v0).collect()
+    }
+    after = {
+        (r["id"], r["w"])
+        for r in snapshots.read_snapshot(spark, table_path, v1).collect()
+    }
+    assert before == after and len(after) == 500
+    m = snapshots._read_manifest(table_path, v1)
+    for f in m["files"]:
+        assert set(m["stats"][f]) == {"id", "w"}
