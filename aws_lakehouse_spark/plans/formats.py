@@ -568,3 +568,69 @@ def sink_dynamic_partition_overwrite_q(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "format_roundtrip_xml",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                 / 100.0, 2) AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE o_orderkey < 1000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.1 sources (format ext)",
+    doc="XML write→read round-trip (Spark 4's built-in XML source — "
+    "the spark-xml package folded into core): an orders slice is "
+    "written as <row> elements and re-read with an explicit schema "
+    "and rowTag (no inference scan), then aggregated. XML is the "
+    "interchange format B2B/EDI and legacy-feed ingestion still "
+    "arrives in; the distributed writer shards rows across files "
+    "and the reader parses them vectorized per task. The oracle "
+    "aggregates the source parquet directly, so a green row proves "
+    "values survive the text round-trip exactly (exact integer-"
+    "cent totals — immune to sum order).",
+)
+def format_roundtrip_xml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_xml_"), "orders_xml"
+    )
+    (
+        orders.write.mode("overwrite")
+        .option("rootTag", "orders")
+        .option("rowTag", "row")
+        .xml(path)
+    )
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        .option("rowTag", "row")
+        .xml(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -2320,3 +2320,66 @@ def text_unicode_nfc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "scalar_mapinarrow_checksum",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+                i -> ascii(substring(text, i, 1)))) % 997 AS BIGINT)
+             AS byte_sum_mod
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+    category="2.11 UDF surface (mapInArrow)",
+    doc="Per-document byte checksum via mapInArrow — the LOWEST-"
+    "level Python batch API, one rung below mapInPandas: the "
+    "function receives raw Arrow RecordBatches and computes per-row "
+    "byte sums ZERO-COPY from the StringArray's offset and data "
+    "buffers (numpy prefix-sum over the value buffer, differenced "
+    "at the offsets — no per-row Python, no pandas conversion, no "
+    "string materialization). This is the API for payload-heavy "
+    "transforms where even the Arrow→pandas hop costs memory "
+    "bandwidth. Corpus is ASCII, so the oracle's per-character "
+    "code-point sum equals the byte sum.",
+)
+def scalar_mapinarrow_checksum_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    def checksum(batches):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            # RecordBatch columns are contiguous Arrays;
+            # StringArray layout: buffers = [validity, offsets, data]
+            arr = batch.column("text")
+            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            cum = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data, dtype=np.int64, out=cum[1:])
+            sums = cum[offsets[1:]] - cum[offsets[:-1]]
+            yield pa.record_batch(
+                [
+                    batch.column("doc_id"),
+                    pa.array(offsets[1:] - offsets[:-1], type=pa.int64()),
+                    pa.array(sums % 997, type=pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "byte_sum_mod"],
+            )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    return docs.mapInArrow(
+        checksum, "doc_id bigint, n_bytes bigint, byte_sum_mod bigint"
+    ).orderBy("doc_id")
