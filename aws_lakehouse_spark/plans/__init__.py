@@ -96,7 +96,9 @@ from aws_lakehouse_spark.registry import REGISTRY
 # media_audio_rms_loudness, snapshot_segmented_manifest,
 # sql_pipe_syntax, sql_parameterized_query, text_unicode_nfc,
 # graph_bfs_distance, incremental_join_maintenance,
-# quality_ratio_delta_method, media_curation_pipeline — all
+# quality_ratio_delta_method, media_curation_pipeline,
+# snapshot_optimize_zorder, format_roundtrip_xml,
+# scalar_mapinarrow_checksum — all
 # dual-SF parity-green; events_ewma_trailing's flaky float-association
 # rounding also hardened via ordered-fold summation this pass) = 100+
 # candidates for 50 slots; grade the r3
