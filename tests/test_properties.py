@@ -460,3 +460,48 @@ def test_identity_column_matches_global_sort(spark, ids, langs):
         )
     }
     assert got == want
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "overwrite"]),
+            st.booleans(),  # segmented?
+            st.integers(min_value=1, max_value=30),  # batch size
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_segmented_log_equals_inline_replay(spark, tmp_path_factory, ops):
+    """Any interleaving of inline and segmented append/overwrite
+    commits reads back EXACTLY like the same op sequence replayed as
+    a pure-Python set fold — at every version, not just the head."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.sources import snapshots
+
+    table = str(tmp_path_factory.mktemp("segprop") / f"t{_uuid.uuid4().hex[:8]}")
+    expected: list[set[int]] = []
+    state: set[int] = set()
+    next_id = 0
+    for mode, segmented, size in ops:
+        batch = set(range(next_id, next_id + size))
+        next_id += size
+        df = spark.createDataFrame(
+            [(i,) for i in sorted(batch)], "id bigint"
+        ).select(F.col("id"))
+        snapshots.snapshot_write(
+            spark, df, table, mode, segmented=segmented
+        )
+        state = (state | batch) if mode == "append" else set(batch)
+        expected.append(set(state))
+    for v, want in enumerate(expected):
+        got = {
+            r["id"]
+            for r in snapshots.read_snapshot(spark, table, v).collect()
+        }
+        assert got == want, (v, ops)
