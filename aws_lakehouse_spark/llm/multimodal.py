@@ -349,18 +349,11 @@ def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
     return media.mapInPandas(_resize, RESIZE_SCHEMA)
 
 
-def _dhash_one(payload: bytes, grid_w: int = 8, grid_h: int = 8) -> str:
-    """64-bit difference hash of one PNG payload, as 16 hex chars.
-
-    Decode → integer luma (``(299r + 587g + 114b) // 1000`` — exact
-    arithmetic, no float) → nearest-neighbor downsample to a
-    ``(grid_w+1) × grid_h`` grid with ``src = (out * src_dim) //
-    out_dim`` indices → bit per cell: left luma > right neighbor.
-    Every step is integer-exact, so the hash is reproducible across
-    platforms, and invariant under exact k× NN upscaling
-    (``floor(floor(k·x·w / 9) / k) == floor(x·w / 9)``) — a resized
-    copy of an image collides with the original by construction.
-    """
+def _decode_luma(payload: bytes):
+    """Decode a PNG once to its integer luma plane
+    (``(299r + 587g + 114b) // 1000`` — exact arithmetic, no float).
+    Shared by the hash path and the profile path so a payload is
+    never decoded twice."""
     import numpy as np
 
     from aws_lakehouse_spark.llm.codecs import png_decode_pixels
@@ -370,9 +363,21 @@ def _dhash_one(payload: bytes, grid_w: int = 8, grid_h: int = 8) -> str:
     arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, c)
     if c >= 3:
         a = arr.astype(np.int64)
-        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
-    else:
-        luma = arr[:, :, 0].astype(np.int64)
+        return (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    return arr[:, :, 0].astype(np.int64)
+
+
+def _dhash_from_luma(luma, grid_w: int = 8, grid_h: int = 8) -> str:
+    """64-bit difference hash of a decoded luma plane, 16 hex chars:
+    nearest-neighbor downsample to a ``(grid_w+1) × grid_h`` grid
+    with ``src = (out * src_dim) // out_dim`` indices, then a bit per
+    cell: left luma > right neighbor. Integer-exact throughout, so
+    the hash is platform-reproducible and invariant under exact k×
+    NN upscaling (``floor(floor(k·x·w / 9) / k) == floor(x·w / 9)``)
+    — a resized copy collides with its original by construction."""
+    import numpy as np
+
+    h, w = luma.shape
     xs = (np.arange(grid_w + 1) * w) // (grid_w + 1)
     ys = (np.arange(grid_h) * h) // grid_h
     g = luma[np.ix_(ys, xs)]
@@ -381,6 +386,12 @@ def _dhash_one(payload: bytes, grid_w: int = 8, grid_h: int = 8) -> str:
     for b in bits:
         val = (val << 1) | int(b)
     return format(val, "016x")
+
+
+def _dhash_one(payload: bytes, grid_w: int = 8, grid_h: int = 8) -> str:
+    """64-bit dHash of one PNG payload: decode → luma → grid hash
+    (see :func:`_decode_luma` / :func:`_dhash_from_luma`)."""
+    return _dhash_from_luma(_decode_luma(payload), grid_w, grid_h)
 
 
 def image_dhash(media: DataFrame) -> DataFrame:
@@ -605,30 +616,20 @@ def decode_image_profile(media: DataFrame) -> DataFrame:
     luma, and the 64-bit perceptual dHash — so the composite
     quality-gate → near-dup → survivor flow never decodes a payload
     twice. Luma accumulates as an exact integer sum before the one
-    division (order-free, bit-stable); the hash path is
-    :func:`_dhash_one`'s integer-exact grid."""
-    import numpy as np
-
-    from aws_lakehouse_spark.llm.codecs import png_decode_pixels
+    division (order-free, bit-stable); both the mean and the hash
+    derive from the SAME decoded luma plane
+    (:func:`_decode_luma` → :func:`_dhash_from_luma`)."""
 
     def profile(payload: bytes) -> dict:
-        d = png_decode_pixels(bytes(payload))
-        w, h, c = d["width"], d["height"], d["channels"]
-        arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, c)
-        if c >= 3:
-            a = arr.astype(np.int64)
-            luma = (
-                299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
-            ) // 1000
-        else:
-            luma = arr[:, :, 0].astype(np.int64)
+        luma = _decode_luma(bytes(payload))
+        h, w = luma.shape
         n = w * h
         return {
             "width": w,
             "height": h,
             "n_pixels": n,
             "mean_luma": round(int(luma.sum()) / n, 6),
-            "dhash": _dhash_one(bytes(payload)),
+            "dhash": _dhash_from_luma(luma),
         }
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

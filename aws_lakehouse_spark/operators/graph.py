@@ -196,8 +196,11 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     vote count's map-side partial aggregation bounds the shuffle at
     (node, label)-cardinality. The per-node argmax runs
     ``min_by(label, (-votes, label))`` — one aggregate, no window
-    sort. Per-round lazy ``localCheckpoint`` keeps the plan flat, so
-    round cost is constant: O(rounds) keyed shuffles total.
+    sort. A lazy ``localCheckpoint`` every THIRD round bounds the
+    plan depth (same policy and measurement as
+    :func:`pagerank_from_adjacency`: a per-round barrier costs ~25%
+    of the wall and the tree only needs bounding, not flattening);
+    total cost stays O(rounds) keyed shuffles.
     """
     adj = symmetrize(edges)
     adj_lists = (

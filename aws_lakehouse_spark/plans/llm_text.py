@@ -2357,9 +2357,18 @@ def scalar_mapinarrow_checksum_q(
 
         for batch in batches:
             # RecordBatch columns are contiguous Arrays;
-            # StringArray layout: buffers = [validity, offsets, data]
+            # (Large)StringArray layout: buffers = [validity,
+            # offsets, data] — offsets are int64 under
+            # spark.sql.execution.arrow.useLargeVarTypes, int32
+            # otherwise; reading the wrong width would silently
+            # interleave garbage
             arr = batch.column("text")
-            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            off_t = (
+                np.int64
+                if pa.types.is_large_string(arr.type)
+                else np.int32
+            )
+            offsets = np.frombuffer(arr.buffers()[1], dtype=off_t)[
                 arr.offset : arr.offset + len(arr) + 1
             ].astype(np.int64)
             data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)

@@ -60,7 +60,8 @@ def window_rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH buckets AS (
         SELECT event_type,
                date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
-               SUM(value) AS x
+               CAST(SUM(CAST(ROUND(value * 1000000) AS HUGEINT))
+                    AS DOUBLE) / 1000000.0 AS x
         FROM events
         GROUP BY 1, 2
     )
@@ -93,7 +94,10 @@ def window_rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "list_reduce in the oracle): a plain SUM's association order "
     "depends on AQE partition merge order run-to-run, and a "
     "1-ulp association difference can flip the 4 dp rounding at a "
-    "boundary — the ordered fold is bit-stable on both engines.",
+    "boundary — the ordered fold is bit-stable on both engines. "
+    "The bucket sums feeding the fold are exact micro-unit "
+    "integers for the same reason (a double SUM has the identical "
+    "association-order sensitivity one level down).",
 )
 def events_ewma_trailing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -102,7 +106,16 @@ def events_ewma_trailing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_trunc("hour", F.col("ts")).alias("bucket"),
         )
-        .agg(F.sum("value").alias("x"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("value") * 1000000).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("x")
+        )
     )
     b1, b2 = buckets.alias("b1"), buckets.alias("b2")
     hours = (

@@ -600,6 +600,9 @@ def optimize_zorder(
     col_ranges: dict,
     n_files: int,
     bits: int = 8,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    segmented: bool = False,
 ) -> int:
     """Delta ``OPTIMIZE ... ZORDER BY`` for the snapshot log: rewrite
     the CURRENT snapshot's live rows clustered by the Morton
@@ -617,8 +620,32 @@ def optimize_zorder(
     footer range tight on every Z-ordered column simultaneously, so
     ``plan_pruned_files_multi``'s conjunctive pruning drops from
     "every file overlaps" to a cell of the file grid. Returns the
-    committed version."""
+    committed version.
+
+    Skipping metadata carries over rather than silently degrading:
+    ``stats_cols`` defaults to the union of the Z-order columns and
+    every column the current manifest already records min/max for,
+    and ``bloom_cols`` defaults to the columns the current manifest
+    records bloom bitsets for — so a table maintained for point
+    lookups keeps its bloom pruning through an OPTIMIZE. Pass
+    explicit lists to change the skipping surface; pass
+    ``segmented=True`` to keep a segmented table's manifest-list
+    layout (the rewrite is one fresh segment either way)."""
     from aws_lakehouse_spark.layout import zorder_code
+
+    vs = versions(table_path)
+    cur_v = (published_versions(table_path) or vs)[-1]
+    cur_m = _read_manifest(table_path, cur_v)
+    if stats_cols is None:
+        carried = {
+            c for fstats in cur_m.get("stats", {}).values() for c in fstats
+        }
+        stats_cols = sorted(set(col_ranges) | carried)
+    if bloom_cols is None:
+        carried_bloom = {
+            c for fbloom in cur_m.get("bloom", {}).values() for c in fbloom
+        }
+        bloom_cols = sorted(carried_bloom)
 
     current = read_snapshot(spark, table_path)
     clustered = (
@@ -632,7 +659,9 @@ def optimize_zorder(
         clustered,
         table_path,
         "overwrite",
-        stats_cols=list(col_ranges),
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols or None,
+        segmented=segmented,
     )
 
 
@@ -798,7 +827,10 @@ def remove_orphans(table_path: str) -> dict:
         seg_orphans = sorted(
             f
             for f in os.listdir(seg_dir)
-            if f.endswith(".json") and f not in live_segments
+            # .json.tmp = debris from a _write_segment that crashed
+            # between write and rename; never referenced by anything
+            if (f.endswith(".json") and f not in live_segments)
+            or f.endswith(".json.tmp")
         )
         for f in seg_orphans:
             os.remove(os.path.join(seg_dir, f))

@@ -1034,3 +1034,49 @@ def test_optimize_zorder_preserves_data_and_history(spark, table_path):
     m = snapshots._read_manifest(table_path, v1)
     for f in m["files"]:
         assert set(m["stats"][f]) == {"id", "w"}
+
+
+def test_optimize_zorder_carries_bloom_and_segments(spark, table_path):
+    """OPTIMIZE must not silently degrade the skipping surface: a
+    table maintained with bloom bitsets (and segmented manifests)
+    keeps both through the rewrite by default."""
+    df = _df(spark, 0, 400)
+    snapshots.snapshot_write(
+        spark, df.repartition(4), table_path, "overwrite",
+        stats_cols=["id"], bloom_cols=["v"], segmented=True,
+    )
+    v1 = snapshots.optimize_zorder(
+        spark, table_path, {"id": (0.0, 400.0)}, n_files=4,
+        segmented=True,
+    )
+    raw = snapshots._read_manifest_raw(table_path, v1)
+    assert "segments" in raw
+    m = snapshots._read_manifest(table_path, v1)
+    for f in m["files"]:
+        assert "id" in m["stats"][f]
+        assert "v" in m["bloom"][f]
+    # bloom pruning still functions post-OPTIMIZE
+    planned, total = snapshots.plan_bloom_pruned_files(
+        table_path, "v", 2 * 42
+    )
+    assert 0 < len(planned) <= total
+    got = snapshots.read_snapshot_bloom_pruned(
+        spark, table_path, "v", 2 * 42
+    )
+    assert {r["id"] for r in got.collect()} == {42}
+
+
+def test_remove_orphans_reclaims_crashed_segment_tmp(spark, table_path):
+    """A .json.tmp left by a _write_segment that died between write
+    and rename is debris; remove_orphans sweeps it."""
+    snapshots.snapshot_write(
+        spark, _df(spark, 0, 10), table_path, "overwrite", segmented=True
+    )
+    seg_dir = snapshots._segments_dir(table_path)
+    debris = os.path.join(seg_dir, "seg-deadbeef.json.tmp")
+    with open(debris, "w") as fh:
+        fh.write("{}")
+    res = snapshots.remove_orphans(table_path)
+    assert res["removed_segments"] >= 1
+    assert not os.path.exists(debris)
+    assert snapshots.read_snapshot(spark, table_path).count() == 10
