@@ -344,3 +344,117 @@ def embed_kmeans_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assignment = assign_clusters(emb, centroids)
     return update_centroids(emb, assignment).orderBy("cluster_id", "pos")
+
+
+@register(
+    "embed_drift_monitor",
+    oracle="""
+    WITH dims AS (
+        SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'prod' END AS side,
+               u.i AS pos,
+               CAST(embedding[u.i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+    ),
+    means AS (
+        SELECT side, pos, ROUND(AVG(x), 9) AS m
+        FROM dims GROUP BY side, pos
+    ),
+    per_pos AS (
+        SELECT pos,
+               MAX(CASE WHEN side = 'ref' THEN m END) AS mr,
+               MAX(CASE WHEN side = 'prod' THEN m END) AS mp
+        FROM means GROUP BY pos
+    ),
+    folded AS (
+        SELECT
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list(mr * mp ORDER BY pos)), (a, b) -> a + b) AS dot,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list(mr * mr ORDER BY pos)), (a, b) -> a + b) AS nr,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list(mp * mp ORDER BY pos)), (a, b) -> a + b) AS np,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list(abs(mr - mp) ORDER BY pos)), (a, b) -> a + b) AS sad,
+            MAX(abs(mr - mp)) AS mad
+        FROM per_pos
+    ),
+    counts AS (
+        SELECT
+            CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_ref,
+            CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_prod
+        FROM embeddings
+    )
+    SELECT counts.n_ref, counts.n_prod,
+           ROUND(dot / (sqrt(nr) * sqrt(np)), 6) AS mean_cosine,
+           ROUND(mad, 6) AS max_dim_shift,
+           ROUND(sad / 64.0, 6) AS avg_dim_shift
+    FROM folded CROSS JOIN counts
+    """,
+    category="llm semantic (drift)",
+    doc="Embedding-distribution drift between a reference and a "
+    "production cohort (even vs odd vec_ids): cosine between the "
+    "cohort MEAN vectors plus the max and average per-dimension "
+    "mean shift — the cheap first-line monitor for 'did the "
+    "upstream encoder or data distribution move' before anything "
+    "expensive (re-clustering, re-indexing) runs. Per-dim means "
+    "come off ONE posexplode aggregate (9 dp-rounded, the "
+    "engine's established cross-engine mean convention); the "
+    "64-dim reductions are ORDERED folds (dimension order), so "
+    "every double is bit-identical on both engines. Scale: one "
+    "corpus scan, shuffle bounded at sides × dims rows.",
+)
+def embed_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    side = F.when(F.col("vec_id") % 2 == 0, "ref").otherwise("prod")
+    dims = emb.select(
+        side.alias("side"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    means = dims.groupBy("side", "pos").agg(
+        F.round(F.avg("x"), 9).alias("m")
+    )
+    per_pos = means.groupBy("pos").agg(
+        F.max(F.when(F.col("side") == "ref", F.col("m"))).alias("mr"),
+        F.max(F.when(F.col("side") == "prod", F.col("m"))).alias("mp"),
+    )
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", expr.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    folded = per_pos.agg(
+        fold(F.col("mr") * F.col("mp")).alias("dot"),
+        fold(F.col("mr") * F.col("mr")).alias("nr"),
+        fold(F.col("mp") * F.col("mp")).alias("np"),
+        fold(F.abs(F.col("mr") - F.col("mp"))).alias("sad"),
+        F.max(F.abs(F.col("mr") - F.col("mp"))).alias("mad"),
+    )
+    counts = emb.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_prod"),
+    )
+    return folded.crossJoin(counts).select(
+        "n_ref",
+        "n_prod",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("nr")) * F.sqrt(F.col("np"))), 6
+        ).alias("mean_cosine"),
+        F.round(F.col("mad"), 6).alias("max_dim_shift"),
+        F.round(F.col("sad") / 64.0, 6).alias("avg_dim_shift"),
+    )

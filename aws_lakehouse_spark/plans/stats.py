@@ -695,3 +695,80 @@ def quality_ratio_delta_method_q(
         F.round(r - F.lit(1.96) * se, 6).alias("ci_lo"),
         F.round(r + F.lit(1.96) * se, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS y
+        FROM lineitem
+        GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT y,
+               ROW_NUMBER() OVER (ORDER BY y, l_partkey) AS i
+        FROM part_rev
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(y) AS sy,
+               SUM(CAST(i AS HUGEINT) * y) AS siy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           ROUND(CAST(sy AS DOUBLE) / 100.0, 2) AS total_revenue,
+           ROUND(
+               2.0 * CAST(siy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE),
+               6
+           ) AS gini
+    FROM m
+    """,
+    category="2.4 aggregation (concentration)",
+    doc="Gini coefficient of revenue concentration across parts — "
+    "the single-number complement to agg_abc_classification's "
+    "Pareto classes (0 = revenue spread evenly, →1 = one part "
+    "takes all), computed by the sorted-rank identity "
+    "G = 2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n over ascending-ordered part "
+    "revenues. The fact table collapses to the part dimension "
+    "FIRST (one keyed aggregate of exact integer cents), so the "
+    "rank window runs on the dimension-sized frame with a "
+    "deterministic (revenue, key) tie-break; the final expression "
+    "is closed-form double arithmetic over three exact integers — "
+    "bit-stable on both engines.",
+)
+def agg_gini_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast(dec)
+        ).alias("y")
+    )
+    ranked = part_rev.select(
+        "y",
+        F.row_number()
+        .over(Window.orderBy("y", "l_partkey"))
+        .cast(dec)
+        .alias("i"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("i") * F.col("y")).cast(dec)).alias("siy"),
+    )
+    n = F.col("n").cast("double")
+    sy = F.col("sy").cast("double")
+    siy = F.col("siy").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.round(sy / 100.0, 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * siy / (n * sy) - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
+    )
