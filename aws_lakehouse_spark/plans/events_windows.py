@@ -16,7 +16,7 @@ via CAST AS TIMESTAMP) so window boundaries agree exactly.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from aws_lakehouse_spark.catalog import load_table
 from aws_lakehouse_spark.registry import register
@@ -1155,4 +1155,89 @@ def events_time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(mins, 0.5)"), 4).alias("median_minutes"),
         F.round(F.expr("percentile(mins, 0.9)"), 4).alias("p90_minutes"),
         F.round(F.avg("mins"), 4).alias("avg_minutes"),
+    )
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                         > INTERVAL 30 MINUTE
+                    OR LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    ), sess AS (
+        SELECT user_id, session_no,
+               CAST(MIN(ts) AS DATE) AS d,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_no
+    )
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+    FROM sess GROUP BY d ORDER BY d
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Daily bounce rate over 30-minute-gap sessions: the share "
+    "of sessions that contain exactly ONE event, attributed to the "
+    "session's start date — the engagement-quality KPI sitting on "
+    "top of the same gaps-and-islands sessionization "
+    "events_session_stats builds (lag-gap flag, running session "
+    "number — one user-keyed shuffle; session and daily rollups "
+    "act on reduced frames). Counts make the rate exact.",
+)
+def events_bounce_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: cast to TIMESTAMP before long (the
+    # session-tz offset cancels in the difference)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    g = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            gap.isNull() | (gap > 30 * 60), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    s = g.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_no"),
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.to_date(F.min("ts")).alias("d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sess.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            bounce.cast("bigint").alias("n_bounces"),
+            F.round(
+                bounce / F.count(F.lit(1)).cast("double"), 6
+            ).alias("bounce_rate"),
+        )
+        .orderBy("d")
     )

@@ -297,3 +297,90 @@ def quality_referential_integrity_q(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def _entropy_duck(table: str, col: str) -> str:
+    """One categorical-entropy oracle block: counts → ordered-fold
+    Shannon entropy in bits (fold order = category value, matching
+    the Spark side exactly so the doubles are bit-identical)."""
+    return f"""
+    SELECT '{table}.{col}' AS column_name,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT DISTINCT {col} FROM {table})) AS n_distinct,
+           ROUND(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               (SELECT list(
+                    (CAST(c AS DOUBLE) / t) * log2(CAST(c AS DOUBLE) / t)
+                    ORDER BY v)
+                FROM (SELECT {col} AS v, COUNT(*) AS c
+                      FROM {table} GROUP BY 1) cs,
+                     (SELECT CAST(COUNT(*) AS DOUBLE) AS t
+                      FROM {table}) tt)),
+               (a, b) -> a + b), 6) AS entropy_bits
+    """
+
+
+@register(
+    "quality_entropy_profile",
+    oracle=(
+        _entropy_duck("orders", "o_orderstatus")
+        + " UNION ALL "
+        + _entropy_duck("orders", "o_orderpriority")
+        + " UNION ALL "
+        + _entropy_duck("customer", "c_mktsegment")
+        + " ORDER BY column_name"
+    ),
+    category="2.4 aggregation (profiling)",
+    doc="Shannon entropy (bits) of the categorical key columns — "
+    "the data-profiling signal for skew and degenerate "
+    "distributions (entropy near 0 = one value dominates → that "
+    "column is a bad partition/shuffle key; entropy near "
+    "log2(n_distinct) = uniform → safe). One keyed count aggregate "
+    "per column collapses the table to its category cardinality; "
+    "the per-category -p·log2(p) terms then reduce in an ORDERED "
+    "fold (category order) so the doubles are bit-identical on "
+    "both engines regardless of partitioning.",
+)
+def quality_entropy_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def entropy(table: str, tname: str, col: str) -> DataFrame:
+        counts = table.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        total = counts.agg(F.sum("c").alias("t"))
+        term = (F.col("c").cast("double") / F.col("t")) * F.log2(
+            F.col("c").cast("double") / F.col("t")
+        )
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.round(
+                    -F.aggregate(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(F.col("v"), term.alias("e"))
+                                )
+                            ),
+                            lambda s: s["e"],
+                        ),
+                        F.lit(0.0),
+                        lambda a, b: a + b,
+                    ),
+                    6,
+                ).alias("entropy_bits"),
+            )
+            .select(
+                F.lit(f"{tname}.{col}").alias("column_name"),
+                "n_distinct",
+                "entropy_bits",
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        entropy(orders, "orders", "o_orderstatus")
+        .unionByName(entropy(orders, "orders", "o_orderpriority"))
+        .unionByName(entropy(customer, "customer", "c_mktsegment"))
+        .orderBy("column_name")
+    )
