@@ -93,6 +93,7 @@ def asof_join(
     value_cols: Sequence[str],
     direction: str = "backward",
     suffix: str = "_asof",
+    tolerance=None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row at or
     before it (``direction='backward'``) with the same key.
@@ -103,6 +104,12 @@ def asof_join(
     Cost: one exchange on ``key_cols`` + one sort — no nested loop,
     no broadcast requirement, skew handled by AQE. ``'forward'``
     direction is the mirrored window (next right row at/after).
+
+    ``tolerance`` (same units as ``ts_col``'s subtraction) bounds
+    staleness: a match further than ``tolerance`` from the left row
+    nulls out — pandas ``merge_asof(tolerance=...)`` semantics, the
+    guard against joining a quote that is hours stale. Same plan
+    (the matched ts rides along in the window), zero extra shuffles.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -112,6 +119,8 @@ def asof_join(
     rhs = right.select(
         *keys, ts_col, *[F.col(c).alias(c + suffix) for c in value_cols]
     ).withColumn("__side", F.lit(0))
+    if tolerance is not None:
+        rhs = rhs.withColumn("__rts", F.col(ts_col))
     # right rows sort before left rows at equal ts so an exact-ts
     # right match is visible to the left row (merge_asof semantics)
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
@@ -129,13 +138,28 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 
-    filled = unioned.withColumns(
-        {
-            c + suffix: F.last(F.col(c + suffix), ignorenulls=True).over(w)
-            for c in value_cols
-        }
-    )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    fills = {
+        c + suffix: F.last(F.col(c + suffix), ignorenulls=True).over(w)
+        for c in value_cols
+    }
+    if tolerance is not None:
+        fills["__rts"] = F.last(F.col("__rts"), ignorenulls=True).over(w)
+    filled = unioned.withColumns(fills)
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        dist = (
+            (F.col(ts_col) - F.col("__rts"))
+            if direction == "backward"
+            else (F.col("__rts") - F.col(ts_col))
+        )
+        fresh = F.col("__rts").isNotNull() & (dist <= F.lit(tolerance))
+        out = out.withColumns(
+            {
+                c + suffix: F.when(fresh, F.col(c + suffix))
+                for c in value_cols
+            }
+        ).drop("__rts")
+    return out
 
 
 def asof_join_pandas(

@@ -2410,3 +2410,71 @@ def snapshot_optimize_zorder_q(
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t
+        FROM events
+    ),
+    c AS (SELECT event_id, user_id, t FROM ev
+          WHERE event_type = 'click'),
+    v AS (SELECT user_id, t, MAX(value) AS value FROM ev
+          WHERE event_type = 'view' GROUP BY user_id, t)
+    SELECT c.event_id, c.user_id,
+           CASE WHEN v.t IS NOT NULL AND c.t - v.t <= 600
+                THEN ROUND(v.value, 6) END AS view_value,
+           COALESCE(v.t IS NOT NULL AND c.t - v.t <= 600, FALSE)
+               AS matched
+    FROM c ASOF LEFT JOIN v
+      ON c.user_id = v.user_id AND v.t <= c.t
+    ORDER BY c.event_id
+    """,
+    category="2.3 joins (as-of, tolerance)",
+    doc="Toleranced as-of join (pandas merge_asof(tolerance=...) "
+    "semantics): every click picks up the user's most recent view "
+    "value — but ONLY if that view is at most 10 minutes old; a "
+    "staler match nulls out instead of silently joining dead "
+    "context (the classic quote-staleness bug in feature "
+    "pipelines). Same union + running-last window plan as the "
+    "engine's other as-of joins — the matched timestamp rides "
+    "along in the window, so the staleness guard costs ZERO extra "
+    "shuffles. Concurrent same-second views collapse to MAX first "
+    "(deterministic tie). The oracle is DuckDB's NATIVE ASOF LEFT "
+    "JOIN plus the same tolerance guard — two independent as-of "
+    "implementations agreeing row-for-row.",
+)
+def join_asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = (
+        F.col("ts").cast("timestamp").cast("long")
+    )  # NTZ → epoch seconds; offset cancels in differences
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", secs.alias("t")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", secs.alias("t"), "value")
+        .groupBy("user_id", "t")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = asof_join(
+        clicks,
+        views,
+        ["user_id"],
+        "t",
+        ["value"],
+        direction="backward",
+        tolerance=600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value_asof"), 6).alias("view_value"),
+        F.col("value_asof").isNotNull().alias("matched"),
+    ).orderBy("event_id")
