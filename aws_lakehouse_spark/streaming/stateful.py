@@ -201,3 +201,86 @@ def detect_pattern_per_key(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PROFILE_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, n_types bigint"
+)
+
+
+def running_profile_per_key(events: DataFrame) -> DataFrame:
+    """Per-key running profile via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing v2 API (the successor to
+    ``applyInPandasWithState``): a :class:`StatefulProcessor` holds
+    MULTIPLE independently-typed state variables per key — here a
+    ValueState (count, sum) plus a MapState of per-event-type counts
+    — where v1 forces everything through one state tuple. Emits the
+    updated (n_events, total_value, n_distinct_types) per key touched
+    in each micro-batch; ``outputMode('update')`` on the sink.
+
+    Scale contract is unchanged from v1: state lives in the executor
+    state store keyed by the grouping key (one shuffle per batch),
+    rows arrive as Arrow-backed pandas frames, updates are
+    vectorized. What v2 adds operationally: typed state composition,
+    per-state TTL, and timers — the building blocks for TTL'd
+    feature stores and scheduled state eviction without hand-rolled
+    timestamp bookkeeping.
+
+    Environment note (probed): executing a transformWithState query
+    needs (a) the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider``
+    — bundled in Spark 4 core) and (b) the ``google.protobuf``
+    package for the state-server protocol, which this sandbox lacks
+    (`pip install` unavailable), so the end-to-end pytest skips here
+    and runs wherever protobuf exists; the v1
+    ``applyInPandasWithState`` operators above cover the stateful
+    gate in-sandbox.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+            self._types = handle.getMapState(
+                "type_counts", "t string", "c bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._types.getValue((t,))[0]
+                        if self._types.containsKey((t,))
+                        else 0
+                    )
+                    self._types.updateValue((t,), (prev + int(c),))
+            self._totals.update((n, total))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        ProfileProcessor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -495,3 +495,95 @@ def test_apply_merge_batch_tie_is_row_atomic(spark, tmp_path):
     assert rows[0] in {("z", "a"), ("a", "z")}
     # and the tie-break is deterministic: (5,"z","a") > (5,"a","z")
     assert rows[0] == ("z", "a")
+
+
+def test_transform_with_state_v2_profile(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (arbitrary state v2): ValueState +
+    MapState compose per key and persist across micro-batches —
+    final per-user profile equals the batch aggregate.
+
+    Skips where google.protobuf is unavailable (the v2 state-server
+    protocol needs it; this sandbox cannot pip install) — see
+    running_profile_per_key's environment note."""
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from aws_lakehouse_spark.streaming.stateful import (
+        running_profile_per_key,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        events = load_table(spark, sf_dir, "events")
+        src = tmp_path / "twsp-src"
+        events.filter("event_id % 2 = 0").write.parquet(
+            str(src), mode="append"
+        )
+        events.filter("event_id % 2 = 1").write.parquet(
+            str(src), mode="append"
+        )
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            running_profile_per_key(stream)
+            .writeStream.format("memory")
+            .queryName("tws_profile_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "twsp-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    out = spark.table("tws_profile_test")
+    final = {
+        r["user_id"]: (
+            r["n_events"],
+            round(r["total_value"], 6),
+            r["n_types"],
+        )
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (
+            r["n"],
+            round(r["s"], 6),
+            r["t"],
+        )
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.countDistinct("event_type").alias("t"),
+        )
+        .collect()
+    }
+    assert final == expected
