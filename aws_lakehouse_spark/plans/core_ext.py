@@ -2478,3 +2478,71 @@ def join_asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value_asof"), 6).alias("view_value"),
         F.col("value_asof").isNotNull().alias("matched"),
     ).orderBy("event_id")
+
+
+@register(
+    "snapshot_rewrite_files",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                 / 100.0, 2) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.9 maintenance (rewrite_data_files)",
+    doc="Iceberg rewrite_data_files / Delta OPTIMIZE bin-pack as a "
+    "snapshot-log op (sources/snapshots.py:rewrite_data_files): a "
+    "table fragmented into 12 small part files (the trickle-ingest "
+    "pathology — per-file open and footer costs dominate scans) is "
+    "coalesced into 2 and committed as a new time-travelable "
+    "overwrite, stats carried. Asserts IN-BAND that the file count "
+    "strictly drops and the fragmented version remains readable; "
+    "the oracle recomputes from source, proving the rewrite lost "
+    "and duplicated nothing. Complements OPTIMIZE ZORDER: this is "
+    "the cheap hourly rewrite, Z-ordering the periodic clustering "
+    "one.",
+)
+def snapshot_rewrite_files_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        rewrite_data_files,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_rwf_"), "orders_snap"
+    )
+    snapshot_write(
+        spark, orders.repartition(12), table, "overwrite",
+        stats_cols=["o_orderkey"],
+    )
+    res = rewrite_data_files(spark, table, target_files=2)
+    if not (res["files_after"] < res["files_before"]):
+        raise AssertionError(f"bin-pack must shrink the file count: {res}")
+    if read_snapshot(spark, table, 0).count() != orders.count():
+        raise AssertionError("pre-compaction version must stay readable")
+    return (
+        read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -665,6 +665,52 @@ def optimize_zorder(
     )
 
 
+def rewrite_data_files(
+    spark: SparkSession,
+    table_path: str,
+    target_files: int,
+    segmented: bool = False,
+) -> dict:
+    """Iceberg ``rewrite_data_files`` / Delta ``OPTIMIZE`` bin-pack:
+    coalesce the CURRENT snapshot's live rows into ``target_files``
+    part files and commit the rewrite as a new time-travelable
+    OVERWRITE — the small-files cure for streaming/trickle-ingested
+    tables, where thousands of kilobyte files make every scan pay
+    per-file open/footer costs and blow up manifest size. Metadata
+    the table maintains (min/max stats columns, bloom columns)
+    carries through, same policy as :func:`optimize_zorder`; unlike
+    Z-ordering this preserves no clustering — it is the cheap
+    rewrite you run hourly, with OPTIMIZE ZORDER the periodic one.
+    Returns {files_before, files_after, version}."""
+    vs = versions(table_path)
+    cur_v = (published_versions(table_path) or vs)[-1]
+    cur_m = _read_manifest(table_path, cur_v)
+    stats_cols = sorted(
+        {c for fstats in cur_m.get("stats", {}).values() for c in fstats}
+    )
+    bloom_cols = sorted(
+        {c for fbloom in cur_m.get("bloom", {}).values() for c in fbloom}
+    )
+    current = read_snapshot(spark, table_path)
+    v = snapshot_write(
+        spark,
+        current.coalesce(target_files),
+        table_path,
+        "overwrite",
+        stats_cols=stats_cols or None,
+        bloom_cols=bloom_cols or None,
+        segmented=segmented,
+    )
+    new_m = _read_manifest(table_path, v)
+    return {
+        "op": "rewrite_data_files",
+        "applied": True,
+        "files_before": len(cur_m["files"]),
+        "files_after": len(new_m["files"]),
+        "version": v,
+    }
+
+
 BLOOM_M_BITS = 16384  # bloom bitset width per (file, column)
 BLOOM_K = 3  # hash functions
 

@@ -1080,3 +1080,22 @@ def test_remove_orphans_reclaims_crashed_segment_tmp(spark, table_path):
     assert res["removed_segments"] >= 1
     assert not os.path.exists(debris)
     assert snapshots.read_snapshot(spark, table_path).count() == 10
+
+
+def test_rewrite_data_files_binpacks_with_history(spark, table_path):
+    """Snapshot-aware compaction: many small files collapse to the
+    target count in a NEW version; the fragmented version stays
+    time-travelable; stats carry through."""
+    snapshots.snapshot_write(
+        spark, _df(spark, 0, 600).repartition(12), table_path,
+        "overwrite", stats_cols=["id"],
+    )
+    res = snapshots.rewrite_data_files(spark, table_path, target_files=2)
+    assert res["applied"] and res["files_before"] == 12
+    assert res["files_after"] <= 2
+    assert snapshots.read_snapshot(spark, table_path).count() == 600
+    # pre-compaction version still readable
+    assert snapshots.read_snapshot(spark, table_path, 0).count() == 600
+    m = snapshots._read_manifest(table_path, res["version"])
+    for f in m["files"]:
+        assert "id" in m["stats"][f]
