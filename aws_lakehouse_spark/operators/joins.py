@@ -98,18 +98,26 @@ def asof_join(
     """As-of join: for each left row, the most recent right row at or
     before it (``direction='backward'``) with the same key.
 
-    Implementation: tag and union both sides, then a running
-    ``last(value, ignorenulls=True)`` window per key ordered by
-    (ts, side) resolves each left row's as-of match in one shuffle.
-    Cost: one exchange on ``key_cols`` + one sort — no nested loop,
-    no broadcast requirement, skew handled by AQE. ``'forward'``
-    direction is the mirrored window (next right row at/after).
+    Implementation: tag and union both sides, then ONE running
+    ``last(struct, ignorenulls=True)`` window per key ordered by
+    (ts, side) resolves each left row's as-of ROW in one shuffle.
+    The fill is row-ATOMIC: the matched timestamp and every value
+    column come from the same right row (a per-column fill could mix
+    rows when a right row carries NULL values — pandas merge_asof
+    picks the nearest ROW and returns its values, NULLs included,
+    and so does this). Cost: one exchange on ``key_cols`` + one
+    sort — no nested loop, no broadcast requirement, skew handled
+    by AQE. ``'forward'`` direction is the mirrored window (next
+    right row at/after).
 
     ``tolerance`` (same units as ``ts_col``'s subtraction) bounds
     staleness: a match further than ``tolerance`` from the left row
     nulls out — pandas ``merge_asof(tolerance=...)`` semantics, the
-    guard against joining a quote that is hours stale. Same plan
-    (the matched ts rides along in the window), zero extra shuffles.
+    guard against joining a quote that is hours stale. The output
+    additionally carries ``ts_col + suffix`` = the matched right
+    row's timestamp (NULL when no match or stale), so callers can
+    distinguish "matched a row whose value is NULL" from "no fresh
+    match". Same plan, zero extra shuffles.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -117,10 +125,13 @@ def asof_join(
     keys = list(key_cols)
     lhs = left.withColumn("__side", F.lit(1))
     rhs = right.select(
-        *keys, ts_col, *[F.col(c).alias(c + suffix) for c in value_cols]
+        *keys,
+        ts_col,
+        F.struct(
+            F.col(ts_col).alias("__rts"),
+            *[F.col(c).alias(c + suffix) for c in value_cols],
+        ).alias("__match"),
     ).withColumn("__side", F.lit(0))
-    if tolerance is not None:
-        rhs = rhs.withColumn("__rts", F.col(ts_col))
     # right rows sort before left rows at equal ts so an exact-ts
     # right match is visible to the left row (merge_asof semantics)
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
@@ -138,27 +149,31 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 
-    fills = {
-        c + suffix: F.last(F.col(c + suffix), ignorenulls=True).over(w)
-        for c in value_cols
-    }
-    if tolerance is not None:
-        fills["__rts"] = F.last(F.col("__rts"), ignorenulls=True).over(w)
-    filled = unioned.withColumns(fills)
+    filled = unioned.withColumn(
+        "__match", F.last(F.col("__match"), ignorenulls=True).over(w)
+    )
     out = filled.filter(F.col("__side") == 1).drop("__side")
-    if tolerance is not None:
-        dist = (
-            (F.col(ts_col) - F.col("__rts"))
-            if direction == "backward"
-            else (F.col("__rts") - F.col(ts_col))
-        )
-        fresh = F.col("__rts").isNotNull() & (dist <= F.lit(tolerance))
+    if tolerance is None:
         out = out.withColumns(
             {
-                c + suffix: F.when(fresh, F.col(c + suffix))
+                c + suffix: F.col("__match")[c + suffix]
                 for c in value_cols
             }
-        ).drop("__rts")
+        ).drop("__match")
+    else:
+        rts = F.col("__match")["__rts"]
+        dist = (
+            (F.col(ts_col) - rts)
+            if direction == "backward"
+            else (rts - F.col(ts_col))
+        )
+        fresh = rts.isNotNull() & (dist <= F.lit(tolerance))
+        cols = {
+            c + suffix: F.when(fresh, F.col("__match")[c + suffix])
+            for c in value_cols
+        }
+        cols[ts_col + suffix] = F.when(fresh, rts)
+        out = out.withColumns(cols).drop("__match")
     return out
 
 

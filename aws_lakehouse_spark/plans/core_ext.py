@@ -2472,11 +2472,15 @@ def join_asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="backward",
         tolerance=600,
     )
+    # matched = "a right ROW exists within tolerance" (the operator's
+    # t_asof — NULL only when no fresh match), NOT value IS NOT NULL:
+    # a matched row carrying a NULL value must still read as matched,
+    # exactly like the oracle's CASE over the native ASOF join
     return joined.select(
         "event_id",
         "user_id",
         F.round(F.col("value_asof"), 6).alias("view_value"),
-        F.col("value_asof").isNotNull().alias("matched"),
+        F.col("t_asof").isNotNull().alias("matched"),
     ).orderBy("event_id")
 
 

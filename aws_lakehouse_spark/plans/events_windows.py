@@ -1202,16 +1202,19 @@ def events_time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_bounce_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ: cast to TIMESTAMP before long (the
-    # session-tz offset cancels in the difference)
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # MICROsecond gap arithmetic (the repo's events convention): ts
+    # carries sub-second precision, and a second-truncated gap would
+    # disagree with the oracle's full-precision interval compare at
+    # the 30-minute boundary. NTZ → TIMESTAMP first; the session-tz
+    # offset cancels in the difference.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     g = events.select(
         "user_id",
         "event_id",
         "ts",
         F.when(
-            gap.isNull() | (gap > 30 * 60), 1
+            gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
         ).otherwise(0).alias("new_session"),
     )
     s = g.select(

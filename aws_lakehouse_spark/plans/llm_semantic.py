@@ -414,8 +414,16 @@ def embed_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "x"
         ),
     )
-    means = dims.groupBy("side", "pos").agg(
-        F.round(F.avg("x"), 9).alias("m")
+    # the (sides × 64)-row means frame feeds BOTH the drift fold and
+    # the cohort counts; the lazy checkpoint materializes it so the
+    # corpus is scanned exactly once
+    means = (
+        dims.groupBy("side", "pos")
+        .agg(
+            F.round(F.avg("x"), 9).alias("m"),
+            F.count(F.lit(1)).alias("nrows"),
+        )
+        .localCheckpoint(eager=False)
     )
     per_pos = means.groupBy("pos").agg(
         F.max(F.when(F.col("side") == "ref", F.col("m"))).alias("mr"),
@@ -441,13 +449,20 @@ def embed_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(F.abs(F.col("mr") - F.col("mp"))).alias("sad"),
         F.max(F.abs(F.col("mr") - F.col("mp"))).alias("mad"),
     )
-    counts = emb.agg(
-        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_ref"),
-        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_prod"),
+    # cohort sizes come off the SAME aggregated frame (each row
+    # contributes every pos, so nrows at pos 0 IS the cohort count)
+    # — no second scan of the embeddings table
+    counts = (
+        means.filter(F.col("pos") == 0)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("side") == "ref", F.col("nrows")))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.max(F.when(F.col("side") == "prod", F.col("nrows")))
+            .cast("bigint")
+            .alias("n_prod"),
+        )
     )
     return folded.crossJoin(counts).select(
         "n_ref",

@@ -341,8 +341,8 @@ def _entropy_duck(table: str, col: str) -> str:
     "both engines regardless of partitioning.",
 )
 def quality_entropy_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def entropy(table: str, tname: str, col: str) -> DataFrame:
-        counts = table.groupBy(F.col(col).alias("v")).agg(
+    def entropy(df: DataFrame, tname: str, col: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         )
         total = counts.agg(F.sum("c").alias("t"))

@@ -236,3 +236,52 @@ def test_backfill_idempotent_and_resumable(tmp_path):
 
     with _pytest.raises(RuntimeError):
         run_backfill(job, "2024-02-01", "2024-02-03", state, max_failures=1)
+
+
+def test_asof_tolerance_row_atomic_staleness(spark):
+    """tolerance guards the ROW the values came from: a nearer right
+    row with a NULL value is still THE match (pandas merge_asof
+    semantics) — it must not be skipped in favor of an older value
+    that would then sneak past the freshness bound."""
+    left = spark.createDataFrame(
+        [(1, 101, "L1"), (1, 40, "L2"), (2, 10, "L3")],
+        "k int, t bigint, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 0, 5.0), (1, 100, None), (2, 50, 7.0)],
+        "k int, t bigint, v double",
+    )
+    rows = {
+        r["tag"]: (r["v_asof"], r["t_asof"], )
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], tolerance=50
+        ).collect()
+    }
+    # L1 @101: nearest row is t=100 (fresh, dist 1) but its value is
+    # NULL → v_asof NULL with t_asof=100 (matched-a-null, not stale);
+    # the old v=5.0 @0 must NOT leak through
+    assert rows["L1"] == (None, 100)
+    # L2 @40: nearest row is t=0, dist 40 <= 50 → fresh value 5.0
+    assert rows["L2"] == (5.0, 0)
+    # L3 @10: right row is in the future → no backward match
+    assert rows["L3"] == (None, None)
+
+
+def test_asof_tolerance_forward_direction(spark):
+    """forward + tolerance: next right row at/after, stale when
+    further than the bound ahead."""
+    left = spark.createDataFrame(
+        [(1, 10, "A"), (1, 80, "B")], "k int, t bigint, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 30, 1.0), (1, 200, 2.0)], "k int, t bigint, v double"
+    )
+    rows = {
+        r["tag"]: (r["v_asof"], r["t_asof"])
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"],
+            direction="forward", tolerance=50,
+        ).collect()
+    }
+    assert rows["A"] == (1.0, 30)   # dist 20 <= 50
+    assert rows["B"] == (None, None)  # next row is 120 ahead → stale
