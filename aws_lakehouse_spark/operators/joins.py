@@ -353,15 +353,22 @@ def asof_join_nearest(
     keys = list(key_cols)
     rts = ts_col + suffix
     lhs = left.withColumn("__side", F.lit(1))
+    fill_cols = [c + suffix for c in value_cols] + [rts]
+    # one STRUCT per right row so each fill resolves row-ATOMICALLY:
+    # per-column ignorenulls fills could mix rows when the nearest
+    # right row carries a NULL value (same fix as asof_join)
     rhs = (
         right.groupBy(*keys, ts_col)
         .agg(*[F.max(c).alias(c + suffix) for c in value_cols])
         .withColumn(rts, F.col(ts_col))
+        .withColumn(
+            "__match", F.struct(*[F.col(c) for c in fill_cols])
+        )
+        .drop(*fill_cols)
         .withColumn("__side", F.lit(0))
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    fill_cols = [c + suffix for c in value_cols] + [rts]
     wb = (
         Window.partitionBy(*keys)
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
@@ -374,31 +381,24 @@ def asof_join_nearest(
     )
     filled = unioned.withColumns(
         {
-            **{
-                "__b_" + c: F.last(F.col(c), ignorenulls=True).over(wb)
-                for c in fill_cols
-            },
-            **{
-                "__f_" + c: F.last(F.col(c), ignorenulls=True).over(wf)
-                for c in fill_cols
-            },
+            "__b": F.last(F.col("__match"), ignorenulls=True).over(wb),
+            "__f": F.last(F.col("__match"), ignorenulls=True).over(wf),
         }
     ).filter(F.col("__side") == 1)
 
     ts = F.col(ts_col)
-    prev_ts, next_ts = F.col("__b_" + rts), F.col("__f_" + rts)
+    prev_ts, next_ts = F.col("__b")[rts], F.col("__f")[rts]
     prev_ok = prev_ts.isNotNull() & ((ts - prev_ts) <= tolerance)
     next_ok = next_ts.isNotNull() & ((next_ts - ts) <= tolerance)
     use_prev = prev_ok & (
         ~next_ok | ((ts - prev_ts) <= (next_ts - ts))
     )
     picked = {
-        c: F.when(use_prev, F.col("__b_" + c))
-        .when(next_ok, F.col("__f_" + c))
+        c: F.when(use_prev, F.col("__b")[c])
+        .when(next_ok, F.col("__f")[c])
         .otherwise(F.lit(None))
         for c in fill_cols
     }
-    drop = [x for c in fill_cols for x in ("__b_" + c, "__f_" + c)]
     return (
-        filled.withColumns(picked).drop("__side", *drop)
+        filled.withColumns(picked).drop("__side", "__match", "__b", "__f")
     )

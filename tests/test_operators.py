@@ -285,3 +285,18 @@ def test_asof_tolerance_forward_direction(spark):
     }
     assert rows["A"] == (1.0, 30)   # dist 20 <= 50
     assert rows["B"] == (None, None)  # next row is 120 ahead → stale
+
+
+def test_asof_nearest_row_atomic_null_value(spark):
+    """nearest-match fill is row-atomic too: a NULL value on the
+    nearest row must not be papered over by an older row's value."""
+    from aws_lakehouse_spark.operators.joins import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 100, "L")], "k int, t bigint, tag string")
+    right = spark.createDataFrame(
+        [(1, 0, 5.0), (1, 99, None)], "k int, t bigint, v double"
+    )
+    row = asof_join_nearest(
+        left, right, ["k"], "t", ["v"], tolerance=50
+    ).collect()[0]
+    assert row["t_asof"] == 99 and row["v_asof"] is None
