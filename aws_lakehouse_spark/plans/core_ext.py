@@ -2550,3 +2550,70 @@ def snapshot_rewrite_files_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "snapshot_history_table",
+    oracle="""
+    SELECT 0 AS version, 'overwrite' AS mode, CAST(4 AS BIGINT) AS n_files,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 3 = 0) AS n_rows,
+           TRUE AS published
+    UNION ALL
+    SELECT 1, 'append', CAST(6 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 3 IN (0, 1)),
+           TRUE
+    UNION ALL
+    SELECT 2, 'append', CAST(9 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           TRUE
+    ORDER BY version
+    """,
+    category="2.9 maintenance (metadata tables)",
+    doc="Iceberg table.history / Delta DESCRIBE HISTORY as a "
+    "queryable DataFrame (sources/snapshots.py:snapshot_history): "
+    "one row per committed version with mode, file count, row "
+    "count, and main-visibility — the metadata table audits and "
+    "dashboards point at. Three controlled commits (overwrite + "
+    "two appends with fixed write partitioning) make file counts "
+    "deterministic; the oracle recomputes row counts from source "
+    "slices, so a green row certifies the log's accounting of "
+    "every version, not just the head. Version/mode/file data is "
+    "metadata-only; per-version row counts scan only that "
+    "version's file list.",
+)
+def snapshot_history_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        snapshot_history,
+        snapshot_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_hist_"), "orders_snap"
+    )
+    snapshot_write(
+        spark,
+        orders.filter(F.col("o_orderkey") % 3 == 0).repartition(4),
+        table,
+        "overwrite",
+    )
+    snapshot_write(
+        spark,
+        orders.filter(F.col("o_orderkey") % 3 == 1).repartition(2),
+        table,
+        "append",
+    )
+    snapshot_write(
+        spark,
+        orders.filter(F.col("o_orderkey") % 3 == 2).repartition(3),
+        table,
+        "append",
+    )
+    return snapshot_history(spark, table).orderBy("version")

@@ -1395,3 +1395,32 @@ def fast_forward_main(table_path: str, name: str) -> int:
     # fork base advances to the commit main just gained
     _move_branch(table_path, name, head, fork_base=new_version)
     return new_version
+
+
+def snapshot_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """Iceberg's ``table.history`` / Delta's ``DESCRIBE HISTORY`` as
+    a queryable DataFrame: one row per committed version with its
+    mode, file count, row count, and main-visibility — the metadata
+    table operators point dashboards and audits at. Planning data
+    (version, mode, n_files, published) is metadata-only; ``n_rows``
+    triggers one count per version over that version's (pruned) file
+    list, so cost is proportional to the versions you ask about —
+    at scale, select versions first, then count."""
+    rows = []
+    pub = set(published_versions(table_path))
+    for v in versions(table_path):
+        m = _read_manifest(table_path, v)
+        rows.append(
+            (
+                v,
+                m.get("mode", ""),
+                len(m["files"]),
+                read_snapshot(spark, table_path, v).count(),
+                v in pub,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, mode string, n_files bigint, n_rows bigint, "
+        "published boolean",
+    )
