@@ -846,3 +846,70 @@ def scalar_interval_family_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_to_cutoff"),
     )
+
+
+@register(
+    "scalar_collation_groupby",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE CAST(c_custkey % 3 AS INTEGER)
+                   WHEN 0 THEN upper(c_mktsegment)
+                   WHEN 1 THEN lower(c_mktsegment)
+                   ELSE c_mktsegment
+               END AS seg,
+               c_acctbal
+        FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS HUGEINT))
+                 / 100.0, 2) AS total_acctbal
+    FROM mixed
+    GROUP BY lower(seg)
+    ORDER BY segment
+    """,
+    category="2.8 scalar functions (collations)",
+    doc="Spark 4 collation-aware aggregation: segment labels arrive "
+    "in inconsistent casing (a THIRD of rows upper-cased, a third "
+    "lower — the classic multi-source ingest mess) and group "
+    "correctly under the UTF8_LCASE collation WITHOUT a lowercase "
+    "projection — the collation is a property of the comparison, "
+    "so every operator downstream (joins, sorts, distinct) honors "
+    "it consistently instead of each call-site remembering to "
+    "lower(). The output key is normalized explicitly because the "
+    "collation group's representative is first-seen "
+    "(partition-order dependent). The oracle groups by lower() — "
+    "identical partitions, independent mechanism. Exact "
+    "integer-cent totals.",
+)
+def scalar_collation_groupby_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    seg = (
+        F.when(
+            (F.col("c_custkey") % 3) == 0, F.upper("c_mktsegment")
+        )
+        .when((F.col("c_custkey") % 3) == 1, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+    )
+    return (
+        cust.select(seg.alias("seg"), "c_acctbal")
+        .groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("decimal(38,0)")
+                )
+                / 100.0,
+                2,
+            ).alias("total_acctbal"),
+        )
+        .select(
+            F.lower(F.col("k")).alias("segment"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("segment")
+    )

@@ -145,3 +145,46 @@ def stream_stream_attribution(
         ),
         "inner",
     ).select("purchase_id", "purchase_user", "purchase_ts", "click_id", "click_ts")
+
+
+def stream_stream_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every purchase,
+    paired with its within-horizon clicks when they exist — and
+    emitted with NULL click columns once the watermark proves no
+    click can still arrive. This is the semantics inner joins can't
+    give: "purchases WITHOUT an attributable click" is itself the
+    signal (dark-traffic / attribution-gap measurement), and outer
+    results only become emittable when state eviction certifies the
+    absence — late data can't retroactively falsify an emitted NULL.
+    Same bounded-state contract as the inner form: both sides
+    watermarked, the join predicate time-bounds each side relative
+    to the other, the engine derives finite state retention."""
+    c = _ltz(clicks, ts_col).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col(ts_col).alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = _ltz(purchases, ts_col).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col(ts_col).alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            > F.col("purchase_ts")
+            - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id", "purchase_user", "purchase_ts", "click_id", "click_ts"
+    )

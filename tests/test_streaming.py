@@ -587,3 +587,75 @@ def test_transform_with_state_v2_profile(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: matched purchases pair with
+    their clicks; purchases with NO within-horizon click emit with
+    NULL click columns once the watermark passes — equal to the
+    batch left join over the same predicate."""
+    from aws_lakehouse_spark.streaming.windows import (
+        stream_stream_attribution_outer,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "sso-src"
+    events.write.parquet(str(src))
+    schema = events.schema
+
+    clicks_s = spark.readStream.schema(schema).parquet(str(src)).filter(
+        "event_type = 'click'"
+    )
+    purchases_s = spark.readStream.schema(schema).parquet(str(src)).filter(
+        "event_type = 'purchase'"
+    )
+    q = (
+        stream_stream_attribution_outer(clicks_s, purchases_s)
+        .writeStream.format("memory")
+        .queryName("sso_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sso-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("sso_test").collect()
+    }
+
+    # batch reference: same predicate as a plain left join
+    import pyspark.sql.functions as F
+
+    c = events.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    p = events.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    # outer-NULL rows only become emittable once the watermark proves
+    # no click can still arrive: purchases inside the final watermark
+    # window (max click ts - 1 h) are correctly WITHHELD in state —
+    # the batch reference must model that
+    max_cts = c.agg(F.max("cts")).head()[0]
+    wm = max_cts - __import__("datetime").timedelta(hours=1)
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in joined.collect()
+        if r["click_id"] is not None or r["pts"] < wm
+    }
+    assert got == expected
+    assert any(cid is None for _, cid in got), (
+        "fixture should contain unattributed purchases"
+    )
