@@ -113,8 +113,9 @@ def stream_stream_attribution(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     horizon_minutes: int = 30,
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: every (click, purchase)
+    """Watermarked stream-stream join: every (click, purchase)
     pair for the same user where the purchase lands within
     ``horizon_minutes`` after the click.
 
@@ -124,6 +125,11 @@ def stream_stream_attribution(
     state store stays bounded on an unbounded stream. The batch face
     (last-click attribution on top of these pairs) is the
     oracle-checked ``events_attribution`` query.
+
+    ``how='left_outer'`` additionally emits purchases with NO
+    within-horizon click — with NULL click columns, and only once
+    the watermark proves no click can still arrive (see
+    :func:`stream_stream_attribution_outer`).
     """
     c = _ltz(clicks, ts_col).select(
         F.col("event_id").alias("click_id"),
@@ -143,7 +149,7 @@ def stream_stream_attribution(
             F.col("click_ts")
             > F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
         ),
-        "inner",
+        how,
     ).select("purchase_id", "purchase_user", "purchase_ts", "click_id", "click_ts")
 
 
@@ -162,29 +168,13 @@ def stream_stream_attribution_outer(
     signal (dark-traffic / attribution-gap measurement), and outer
     results only become emittable when state eviction certifies the
     absence — late data can't retroactively falsify an emitted NULL.
-    Same bounded-state contract as the inner form: both sides
-    watermarked, the join predicate time-bounds each side relative
-    to the other, the engine derives finite state retention."""
-    c = _ltz(clicks, ts_col).select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("click_user"),
-        F.col(ts_col).alias("click_ts"),
-    ).withWatermark("click_ts", watermark)
-    p = _ltz(purchases, ts_col).select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("purchase_user"),
-        F.col(ts_col).alias("purchase_ts"),
-    ).withWatermark("purchase_ts", watermark)
-    return p.join(
-        c,
-        (F.col("click_user") == F.col("purchase_user"))
-        & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (
-            F.col("click_ts")
-            > F.col("purchase_ts")
-            - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
-        ),
-        "left_outer",
-    ).select(
-        "purchase_id", "purchase_user", "purchase_ts", "click_id", "click_ts"
+    Delegates to :func:`stream_stream_attribution` (one predicate,
+    one watermark contract — the faces cannot drift)."""
+    return stream_stream_attribution(
+        clicks,
+        purchases,
+        ts_col=ts_col,
+        watermark=watermark,
+        horizon_minutes=horizon_minutes,
+        how="left_outer",
     )

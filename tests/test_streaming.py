@@ -646,10 +646,15 @@ def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
     )
     # outer-NULL rows only become emittable once the watermark proves
     # no click can still arrive: purchases inside the final watermark
-    # window (max click ts - 1 h) are correctly WITHHELD in state —
-    # the batch reference must model that
+    # window are correctly WITHHELD in state — the batch reference
+    # must model that. The GLOBAL watermark is the MIN across both
+    # watermarked inputs (each side's max event time minus its
+    # delay), not the click side's alone.
+    import datetime
+
     max_cts = c.agg(F.max("cts")).head()[0]
-    wm = max_cts - __import__("datetime").timedelta(hours=1)
+    max_pts = p.agg(F.max("pts")).head()[0]
+    wm = min(max_cts, max_pts) - datetime.timedelta(hours=1)
     expected = {
         (r["purchase_id"], r["click_id"])
         for r in joined.collect()
