@@ -2392,3 +2392,123 @@ def scalar_mapinarrow_checksum_q(
     return docs.mapInArrow(
         checksum, "doc_id bigint, n_bytes bigint, byte_sum_mod bigint"
     ).orderBy("doc_id")
+
+
+@register(
+    "text_jsd_langs",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(str_split(text, ' ')) AS tok
+        FROM documents WHERE lang IN ('en', 'de')
+    ),
+    cp AS (SELECT tok, COUNT(*) AS c FROM toks WHERE lang = 'en'
+           GROUP BY tok),
+    cq AS (SELECT tok, COUNT(*) AS c FROM toks WHERE lang = 'de'
+           GROUP BY tok),
+    joined AS (
+        SELECT COALESCE(cp.tok, cq.tok) AS tok,
+               COALESCE(cp.c, 0) AS a, COALESCE(cq.c, 0) AS b
+        FROM cp FULL OUTER JOIN cq ON cp.tok = cq.tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(a) AS DOUBLE) AS ta,
+               CAST(SUM(b) AS DOUBLE) AS tb,
+               CAST(SUM(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS va,
+               CAST(SUM(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vb
+        FROM joined
+    ),
+    terms AS (
+        SELECT j.tok,
+               CASE WHEN j.a > 0 THEN (j.a / t.ta) * log2(
+                   (j.a / t.ta)
+                   / ((j.a / t.ta + j.b / t.tb) / 2.0)) ELSE 0 END AS tp,
+               CASE WHEN j.b > 0 THEN (j.b / t.tb) * log2(
+                   (j.b / t.tb)
+                   / ((j.a / t.ta + j.b / t.tb) / 2.0)) ELSE 0 END AS tq
+        FROM joined j, tot t
+    )
+    SELECT (SELECT va FROM tot) AS vocab_en,
+           (SELECT vb FROM tot) AS vocab_de,
+           ROUND(0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     (SELECT list(tp ORDER BY tok) FROM terms)),
+                     (x, y) -> x + y)
+                 + 0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     (SELECT list(tq ORDER BY tok) FROM terms)),
+                     (x, y) -> x + y), 6) AS jsd_bits
+    """,
+    category="llm text (distribution shift)",
+    doc="Jensen-Shannon divergence (bits) between the English and "
+    "German cohorts' word distributions — the DISCRETE-distribution "
+    "shift metric completing the numeric drift tier (PSI/KS work on "
+    "ordered values; vocabulary needs a symmetric, always-finite "
+    "divergence — KL alone blows up on single-cohort words, which "
+    "dominate cross-language vocab). Counts are exact integers off "
+    "one keyed aggregate per cohort; the full-outer vocab join and "
+    "both KL halves reduce in ORDERED token folds, so every double "
+    "is bit-identical on both engines. Vocabulary-sized work "
+    "end-to-end after the one token-explode scan; JSD in [0,1] "
+    "bits: 0 = identical mixtures, 1 = disjoint.",
+)
+def text_jsd_langs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cp = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    cq = (
+        toks.filter(F.col("lang") == "de")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    joined = (
+        cp.join(cq, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce(F.col("a"), F.lit(0)).alias("a"),
+            F.coalesce(F.col("b"), F.lit(0)).alias("b"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("a").cast("double").alias("ta"),
+        F.sum("b").cast("double").alias("tb"),
+        F.sum(F.when(F.col("a") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("va"),
+        F.sum(F.when(F.col("b") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("vb"),
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    p = F.col("a") / F.col("ta")
+    q = F.col("b") / F.col("tb")
+    m = (p + q) / F.lit(2.0)
+    tp = F.when(F.col("a") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+    tq = F.when(F.col("b") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tok"), expr.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda x, y: x + y,
+        )
+
+    return j.agg(
+        F.max("va").alias("vocab_en"),
+        F.max("vb").alias("vocab_de"),
+        F.round(
+            F.lit(0.5) * fold(tp) + F.lit(0.5) * fold(tq), 6
+        ).alias("jsd_bits"),
+    )

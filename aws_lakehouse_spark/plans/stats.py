@@ -772,3 +772,103 @@ def agg_gini_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * siy / (n * sy) - (n + F.lit(1.0)) / n, 6
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_price_elasticity",
+    oracle="""
+    WITH buckets AS (
+        SELECT CAST(FLOOR(l_extendedprice / l_quantity) AS BIGINT)
+                   AS price_pt,
+               SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS qty
+        FROM lineitem
+        GROUP BY 1
+    ),
+    pts AS (
+        SELECT price_pt,
+               ln(CAST(price_pt AS DOUBLE)) AS x,
+               ln(CAST(qty AS DOUBLE)) AS y
+        FROM buckets WHERE price_pt > 0
+    ),
+    folded AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(x ORDER BY price_pt)), (a, b) -> a + b) AS sx,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(y ORDER BY price_pt)), (a, b) -> a + b) AS sy,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(x * y ORDER BY price_pt)), (a, b) -> a + b) AS sxy,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(x * x ORDER BY price_pt)), (a, b) -> a + b) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_price_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS elasticity,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept
+    FROM folded
+    """,
+    category="2.4 aggregation (econometrics)",
+    doc="Price elasticity of demand: the log-log OLS slope of total "
+    "quantity sold against unit price — d ln(Q) / d ln(P), the "
+    "constant-elasticity demand-curve estimate pricing teams run "
+    "over transaction logs. NOT regr_slope over raw lines: the "
+    "fact table collapses FIRST to whole-dollar price points with "
+    "EXACT integer quantity totals (one map-side-combinable "
+    "aggregate), so ln() sees identical integers on both engines, "
+    "and the regression moments reduce in ORDERED price-point "
+    "folds over the ~bucket-sized frame — bit-stable where a "
+    "streamed co-moment sum is partition-order-flaky. One fact "
+    "scan, one keyed shuffle, dimension-sized everything after.",
+)
+def agg_price_elasticity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity"))
+            .cast("bigint")
+            .alias("price_pt")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_quantity")).cast("decimal(38,0)")
+            ).alias("qty")
+        )
+        .filter(F.col("price_pt") > 0)
+    )
+    pts = buckets.select(
+        "price_pt",
+        F.log(F.col("price_pt").cast("double")).alias("x"),
+        F.log(F.col("qty").cast("double")).alias("y"),
+    )
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("price_pt"), expr.alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    folded = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return folded.select(
+        n.cast("bigint").alias("n_price_points"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
