@@ -872,3 +872,112 @@ def agg_price_elasticity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("elasticity"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@register(
+    "customer_survival_km",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               MIN(date_part('year', o_orderdate) * 12
+                   + date_part('month', o_orderdate)) AS first_m,
+               MAX(date_part('year', o_orderdate) * 12
+                   + date_part('month', o_orderdate)) AS last_m
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    obs AS (
+        SELECT last_m - first_m AS dur,
+               CASE WHEN last_m < 1998 * 12 + 3 THEN 1 ELSE 0 END
+                   AS churned
+        FROM cust
+    ),
+    t AS (
+        SELECT dur, CAST(SUM(churned) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS ending
+        FROM obs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d,
+               CAST(SUM(ending) OVER (
+                   ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_at_risk
+        FROM t
+    )
+    SELECT CAST(dur AS INTEGER) AS month,
+           n_at_risk,
+           d AS n_churned,
+           ROUND(exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)) OVER (
+               ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )), 6) AS survival
+    FROM risk
+    WHERE d > 0 OR n_at_risk > 0
+    ORDER BY month
+    """,
+    category="2.4 aggregation (survival analysis)",
+    doc="Kaplan-Meier survival curve for customer retention: "
+    "tenure = months between first and last order; a customer "
+    "whose last order predates the March-1998 cutoff is a CHURN "
+    "event at that tenure, later actives are right-CENSORED — the "
+    "estimator handles them correctly where a naive churn-rate-"
+    "by-month silently treats still-active customers as churned. "
+    "S(t) = Π over event times (1 − d_t / n_t): the fact table "
+    "collapses to per-customer (first, last) in one aggregate, "
+    "then to the tenure-months frame; at-risk counts come from a "
+    "reverse running sum and the product runs as exp(running sum "
+    "of ln terms) — prefix sums are evaluated in frame order on "
+    "both engines, so the doubles agree bit-for-bit. All windows "
+    "act on the ~80-row months frame, never on data.",
+)
+def customer_survival_km_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mcol = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cust = orders.groupBy("o_custkey").agg(
+        F.min(mcol).alias("first_m"), F.max(mcol).alias("last_m")
+    )
+    obs = cust.select(
+        (F.col("last_m") - F.col("first_m")).alias("dur"),
+        F.when(F.col("last_m") < 1998 * 12 + 3, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    t = obs.groupBy("dur").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("ending"),
+    )
+    w_rev = (
+        Window.orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = t.select(
+        "dur",
+        "d",
+        F.sum("ending").over(w_rev).cast("bigint").alias("n_at_risk"),
+    )
+    w_fwd = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risk.select(
+            F.col("dur").cast("int").alias("month"),
+            "n_at_risk",
+            F.col("d").alias("n_churned"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("d").cast("double")
+                            / F.col("n_at_risk")
+                        )
+                    ).over(w_fwd)
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("month")
+    )
