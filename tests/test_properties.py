@@ -505,3 +505,74 @@ def test_segmented_log_equals_inline_replay(spark, tmp_path_factory, ops):
             for r in snapshots.read_snapshot(spark, table, v).collect()
         }
         assert got == want, (v, ops)
+
+
+@given(
+    left=st.lists(st.tuples(keys, st.integers(0, 50)), min_size=1, max_size=12),
+    right=st.lists(
+        st.tuples(keys, st.integers(0, 50), st.floats(-10, 10, allow_nan=False)),
+        min_size=0,
+        max_size=12,
+    ),
+    tol=st.integers(0, 20),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(**SETTINGS)
+def test_asof_tolerance_equals_pandas_merge_asof(
+    spark, left, right, tol, direction
+):
+    """asof_join(tolerance=...) must agree with pandas.merge_asof's
+    tolerance semantics in both directions — pandas is the
+    independent reference implementation (different algorithm,
+    different engine). Right-side (key, ts) duplicates collapse to
+    max(v) first so both implementations see identical inputs."""
+    import pandas as pd
+
+    from aws_lakehouse_spark.operators import asof_join
+
+    left = list({(k, t): None for k, t in left})
+    collapsed: dict = {}
+    for k, t, v in right:
+        key = (k, t)
+        collapsed[key] = v if key not in collapsed else max(collapsed[key], v)
+    right = [(k, t, v) for (k, t), v in collapsed.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k bigint, ts bigint, rowid bigint",
+    )
+    rdf = spark.createDataFrame(right, "k bigint, ts bigint, v double")
+    got = {
+        r["rowid"]: (r["v_asof"], r["ts_asof"])
+        for r in asof_join(
+            ldf, rdf, ["k"], "ts", ["v"],
+            direction=direction, tolerance=tol,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        columns=["k", "ts", "rowid"],
+    ).sort_values("ts", kind="mergesort")
+    rp = (
+        pd.DataFrame(right, columns=["k", "ts", "v"])
+        .astype({"k": "int64", "ts": "int64", "v": "float64"})
+        .sort_values("ts", kind="mergesort")
+    )
+    merged = pd.merge_asof(
+        lp,
+        rp.rename(columns={"ts": "rts"}),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction=direction,
+        tolerance=tol,
+    )
+    expected = {
+        int(r.rowid): (
+            None if pd.isna(r.v) else float(r.v),
+            None if pd.isna(r.rts) else int(r.rts),
+        )
+        for r in merged.itertuples()
+    }
+    assert got == expected
