@@ -647,3 +647,70 @@ def decode_image_profile(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_extract, IMAGE_PROFILE_SCHEMA)
+
+
+AUDIO_PROFILE_SCHEMA = (
+    "media_id bigint, n_frames bigint, silence_ratio double, "
+    "peak_amp bigint, rms double, dbfs double"
+)
+
+
+def decode_audio_profile(media: DataFrame) -> DataFrame:
+    """ONE decode pass per clip producing everything the audio
+    curation pipeline needs downstream — frame count, silent-frame
+    ratio, peak, RMS, dBFS — so the quality-gate → chunk-plan flow
+    never decodes a payload twice (the audio analogue of
+    :func:`decode_image_profile`). Integer-exact accumulations
+    (silent count, squared-sample sum) before the one division, so
+    results are batch-order-free; mono/16-bit enforced through
+    :func:`codecs.wav_samples` (``ValueError`` on malformed input).
+    """
+    import math
+
+    from aws_lakehouse_spark.llm.codecs import wav_samples
+
+    def profile(payload: bytes, threshold: int = 50) -> dict:
+        _rate, n_channels, _n, samples = wav_samples(payload)
+        if n_channels != 1:
+            raise ValueError(
+                f"decode_audio_profile requires mono WAV, got "
+                f"{n_channels} channels"
+            )
+        n = len(samples)
+        n_silent = sum(1 for s in samples if abs(s) < threshold)
+        ssq = sum(s * s for s in samples)
+        peak = max((abs(s) for s in samples), default=0)
+        rms = math.sqrt(ssq / n) if n else 0.0
+        dbfs = (
+            round(20.0 * math.log10(rms / 32768.0), 6)
+            if rms > 0.0
+            else -120.0
+        )
+        return {
+            "n_frames": n,
+            # rounded HERE (Python banker's rounding) so the analytic
+            # oracle — which rounds the same way — matches exactly;
+            # F.round's HALF_UP differs at half-ulp ratios
+            "silence_ratio": round(n_silent / max(n, 1), 6),
+            "peak_amp": peak,
+            "rms": round(rms, 6),
+            "dbfs": dbfs,
+        }
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["content"].map(profile)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": feats.map(lambda d: d["n_frames"]),
+                    "silence_ratio": feats.map(
+                        lambda d: d["silence_ratio"]
+                    ),
+                    "peak_amp": feats.map(lambda d: d["peak_amp"]),
+                    "rms": feats.map(lambda d: d["rms"]),
+                    "dbfs": feats.map(lambda d: d["dbfs"]),
+                }
+            )
+
+    return media.mapInPandas(_extract, AUDIO_PROFILE_SCHEMA)

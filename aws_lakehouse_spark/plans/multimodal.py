@@ -1007,3 +1007,88 @@ def media_curation_pipeline_q(
         .orderBy("media_id")
     )
     return survivors
+
+
+def _audio_curation_expected() -> list[tuple]:
+    """Profile → gate → chunk plan replayed from the PLANT parameters
+    in pure Python (never decoding): survivors pass the silence and
+    loudness gates; chunks = ceil(frames / 160)."""
+    import math
+
+    rows = []
+    for i, _wav, n, lead, trail in _audio_silence_fixture():
+        amps = []
+        for j in range(n):
+            if j < lead or j >= n - trail:
+                amps.append(0)
+            else:
+                amps.append(100 + ((j * 31 + i * 7) % 1500))
+        ratio = (lead + trail) / n
+        ssq = sum(a * a for a in amps)
+        rms = math.sqrt(ssq / n)
+        dbfs = round(20.0 * math.log10(rms / 32768.0), 6)
+        if ratio <= 0.25 and dbfs > -40.0:
+            rows.append(
+                (i, n, round(ratio, 6), dbfs, -(-n // 160))
+            )
+    rows.sort()
+    return rows
+
+
+def _audio_curation_oracle() -> str:
+    values = ",\n        ".join(
+        f"({mid}, {n}, {ratio!r}, {dbfs!r}, {chunks})"
+        for mid, n, ratio, dbfs, chunks in _audio_curation_expected()
+    )
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(silence_ratio AS DOUBLE) AS silence_ratio,
+           CAST(dbfs AS DOUBLE) AS dbfs,
+           CAST(n_chunks AS BIGINT) AS n_chunks
+    FROM (VALUES
+        {values}
+    ) t(media_id, n_frames, silence_ratio, dbfs, n_chunks)
+    """
+
+
+@register(
+    "media_audio_curation_pipeline",
+    oracle=_audio_curation_oracle(),
+    category="llm multimodal (composite pipeline)",
+    doc="The audio half of a training-data curation run as ONE "
+    "Catalyst plan (companion to media_curation_pipeline's image "
+    "half): a single Arrow decode pass profiles every clip (frames, "
+    "silent-frame ratio, peak/RMS/dBFS — integer-exact "
+    "accumulations), dead-air and too-quiet clips gate out BEFORE "
+    "any downstream work (silence_ratio > 0.25 or dBFS <= -40 "
+    "train nothing), and survivors get their 160-frame chunk plan. "
+    "The oracle replays profile → gate → chunk from the planted "
+    "amplitude formulas in pure Python — codec-independent ground "
+    "truth for the whole composite. Payload bytes never leave the "
+    "decode stage; everything downstream is scalar rows.",
+)
+def media_audio_curation_pipeline_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from aws_lakehouse_spark.llm.multimodal import decode_audio_profile
+
+    rows = [(i, bytearray(wav)) for i, wav, _n, _l, _t in
+            _audio_silence_fixture()]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    profile = decode_audio_profile(media)
+    gated = profile.filter(
+        (F.col("silence_ratio") <= 0.25) & (F.col("dbfs") > -40.0)
+    )
+    return (
+        gated.select(
+            "media_id",
+            "n_frames",
+            "silence_ratio",
+            "dbfs",
+            F.ceil(F.col("n_frames") / F.lit(160))
+            .cast("bigint")
+            .alias("n_chunks"),
+        )
+        .orderBy("media_id")
+    )
