@@ -981,3 +981,100 @@ def customer_survival_km_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "agg_market_share_hhi",
+    oracle="""
+    WITH sup AS (
+        SELECT n.n_name AS nation, l.l_suppkey,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT))
+                   AS rev
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, l.l_suppkey
+    ),
+    tot AS (
+        SELECT nation, SUM(rev) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM sup GROUP BY nation
+    )
+    SELECT s.nation, t.n_suppliers,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(
+                   (CAST(s.rev AS DOUBLE) / CAST(t.t AS DOUBLE))
+                   * (CAST(s.rev AS DOUBLE) / CAST(t.t AS DOUBLE)) * 10000
+                   ORDER BY s.l_suppkey)),
+               (a, b) -> a + b), 4) AS hhi
+    FROM sup s JOIN tot t USING (nation)
+    GROUP BY s.nation, t.n_suppliers
+    ORDER BY s.nation
+    """,
+    category="2.4 aggregation (concentration)",
+    doc="Herfindahl-Hirschman Index of supplier revenue "
+    "concentration per nation (Σ of squared market shares × 10000 "
+    "— the antitrust scale where <1500 is competitive and >2500 "
+    "concentrated): the market-structure complement to the Gini "
+    "coefficient's inequality view. Fact collapses to (nation, "
+    "supplier) exact integer-cent revenues in one keyed aggregate; "
+    "nation totals broadcast back; squared shares reduce in an "
+    "ORDERED supplier fold per nation so the doubles are "
+    "bit-identical on both engines.",
+)
+def agg_market_share_hhi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup_dim = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    sup = (
+        li.join(
+            F.broadcast(sup_dim),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("rev")
+        )
+    )
+    tot = sup.groupBy("nation").agg(
+        F.sum("rev").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("rev").cast("double") / F.col("t").cast("double")
+    return (
+        sup.join(tot, "nation")
+        .groupBy("nation", "n_suppliers")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("l_suppkey"),
+                                    (share * share * 10000).alias("t2"),
+                                )
+                            )
+                        ),
+                        lambda s: s["t2"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+                4,
+            ).alias("hhi")
+        )
+        .orderBy("nation")
+    )

@@ -182,3 +182,60 @@ def test_label_propagation_sequential_reference(spark):
         for r in label_propagation(_edges(spark, pairs), rounds).collect()
     }
     assert got == lab
+
+
+def test_bfs_distances_match_sequential(spark):
+    """Frontier-expansion BFS matches a dict-based sequential BFS on
+    a seeded random graph, including the 3-hop bound."""
+    import random
+    from collections import deque
+
+    from aws_lakehouse_spark.operators.graph import symmetrize
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    pairs = sorted(
+        {
+            (a, b)
+            for _ in range(45)
+            for a, b in [sorted(rng.sample(nodes, 2))]
+        }
+    )
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    src = min(adj)
+    expected = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if expected[u] >= 3:
+            continue
+        for v in adj[u]:
+            if v not in expected:
+                expected[v] = expected[u] + 1
+                dq.append(v)
+
+    # replicate graph_bfs_distance's loop on this edge list
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    sym = symmetrize(edges)
+    nodes_df = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes_df.filter(F.col("node") == src).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    frontier = labels
+    for r in range(1, 4):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(labels, "node", "left_anti")
+            .select("node", F.lit(r).cast("int").alias("dist"))
+        )
+        labels = labels.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = labels.filter(F.col("dist") == r)
+    got = {r["node"]: r["dist"] for r in labels.collect()}
+    assert got == expected
