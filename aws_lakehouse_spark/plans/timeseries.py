@@ -807,3 +807,65 @@ def ts_theil_sen_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "events_burstiness_fano",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               CAST(COUNT(*) AS HUGEINT) AS c
+        FROM events
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(c) AS s1,
+               SUM(c * c) AS s2
+        FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(s1 AS BIGINT) AS n_events,
+           ROUND(
+               (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+               6
+           ) AS fano
+    FROM m ORDER BY event_type
+    """,
+    category="2.10 streaming (batch face)",
+    doc="Fano factor (index of dispersion, variance/mean of hourly "
+    "event counts) per event type — the burstiness diagnostic: 1 = "
+    "Poisson arrivals, >1 = bursty/clumped traffic (autoscaling and "
+    "anomaly thresholds tuned on Poisson assumptions break), <1 = "
+    "regular. Counts collapse the stream to the hours frame; the "
+    "two moments are EXACT integer sums (map-side combinable, "
+    "order-free) and the final ratio is closed-form double "
+    "arithmetic over identical integers — bit-stable anywhere.",
+)
+def events_burstiness_fano_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast(dec).alias("c"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast(dec)).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / n
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("s1").cast("bigint").alias("n_events"),
+        F.round((s2 / n - mean * mean) / mean, 6).alias("fano"),
+    ).orderBy("event_type")
