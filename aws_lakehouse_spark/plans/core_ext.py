@@ -2617,3 +2617,96 @@ def snapshot_history_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return snapshot_history(spark, table).orderBy("version")
+
+
+@register(
+    "snapshot_check_constraints",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT))
+                 / 100.0, 2) AS total_price
+    FROM orders
+    WHERE o_totalprice > 0 AND o_orderkey % 4 != 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="2.9 maintenance (CHECK constraints)",
+    doc="Delta-style CHECK constraints on the snapshot log "
+    "(sources/snapshots.py:add_table_constraint / "
+    "checked_snapshot_write): a registered predicate gates every "
+    "write — the batch with poisoned rows (negated prices) is "
+    "rejected WHOLE with per-constraint violation counts and "
+    "commits nothing (asserted in-band: version list and row count "
+    "unchanged after the rejected write), while clean batches "
+    "commit normally. One aggregate pass counts all constraints' "
+    "violations — enforcement never adds scans. The oracle "
+    "recomputes from the clean slices only, so a green row proves "
+    "the gate admitted exactly the valid data.",
+)
+def snapshot_check_constraints_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from aws_lakehouse_spark.sources.snapshots import (
+        ConstraintViolationError,
+        add_table_constraint,
+        checked_snapshot_write,
+        read_snapshot,
+        versions,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="lakehouse_chk_"), "orders_snap"
+    )
+    add_table_constraint(table, "price_positive", "o_totalprice > 0")
+
+    checked_snapshot_write(
+        spark, orders.filter(F.col("o_orderkey") % 4 == 1), table,
+        "overwrite",
+    )
+    checked_snapshot_write(
+        spark, orders.filter(F.col("o_orderkey") % 4 == 2), table,
+        "append",
+    )
+    before_versions = versions(table)
+    before_rows = read_snapshot(spark, table).count()
+    # poisoned batch: prices negated → must be rejected WHOLE
+    poisoned = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    try:
+        checked_snapshot_write(spark, poisoned, table, "append")
+        raise AssertionError("poisoned batch must be rejected")
+    except ConstraintViolationError:
+        pass
+    if versions(table) != before_versions:
+        raise AssertionError("rejected write must commit no version")
+    if read_snapshot(spark, table).count() != before_rows:
+        raise AssertionError("rejected write must not change the table")
+    checked_snapshot_write(
+        spark, orders.filter(F.col("o_orderkey") % 4 == 3), table,
+        "append",
+    )
+    return (
+        read_snapshot(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -68,8 +68,12 @@ def versions(table_path: str) -> list[int]:
     log = _log_path(table_path)
     if not os.path.isdir(log):
         return []
+    # only digit-named manifests are versions (the log dir also holds
+    # constraints.json and the segments/ subdir)
     return sorted(
-        int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")
+        int(f.split(".")[0])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
     )
 
 
@@ -1424,3 +1428,80 @@ def snapshot_history(spark: SparkSession, table_path: str) -> DataFrame:
         "version int, mode string, n_files bigint, n_rows bigint, "
         "published boolean",
     )
+
+
+class ConstraintViolationError(RuntimeError):
+    """A write batch violated a table CHECK constraint; nothing was
+    committed (Delta's ``CHECK constraint ... violated`` contract)."""
+
+
+def _constraints_file(table_path: str) -> str:
+    return os.path.join(_log_path(table_path), "constraints.json")
+
+
+def table_constraints(table_path: str) -> dict[str, str]:
+    """Named CHECK constraints registered on the table."""
+    try:
+        with open(_constraints_file(table_path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def add_table_constraint(
+    table_path: str, name: str, predicate_sql: str
+) -> None:
+    """Register a Delta-style CHECK constraint (``ALTER TABLE ... ADD
+    CONSTRAINT name CHECK (predicate)``): every subsequent
+    :func:`checked_snapshot_write` refuses to commit a batch with any
+    row where the predicate is not TRUE — the write-time data
+    contract that keeps one bad upstream batch from poisoning every
+    consumer downstream. Constraints live in the table's log
+    directory, so enforcement follows the table, not the caller."""
+    os.makedirs(_log_path(table_path), exist_ok=True)
+    cons = table_constraints(table_path)
+    cons[name] = predicate_sql
+    tmp = _constraints_file(table_path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+    os.replace(tmp, _constraints_file(table_path))
+
+
+def checked_snapshot_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    **kwargs,
+) -> int:
+    """:func:`snapshot_write` with the table's CHECK constraints
+    enforced FIRST: one pass counts, per constraint, the rows where
+    the predicate is not TRUE (SQL three-valued logic: NULL counts
+    as a violation — a constraint must PROVE the row valid, matching
+    Delta/ANSI CHECK semantics); any violation raises
+    :class:`ConstraintViolationError` with per-constraint counts and
+    NO version is committed. All violation counts come from a single
+    aggregate over one scan of the batch (constraint count doesn't
+    add passes), via the Observation-free conditional-sum shape."""
+    import pyspark.sql.functions as F
+
+    cons = table_constraints(table_path)
+    if cons:
+        names = list(cons)
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(cons[n]), F.lit(False)), 1
+                    ).otherwise(0)
+                ).alias(n)
+                for n in names
+            ]
+        ).collect()[0]
+        bad = {n: counts[n] for n in names if (counts[n] or 0) > 0}
+        if bad:
+            raise ConstraintViolationError(
+                f"write to {table_path!r} rejected: constraint "
+                f"violations {bad}"
+            )
+    return snapshot_write(spark, df, table_path, mode, **kwargs)

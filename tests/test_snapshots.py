@@ -1099,3 +1099,33 @@ def test_rewrite_data_files_binpacks_with_history(spark, table_path):
     m = snapshots._read_manifest(table_path, res["version"])
     for f in m["files"]:
         assert "id" in m["stats"][f]
+
+
+def test_check_constraints_gate_writes(spark, table_path):
+    """Delta CHECK semantics: a batch with any row where a registered
+    predicate is not TRUE (NULLs violate — the constraint must PROVE
+    validity) is rejected whole, committing nothing; clean batches
+    commit normally."""
+    snapshots.add_table_constraint(table_path, "v_positive", "v > 0")
+    snapshots.add_table_constraint(table_path, "id_not_null", "id IS NOT NULL")
+
+    good = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id bigint, v double")
+    v0 = snapshots.checked_snapshot_write(spark, good, table_path, "overwrite")
+    assert v0 == 0
+
+    bad = spark.createDataFrame(
+        [(3, 6.0), (4, -1.0), (None, 8.0)], "id bigint, v double"
+    )
+    with pytest.raises(snapshots.ConstraintViolationError) as e:
+        snapshots.checked_snapshot_write(spark, bad, table_path, "append")
+    assert "v_positive" in str(e.value) and "id_not_null" in str(e.value)
+    # nothing committed: table still at version 0 with 2 rows
+    assert snapshots.versions(table_path) == [0]
+    assert snapshots.read_snapshot(spark, table_path).count() == 2
+
+    # NULL predicate result is a violation, not a pass
+    nullish = spark.createDataFrame(
+        [(5, None)], "id bigint, v double"
+    )
+    with pytest.raises(snapshots.ConstraintViolationError):
+        snapshots.checked_snapshot_write(spark, nullish, table_path, "append")
