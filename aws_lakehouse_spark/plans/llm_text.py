@@ -2512,3 +2512,95 @@ def text_jsd_langs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.5) * fold(tp) + F.lit(0.5) * fold(tq), 6
         ).alias("jsd_bits"),
     )
+
+
+# Placeholder category word lists (real pipelines ship curated
+# multilingual lists; the MECHANISM — word-boundary matching, per-
+# category attribution, docs flagged on ANY hit — is what's tested)
+_BLOCKLIST = {
+    "infra": ["crash", "deadlock"],
+    "perf": ["slow", "spill"],
+    "data_loss": ["corrupt", "drop"],
+}
+
+
+def _blocklist_oracle() -> str:
+    # DuckDB single-quoted strings are literal (no backslash
+    # processing): the regex engine must see a single \b
+    bslash_b = "\\b"
+    cases = []
+    for cat, words in _BLOCKLIST.items():
+        hits = " OR ".join(
+            f"regexp_matches(text, '{bslash_b}{w}{bslash_b}')"
+            for w in words
+        )
+        cases.append(f"CASE WHEN {hits} THEN 1 ELSE 0 END AS {cat}")
+    case_sql = ",\n               ".join(cases)
+    return f"""
+    WITH flags AS (
+        SELECT doc_id, lang,
+               {case_sql}
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(infra) AS BIGINT) AS n_infra,
+           CAST(SUM(perf) AS BIGINT) AS n_perf,
+           CAST(SUM(data_loss) AS BIGINT) AS n_data_loss,
+           CAST(SUM(CASE WHEN infra + perf + data_loss > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN infra + perf + data_loss = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM flags GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "text_blocklist_filter",
+    oracle=_blocklist_oracle(),
+    category="llm text (safety filtering)",
+    doc="Category blocklist filtering — the safety/compliance gate "
+    "every curation pipeline runs before training: word-boundary "
+    "regex per category (substring matching would flag 'dropout' "
+    "for 'drop'; the word-boundary anchor is RE2-and-Java "
+    "compatible), per-language counts of each category's hits plus "
+    "the flagged/clean split (a doc is flagged on ANY category). "
+    "Placeholder word lists — the mechanism is the deliverable; "
+    "real deployments swap in curated lists. Pure scan+project: "
+    "all categories evaluate in one pass inside codegen, one "
+    "lang-keyed aggregate, zero joins.",
+)
+def text_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "lang",
+        *[
+            F.when(
+                F.col("text").rlike(
+                    "|".join("\\b" + w + "\\b" for w in words)
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias(cat)
+            for cat, words in _BLOCKLIST.items()
+        ],
+    )
+    total = sum(F.col(c) for c in _BLOCKLIST)
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *[
+                F.sum(cat).cast("bigint").alias(f"n_{cat}")
+                for cat in _BLOCKLIST
+            ],
+            F.sum(F.when(total > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum(F.when(total == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
