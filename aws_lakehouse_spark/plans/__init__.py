@@ -103,7 +103,8 @@ from aws_lakehouse_spark.registry import REGISTRY
 # join_asof_tolerance, snapshot_rewrite_files,
 # snapshot_history_table, scalar_collation_groupby, text_jsd_langs,
 # agg_price_elasticity, customer_survival_km, agg_market_share_hhi,
-# events_burstiness_fano, media_audio_curation_pipeline — all
+# events_burstiness_fano, media_audio_curation_pipeline,
+# snapshot_check_constraints, text_blocklist_filter — all
 # dual-SF parity-green; events_ewma_trailing's flaky float-association
 # rounding also hardened via ordered-fold summation this pass) = 100+
 # candidates for 50 slots; grade the r3
