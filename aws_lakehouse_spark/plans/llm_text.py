@@ -2604,3 +2604,89 @@ def text_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_curriculum_order",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ), words AS (
+        SELECT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)
+    ), cw AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM words GROUP BY tok
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM words
+    ), diff AS (
+        SELECT w.doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(-ln(cw.c / tot.n)), 6) AS difficulty
+        FROM words w JOIN cw USING (tok), tot
+        GROUP BY w.doc_id
+    ), phased AS (
+        SELECT doc_id, n_tokens, difficulty,
+               NTILE(4) OVER (ORDER BY difficulty, doc_id) AS phase
+        FROM diff
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, difficulty,
+           CAST(phase AS INTEGER) AS phase,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY phase
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cur'), doc_id
+           ) AS INTEGER) AS position
+    FROM phased
+    """,
+    category="llm text (curriculum)",
+    doc="Competence-based curriculum schedule (Bengio et al. 2009; "
+    "Platanios et al. 2019): per-doc difficulty = mean word rarity "
+    "-ln(c(w)/N) under the corpus unigram LM (rare-word-heavy docs "
+    "are 'hard'), docs cut into 4 difficulty phases, and within "
+    "each phase given a deterministic md5-shuffled training "
+    "position — the easy-to-hard ordered manifest a curriculum "
+    "trainer consumes. Plan: one explode, a vocab-sized word-count "
+    "table broadcast back (AQE), a broadcast scalar total, one "
+    "per-doc agg. The NTILE phase cut is a global order over "
+    "doc-count rows (not token rows); at extreme scale the cut "
+    "would come from approx difficulty quantiles instead, same as "
+    "the perplexity-bucket tradeoff in text_bigram_lm_score. The "
+    "within-phase position is ONE shuffle keyed by phase; each "
+    "reducer streams its phase in md5 order.",
+)
+def text_curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).localCheckpoint(eager=False)
+    cw = words.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = words.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    diff = (
+        words.join(F.broadcast(cw), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias(
+                "difficulty"
+            ),
+        )
+    )
+    phased = diff.withColumn(
+        "phase",
+        F.ntile(4)
+        .over(Window.orderBy("difficulty", "doc_id"))
+        .cast("int"),
+    )
+    pos_w = Window.partitionBy("phase").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cur"))),
+        "doc_id",
+    )
+    return phased.select(
+        "doc_id",
+        "n_tokens",
+        "difficulty",
+        "phase",
+        F.row_number().over(pos_w).cast("int").alias("position"),
+    )

@@ -384,3 +384,59 @@ def quality_entropy_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(entropy(customer, "customer", "c_mktsegment"))
         .orderBy("column_name")
     )
+
+
+@register(
+    "quality_k_anonymity",
+    oracle="""
+    WITH classes AS (
+        SELECT lang,
+               CAST(FLOOR(n_chars / 100) AS INTEGER) AS len_bucket,
+               source
+        FROM documents
+    )
+    SELECT lang, len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS l_diversity,
+           COUNT(*) >= 10 AS k_anonymous,
+           COUNT(DISTINCT source) >= 3 AS l_diverse
+    FROM classes
+    GROUP BY lang, len_bucket
+    ORDER BY lang, len_bucket
+    """,
+    category="quality (governance)",
+    doc="Privacy re-identification audit over the corpus: documents "
+    "are grouped into equivalence classes by quasi-identifiers "
+    "(language x coarse length bucket) and each class is checked "
+    "for k-anonymity (class size >= k, Sweeney 2002) and "
+    "l-diversity of the sensitive attribute (distinct sources >= "
+    "l, Machanavajjhala et al. 2007). Classes failing either flag "
+    "are the ones a release pipeline must suppress or generalize. "
+    "Plan: ONE hash aggregation keyed by the quasi-identifier "
+    "tuple (count + count-distinct in the same pass); output is "
+    "class-count-sized, orders of magnitude below the data, so "
+    "the final orderBy sorts a tiny frame.",
+)
+def quality_k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.select(
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        "source",
+    )
+    return (
+        classes.groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.countDistinct("source").cast("bigint").alias("l_diversity"),
+        )
+        .select(
+            "lang",
+            "len_bucket",
+            "class_size",
+            "l_diversity",
+            (F.col("class_size") >= 10).alias("k_anonymous"),
+            (F.col("l_diversity") >= 3).alias("l_diverse"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
