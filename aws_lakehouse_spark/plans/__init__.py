@@ -104,7 +104,8 @@ from aws_lakehouse_spark.registry import REGISTRY
 # snapshot_history_table, scalar_collation_groupby, text_jsd_langs,
 # agg_price_elasticity, customer_survival_km, agg_market_share_hhi,
 # events_burstiness_fano, media_audio_curation_pipeline,
-# snapshot_check_constraints, text_blocklist_filter — all
+# snapshot_check_constraints, text_blocklist_filter,
+# text_curriculum_order, quality_k_anonymity — all
 # dual-SF parity-green; events_ewma_trailing's flaky float-association
 # rounding also hardened via ordered-fold summation this pass) = 100+
 # candidates for 50 slots; grade the r3
