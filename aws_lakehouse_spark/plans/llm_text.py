@@ -2690,3 +2690,230 @@ def text_curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase",
         F.row_number().over(pos_w).cast("int").alias("position"),
     )
+
+
+@register(
+    "text_epoch_allocation",
+    oracle=f"""
+    WITH agg AS (
+        SELECT lang,
+               CAST(SUM(len({DUCK_TOKS})) AS DOUBLE) AS c
+        FROM documents GROUP BY lang
+    ), w AS (
+        SELECT lang, c, power(c, 0.7) AS w, 2.0 * c AS cap,
+               2.0 * c / power(c, 0.7) AS ratio
+        FROM agg
+    ), tot AS (
+        SELECT SUM(w) AS wt, 1.75 * SUM(c) AS budget FROM w
+    ), ranked AS (
+        SELECT lang, c, w, cap, ratio,
+               COALESCE(SUM(cap) OVER (
+                   ORDER BY ratio, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cap_before,
+               COALESCE(SUM(w) OVER (
+                   ORDER BY ratio, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS w_before,
+               LAG(ratio) OVER (ORDER BY ratio, lang) AS prev_ratio
+        FROM w
+    ), lvl AS (
+        SELECT (tot.budget - cap_before) / (tot.wt - w_before) AS t
+        FROM ranked, tot
+        WHERE (prev_ratio IS NULL OR
+               prev_ratio <= (tot.budget - cap_before)
+                             / (tot.wt - w_before))
+          AND ratio > (tot.budget - cap_before) / (tot.wt - w_before)
+    )
+    SELECT r.lang,
+           CAST(r.c AS BIGINT) AS n_tokens,
+           ROUND(LEAST(r.cap, lvl.t * r.w), 2) AS alloc_tokens,
+           ROUND(LEAST(r.cap, lvl.t * r.w) / r.c, 4) AS epochs,
+           r.cap <= lvl.t * r.w AS capped
+    FROM ranked r, lvl
+    ORDER BY r.lang
+    """,
+    category="llm text (data mixing)",
+    doc="Token-budget epoch allocation across corpus domains — the "
+    "planning table in front of a multi-source pretraining run: "
+    "alpha-smoothed sampling weights w = c^0.7 (the multilingual "
+    "exponent of Conneau et al. 2020) target each domain's share of "
+    "a global budget of 1.75x the corpus tokens, with a hard 2.0-"
+    "epoch repetition cap per domain; the excess from capped "
+    "domains redistributes to uncapped ones EXACTLY via sorted "
+    "prefix-sum water-filling — rank domains by cap/w, and the "
+    "unique water level t where the capped set is the rank prefix "
+    "falls out of one window pass (no iteration, no driver loop). "
+    "Scale: per-domain token counts are one keyed shuffle over the "
+    "corpus; everything after runs on a domain-count-sized frame "
+    "(the single-partition window is over #domains rows, the same "
+    "vocabulary-sized-frame tradeoff as text_mixture_weights).",
+)
+def text_epoch_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.sum(F.size(tokens_col(F.col("text"))))
+        .cast("double")
+        .alias("c")
+    )
+    w = agg.select(
+        "lang",
+        "c",
+        F.pow("c", F.lit(0.7)).alias("w"),
+        (F.lit(2.0) * F.col("c")).alias("cap"),
+        (F.lit(2.0) * F.col("c") / F.pow("c", F.lit(0.7))).alias(
+            "ratio"
+        ),
+    ).localCheckpoint(eager=False)
+    tot = w.agg(
+        F.sum("w").alias("wt"),
+        (F.lit(1.75) * F.sum("c")).alias("budget"),
+    )
+    order = Window.orderBy("ratio", "lang")
+    prefix = order.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = w.select(
+        "lang",
+        "c",
+        "w",
+        "cap",
+        "ratio",
+        F.coalesce(F.sum("cap").over(prefix), F.lit(0.0)).alias(
+            "cap_before"
+        ),
+        F.coalesce(F.sum("w").over(prefix), F.lit(0.0)).alias(
+            "w_before"
+        ),
+        F.lag("ratio").over(order).alias("prev_ratio"),
+    ).localCheckpoint(eager=False)
+    t_expr = (F.col("budget") - F.col("cap_before")) / (
+        F.col("wt") - F.col("w_before")
+    )
+    lvl = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            (
+                F.col("prev_ratio").isNull()
+                | (F.col("prev_ratio") <= t_expr)
+            )
+            & (F.col("ratio") > t_expr)
+        )
+        .select(t_expr.alias("t"))
+    )
+    alloc = F.least(F.col("cap"), F.col("t") * F.col("w"))
+    return (
+        ranked.crossJoin(F.broadcast(lvl))
+        .select(
+            "lang",
+            F.col("c").cast("bigint").alias("n_tokens"),
+            F.round(alloc, 2).alias("alloc_tokens"),
+            F.round(alloc / F.col("c"), 4).alias("epochs"),
+            (F.col("cap") <= F.col("t") * F.col("w")).alias("capped"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+    ), bucketed AS (
+        SELECT doc_id,
+               LEAST(9, CAST(FLOOR((doc_id - bounds.lo) * 10.0
+                   / (bounds.hi - bounds.lo + 1)) AS INTEGER)) AS bucket,
+               {DUCK_TOKS} AS toks
+        FROM documents, bounds
+    ), per_bucket AS (
+        SELECT bucket, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        FROM bucketed GROUP BY bucket
+    ), first_seen AS (
+        SELECT u.tok, MIN(bucket) AS first_bucket
+        FROM bucketed, UNNEST(toks) AS u(tok)
+        GROUP BY u.tok
+    ), new_types AS (
+        SELECT first_bucket AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY first_bucket
+    )
+    SELECT CAST(p.bucket AS INTEGER) AS bucket,
+           p.n_tokens,
+           CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+               AS tokens_cum,
+           COALESCE(n.new_types, 0) AS new_types,
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY p.bucket)
+               AS BIGINT) AS vocab_cum
+    FROM per_bucket p LEFT JOIN new_types n USING (bucket)
+    ORDER BY p.bucket
+    """,
+    category="llm text (corpus audit)",
+    doc="Heaps'-law vocabulary-growth audit: the corpus is cut into "
+    "10 deterministic doc-id-range buckets (a range formula over "
+    "broadcast min/max ids — no global sort, unlike an ntile cut), "
+    "each token type is attributed to the FIRST bucket it appears "
+    "in (one token-keyed min aggregate over the exploded corpus), "
+    "and the report is cumulative tokens seen vs cumulative "
+    "distinct types — the V(N) ~ k*N^beta curve whose flattening "
+    "(or failure to flatten) signals near-duplicate pollution or "
+    "vocabulary drift between corpus segments. Scale: one corpus "
+    "scan + explode, one token-keyed shuffle (map-side partial min), "
+    "then everything is bucket-count-sized; the cumulative window "
+    "runs over 10 rows.",
+)
+def text_vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    bucketed = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("doc_id") - F.col("lo"))
+                    * 10.0
+                    / (F.col("hi") - F.col("lo") + 1)
+                ).cast("int"),
+            ).alias("bucket"),
+            tokens_col(F.col("text")).alias("toks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum(F.size("toks")).cast("bigint").alias("n_tokens")
+    )
+    first_seen = (
+        bucketed.select("bucket", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    new_types = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    cum = Window.orderBy("bucket")
+    return (
+        per_bucket.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0).cast("bigint")).alias(
+                "new_types"
+            ),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(cum).cast("bigint").alias("tokens_cum"),
+            "new_types",
+            F.sum("new_types").over(cum).cast("bigint").alias("vocab_cum"),
+        )
+        .select(
+            "bucket", "n_tokens", "tokens_cum", "new_types", "vocab_cum"
+        )
+        .orderBy("bucket")
+    )
