@@ -106,7 +106,7 @@ from aws_lakehouse_spark.registry import REGISTRY
 # events_burstiness_fano, media_audio_curation_pipeline,
 # snapshot_check_constraints, text_blocklist_filter,
 # text_curriculum_order, quality_k_anonymity,
-# text_epoch_allocation, text_vocab_growth — all
+# text_epoch_allocation, text_vocab_growth, ann_recall_eval — all
 # dual-SF parity-green; events_ewma_trailing's flaky float-association
 # rounding also hardened via ordered-fold summation this pass) = 100+
 # candidates for 50 slots; grade the r3
