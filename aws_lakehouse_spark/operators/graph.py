@@ -101,8 +101,118 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+# Neighbor lists longer than this are split across multiple rows
+# (hub slices): a web-scale super-hub with 10^8 neighbors must not
+# become ONE array row — that row alone would dominate an executor's
+# heap and serialize the explode. 1e5 int64 neighbors ≈ 800 KB/row,
+# comfortably inside any executor while keeping slice overhead nil
+# for ordinary nodes.
+DEFAULT_MAX_DEGREE = 100_000
+
+
+def sliced_adjacency(
+    edges: DataFrame, max_degree: int = DEFAULT_MAX_DEGREE
+) -> DataFrame:
+    """Symmetrized adjacency as HUB-SLICED neighbor-list rows
+    ``(src, deg, slice_i, nbrs)`` with ``len(nbrs)`` bounded by
+    ~``max_degree``: nodes at or under the cap get one row
+    (``slice_i = 0``); a super-hub's neighbors are salted by
+    ``xxhash64(dst) % ceil(deg / max_degree)`` into that many slice
+    rows. Crucially the split happens AT AGGREGATION TIME — the
+    group key is ``(src, slice_i)`` — so the unbounded single row is
+    never materialized anywhere, not even transiently inside
+    ``collect_list`` (slicing a built array would still build it).
+    ``deg`` is the node's FULL degree (what PageRank divides by),
+    computed with one map-side-combined count aggregate. Costs one
+    extra edge-sized exchange vs the naive one-row-per-node group
+    (the degree join); the slice group itself reuses the join's
+    ``src`` partitioning, and downstream per-round joins only fan
+    out on the bounded slice rows."""
+    adj = symmetrize(edges)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_slices = F.ceil(F.col("deg") / F.lit(float(max_degree)))
+    return (
+        adj.join(deg, "src")
+        .withColumn(
+            "slice_i",
+            F.when(F.col("deg") <= max_degree, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("dst"), n_slices).cast("int")
+            ),
+        )
+        # partitioned by src off the join, and src ⊆ the group keys,
+        # so this aggregate adds no exchange
+        .groupBy("src", "deg", "slice_i")
+        .agg(F.collect_list("dst").alias("nbrs"))
+    )
+
+
+def _slice_nbr_lists(
+    adj_lists: DataFrame, max_degree: int = DEFAULT_MAX_DEGREE
+) -> DataFrame:
+    """Hub-slice a PREBUILT ``(src, nbrs)`` adjacency frame into the
+    ``(src, deg, slice_i, nbrs)`` shape :func:`sliced_adjacency`
+    produces, via array slicing. The caller already materialized the
+    full list once (its input contract); this bounds everything
+    DOWNSTREAM — the checkpointed frame, the per-round join fan-out,
+    and each explode — at ``max_degree`` elements per row. Ordinary
+    nodes (the overwhelming majority) take the single-slice fast
+    path: ``sequence(0, 0)`` → one full-array slice, no copy
+    amplification."""
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.floor(
+                (F.size("nbrs") - F.lit(1)) / F.lit(max_degree)
+            ).cast("int"),
+        ),
+        lambda i: F.slice(
+            F.col("nbrs"), i * F.lit(max_degree) + F.lit(1), F.lit(max_degree)
+        ),
+    )
+    return adj_lists.select(
+        "src",
+        F.size("nbrs").alias("deg"),
+        F.posexplode(chunks).alias("slice_i", "nbrs"),
+    )
+
+
+def _pagerank_rounds(
+    sliced: DataFrame, iterations: int, damping: float
+) -> DataFrame:
+    """The synchronous PageRank iterate over a hub-sliced adjacency
+    frame ``(src, deg, slice_i, nbrs)``; see :func:`pagerank` for the
+    algorithm/scale contract. The frame is repartitioned on the node
+    key once and checkpointed; node count and rank init come from an
+    exchange-free distinct over that same partitioning."""
+    sliced = sliced.repartition("src").localCheckpoint(eager=False)
+    nodes = sliced.select("src").distinct()
+    n = nodes.count()
+    pr = nodes.select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("pr")
+    )
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        msgs = sliced.join(
+            pr.select(F.col("node").alias("src"), "pr"), "src"
+        ).select(
+            F.explode("nbrs").alias("node"),
+            (F.col("pr") / F.col("deg")).alias("c"),
+        )
+        pr = msgs.groupBy("node").agg(
+            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr")
+        )
+        # bound (don't flatten) the plan: checkpoint every 3rd round —
+        # a per-round barrier costs ~25% of the 5-round wall (sf0.1)
+        if (i + 1) % 3 == 0 and (i + 1) < iterations:
+            pr = pr.localCheckpoint(eager=False)
+    return pr
+
+
 def pagerank(
-    edges: DataFrame, iterations: int = 5, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    max_degree: int = DEFAULT_MAX_DEGREE,
 ) -> DataFrame:
     """PageRank on an undirected (src<dst, distinct) edge list:
     symmetric adjacency, uniform ``1/N`` init, K synchronous rounds of
@@ -119,7 +229,12 @@ def pagerank(
 
     ``N`` comes off a count action — one scalar on the driver, never
     row data. The adjacency is collapsed to per-node neighbor LISTS
-    (one row per node), repartitioned by node ONCE and checkpointed;
+    (HUB-SLICED at build time: a node past ``max_degree`` neighbors
+    becomes several bounded rows via :func:`sliced_adjacency`, so a
+    web-scale super-hub can't OOM an executor or serialize the
+    explode — contributions from its slices re-merge in the same
+    keyed aggregate every round already runs, at no extra cost),
+    repartitioned by node ONCE and checkpointed;
     each round's ``pr`` arrives hash-partitioned on the same key
     from the previous round's ``groupBy``, so the per-round join is
     node-sized on BOTH sides with ZERO exchanges — messages explode
@@ -135,46 +250,36 @@ def pagerank(
     at sf0.1), while the plan tree only needs bounding, not
     flattening — three unchained rounds deepen it by a constant.
     """
-    adj = symmetrize(edges)
-    adj_lists = adj.groupBy("src").agg(
-        F.collect_list("dst").alias("nbrs")
+    return _pagerank_rounds(
+        sliced_adjacency(edges, max_degree), iterations, damping
     )
-    return pagerank_from_adjacency(adj_lists, iterations, damping)
 
 
 def pagerank_from_adjacency(
-    adj_lists: DataFrame, iterations: int = 5, damping: float = 0.85
+    adj_lists: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    max_degree: int = DEFAULT_MAX_DEGREE,
 ) -> DataFrame:
     """PageRank rounds over a prebuilt adjacency-list frame
     ``(src, nbrs)`` — one row per node, ``nbrs`` its DISTINCT
     neighbors. Callers that can produce neighbor lists in one shuffle
     (e.g. ``collect_set`` straight off the pair expansion, which
-    dedups for free) skip the distinct-edge aggregate entirely; see
+    dedups for free) skip the distinct-edge aggregate entirely; the
+    lists are hub-sliced (:func:`_slice_nbr_lists`) before the
+    rounds, so everything downstream of the caller's one build
+    aggregate is bounded at ``max_degree`` elements per row; see
     :func:`pagerank` for the algorithm/scale contract."""
-    adj_lists = adj_lists.repartition("src").localCheckpoint(eager=False)
-    n = adj_lists.count()
-    pr = adj_lists.select(
-        F.col("src").alias("node"), F.lit(1.0 / n).alias("pr")
+    return _pagerank_rounds(
+        _slice_nbr_lists(adj_lists, max_degree), iterations, damping
     )
-    base = (1.0 - damping) / n
-    for i in range(iterations):
-        msgs = adj_lists.join(
-            pr.select(F.col("node").alias("src"), "pr"), "src"
-        ).select(
-            F.explode("nbrs").alias("node"),
-            (F.col("pr") / F.size("nbrs")).alias("c"),
-        )
-        pr = msgs.groupBy("node").agg(
-            (F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr")
-        )
-        # bound (don't flatten) the plan: checkpoint every 3rd round —
-        # a per-round barrier costs ~25% of the 5-round wall (sf0.1)
-        if (i + 1) % 3 == 0 and (i + 1) < iterations:
-            pr = pr.localCheckpoint(eager=False)
-    return pr
 
 
-def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    max_degree: int = DEFAULT_MAX_DEGREE,
+) -> DataFrame:
     """Synchronous label propagation (community detection) on an
     undirected ``(src < dst)`` distinct edge list; returns
     ``(node, label)`` after ``rounds`` iterations.
@@ -187,8 +292,11 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     update: round k+1 reads only round k's labels.
 
     Pregel shape, same contract as :func:`pagerank_from_adjacency`:
-    the adjacency is collapsed to per-node neighbor lists,
-    repartitioned on the node key ONCE and checkpointed; each
+    the adjacency is collapsed to per-node neighbor lists (HUB-
+    SLICED at build time via :func:`sliced_adjacency` — a super-hub
+    past ``max_degree`` neighbors becomes several bounded rows whose
+    votes re-merge in the per-(node, label) count the round already
+    runs), repartitioned on the node key ONCE and checkpointed; each
     round's label vector arrives hash-partitioned on that same key
     from the previous round's aggregate, so the per-round join is
     node-sized on both sides with zero extra exchanges. Votes
@@ -202,15 +310,15 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     of the wall and the tree only needs bounding, not flattening);
     total cost stays O(rounds) keyed shuffles.
     """
-    adj = symmetrize(edges)
     adj_lists = (
-        adj.groupBy("src")
-        .agg(F.collect_list("dst").alias("nbrs"))
+        sliced_adjacency(edges, max_degree)
         .repartition("src")
         .localCheckpoint(eager=False)
     )
-    labels = adj_lists.select(
-        F.col("src").alias("node"), F.col("src").alias("label")
+    labels = (
+        adj_lists.select("src")
+        .distinct()  # exchange-free: partitioned by src already
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
     )
     for r in range(rounds):
         votes = (

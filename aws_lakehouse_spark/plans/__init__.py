@@ -36,138 +36,84 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
 from aws_lakehouse_spark.registry import REGISTRY
 
 # The driver's correctness gate grades exactly the FIRST 50 entries of
-# the registry dict. Rounds 1-3 banked green rows for 148 queries; the
-# judge independently oracle-verified the remaining 45 (JUDGE_ORACLE_r3).
-# ROUND 4 rotates the window onto those 45 never-driver-checked queries,
-# plus agg_approx_count_distinct (whose only driver row is r1's red —
-# fixed since via in-band error-bound certification, judge-green, needs
-# a superseding green row). The final 4 slots grade 4 MORE queries that
-# have never had a driver row (late-r3 additions; all parity-green
-# locally), instead of re-checking banked rows — each slot spent on a
-# never-graded query converts one more "locally correct" claim into a
-# contract-green row. Previously-green queries follow (rows banked), and
-# rows-only specs (oracle=None) stay dead last so no `err: no_oracle`
-# rows appear in the gate.
+# the registry dict. Cumulative r1-r4 banked green rows for 197 of the
+# 328 registered queries; the judge independently oracle-verified ALL
+# 328 at sf0.01 (JUDGE_ORACLE_r4: 327 pass + 1 rows-only-by-design).
+# ROUND 5 rotates the window onto 50 of the 131 never-driver-graded
+# queries, tier-ordered per the r4 verdict: the snapshot-log faces a
+# lakehouse user hits first, the graph tier, time-series, window
+# extensions, the SQL-surface faces, the r4 retrieval additions, and
+# nine high-value fills (including the three queries whose float
+# summation was hardened to fixed-point integers this round:
+# text_jsd_langs, text_curriculum_order, sql_pipe_syntax — their green
+# rows certify the edits). Previously-green queries follow (rows
+# banked); rows-only specs (oracle=None) stay dead last.
 #
-# Remaining backlog after this window (the ROUND-5 queue, same
-# mechanism — put these in slots 1-50 once the r4 rows land): the 49
-# r3 additions past slot 50 (join_bloom_prefilter, snapshot_tagged_read,
-# agg_hll_partial_merge, join_longest_prefix, quality_benford_drift,
-# agg_bitmap_distinct, snapshot_rollback_restore,
-# snapshot_stats_pruned_scan, format_roundtrip_json,
-# join_bucketed_colocated, scalar_map_family,
-# source_python_udtf_sentences, udaf_grouped_geomean, events_top_paths,
-# events_stream_stream_join, join_scd2_pointintime, sql_recursive_cte,
-# sql_lateral_topk, quality_winsorize, quality_ab_ttest,
-# quality_chisquare_drift, agg_countmin_heavy_hitters,
-# agg_hierarchy_rollup, events_ewma_trailing, window_cumulative_distinct,
-# order_pareto_frontier, window_period_over_period, agg_hll_intersection,
-# window_ntile_deciles, quality_psi_drift, quality_ks_drift,
-# events_cusum_changepoint, geo_haversine_neighbor_join,
-# geo_grid_density, geo_knn_bounded, graph_degree_distribution,
-# graph_triangle_count, graph_pagerank_topk, graph_connected_components,
-# text_quality_classifier, text_dsir_importance, text_bm25_topk,
-# ann_hybrid_rrf, ann_product_quantization, rag_index_pipeline,
-# dedup_incremental_bloom, embed_pca_covariance, embed_kmeans_iteration,
-# media_scene_cuts) plus the 18 round-4 additions
-# (embed_matryoshka_topk, agg_extended_moments,
-# dedup_cluster_survivor_quality, text_span_dedup_apply,
-# text_bpe_encode, snapshot_bloom_pruned_scan, layout_zorder_pruned_scan,
-# scalar_math_family, window_range_interval_frame,
-# join_dynamic_partition_pruning, set_multiset_ops, join_null_safe,
-# dedup_minhash_jaccard_estimate, source_python_stream_datasource,
-# geo_polygon_contains, snapshot_incremental_scan,
-# incremental_partition_recompute — all parity-green at sf0.001 AND
-# sf0.01 this round) plus the 8 round-4-second-pass additions
-# (ts_autocorrelation, ts_seasonal_decompose, ts_anomaly_mad,
-# ts_linear_trend, snapshot_partition_evolution,
-# sink_dynamic_partition_overwrite, graph_adamic_adar,
-# ann_range_search, snapshot_branch_merge, events_time_to_convert —
-# same dual-SF parity) plus the round-4-third-pass behavioral tier
-# (events_funnel_steps, events_interval_merge, ts_gap_fill,
-# recsys_item_cosine, market_basket_rules, sink_identity_column,
-# snapshot_clone_shallow, events_cohort_retention,
-# quality_referential_integrity, agg_filtered_kpis,
-# window_percent_rank_cume, media_image_neardup, text_weighted_sample,
-# scalar_interval_family, customer_rfm_segmentation,
-# agg_abc_classification — dual-SF parity-green) plus the
-# round-4-fourth-pass additions (graph_label_propagation,
-# agg_correlation_matrix, ts_theil_sen_slope, ann_ivf_pq,
-# media_audio_rms_loudness, snapshot_segmented_manifest,
-# sql_pipe_syntax, sql_parameterized_query, text_unicode_nfc,
-# graph_bfs_distance, incremental_join_maintenance,
-# quality_ratio_delta_method, media_curation_pipeline,
-# snapshot_optimize_zorder, format_roundtrip_xml,
-# scalar_mapinarrow_checksum, agg_gini_concentration,
-# embed_drift_monitor, events_bounce_rate, quality_entropy_profile,
-# join_asof_tolerance, snapshot_rewrite_files,
-# snapshot_history_table, scalar_collation_groupby, text_jsd_langs,
-# agg_price_elasticity, customer_survival_km, agg_market_share_hhi,
-# events_burstiness_fano, media_audio_curation_pipeline,
-# snapshot_check_constraints, text_blocklist_filter,
-# text_curriculum_order, quality_k_anonymity,
-# text_epoch_allocation, text_vocab_growth, ann_recall_eval — all
-# dual-SF parity-green; events_ewma_trailing's flaky float-association
-# rounding also hardened via ordered-fold summation this pass) = 100+
-# candidates for 50 slots; grade the r3
-# tier first (older debt), r4 additions fill the remainder, rest
-# roll to r6.
+# Remaining backlog after this window: 81 never-driver-graded queries
+# (all judge-green in JUDGE_ORACLE_r4) — the r6 queue, same mechanism.
+# Registry growth is FROZEN this round (r4 verdict item 2) until the
+# grading debt clears: 131 -> 81 -> ~31 -> 0 over r5-r7.
 _PRIORITY = [
-    # the one query whose sole driver row (r1) is red — supersede it first
-    "agg_approx_count_distinct",
-    # the 45 never-driver-checked queries (all judge-green in r3)
-    "agg_histogram_equidepth",
-    "agg_mode_per_group",
-    "agg_string_concat_ordered",
-    "agg_weighted_median",
-    "ann_embedding_neardup",
-    "dedup_containment",
-    "dedup_exact_normalized",
-    "dedup_lsh_quality",
-    "embed_outliers",
-    "events_burst_runs",
-    "events_growth_accounting",
-    "events_rolling_wau",
-    "events_session_stats",
-    "events_transition_matrix",
-    "format_roundtrip_csv",
-    "format_roundtrip_orc",
-    "incremental_agg_merge",
-    "join_fuzzy_levenshtein",
-    "join_interval_overlap",
-    "maintenance_compact_roundtrip",
-    "medallion_dim_code_map",
-    "media_audio_silence",
-    "media_image_histogram",
-    "partition_pruned_roundtrip",
-    "quality_column_mask",
-    "quality_partition_drift",
-    "scalar_bitwise_family",
-    "scalar_hash_fns",
-    "scalar_input_file_name",
-    "scalar_json_get",
-    "scalar_json_struct_agg",
-    "scalar_null_empty_logic",
-    "scalar_try_functions",
-    "scalar_variant_json",
-    "set_union_missing_columns",
-    "snapshot_delete_update",
-    "snapshot_schema_evolution",
-    "source_python_datasource",
-    "streaming_cdc_upsert",
-    "streaming_incremental_bookmark",
-    "text_curation_pipeline",
-    "text_gopher_quality",
-    "text_pii_redact",
-    "text_shard_plan",
-    "text_url_canonical_dedup",
-    # 4 more never-driver-graded queries (late-r3 additions) fill the
-    # window — snapshot MERGE INTO (the Iceberg-parity DML face),
-    # nearest as-of join, rolling median, and the URL scalar family
-    "snapshot_merge_into",
-    "join_asof_nearest",
-    "window_rolling_median",
-    "scalar_url_family",
+    # snapshot-log tier: time travel, WAP, branches, clone, CDC-style
+    # incremental scan, constraints, maintenance rewrites, pruning
+    "snapshot_bloom_pruned_scan",
+    "snapshot_branch_merge",
+    "snapshot_check_constraints",
+    "snapshot_clone_shallow",
+    "snapshot_history_table",
+    "snapshot_incremental_scan",
+    "snapshot_optimize_zorder",
+    "snapshot_partition_evolution",
+    "snapshot_rewrite_files",
+    "snapshot_rollback_restore",
+    "snapshot_segmented_manifest",
+    "snapshot_stats_pruned_scan",
+    "snapshot_tagged_read",
+    "snapshot_wap_publish",
+    # graph tier (pagerank/LPA now hub-sliced — rows certify the cap)
+    "graph_adamic_adar",
+    "graph_bfs_distance",
+    "graph_connected_components",
+    "graph_degree_distribution",
+    "graph_label_propagation",
+    "graph_pagerank_topk",
+    "graph_triangle_count",
+    # time-series tier
+    "ts_anomaly_mad",
+    "ts_autocorrelation",
+    "ts_gap_fill",
+    "ts_linear_trend",
+    "ts_seasonal_decompose",
+    "ts_theil_sen_slope",
+    # window-function extensions
+    "window_cumulative_distinct",
+    "window_ntile_deciles",
+    "window_percent_rank_cume",
+    "window_period_over_period",
+    "window_range_interval_frame",
+    # SQL-surface faces (recursive CTE, lateral, pipe, parameters)
+    "sql_lateral_topk",
+    "sql_parameterized_query",
+    "sql_pipe_syntax",
+    "sql_recursive_cte",
+    # r4 retrieval tier — the hottest queries for a training-data user
+    "ann_hybrid_rrf",
+    "ann_ivf_pq",
+    "ann_product_quantization",
+    "ann_recall_eval",
+    "text_bm25_topk",
+    # high-value fills: composite RAG pipeline, BPE encode, DSIR,
+    # span-dedup apply, incremental dedup, k-means/PCA embedding
+    # tier, and the two fixed-point-hardened text queries
+    "rag_index_pipeline",
+    "text_bpe_encode",
+    "text_dsir_importance",
+    "text_span_dedup_apply",
+    "dedup_incremental_bloom",
+    "embed_kmeans_iteration",
+    "embed_pca_covariance",
+    "text_jsd_langs",
+    "text_curriculum_order",
     # --- index 50 boundary: the graded window ends here ---
 ]
 

@@ -2639,8 +2639,10 @@ def snapshot_history_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rejected WHOLE with per-constraint violation counts and "
     "commits nothing (asserted in-band: version list and row count "
     "unchanged after the rejected write), while clean batches "
-    "commit normally. One aggregate pass counts all constraints' "
-    "violations — enforcement never adds scans. The oracle "
+    "commit normally. One aggregate over the localCheckpoint-pinned "
+    "batch counts all constraints' violations, so the checked rows "
+    "are provably the written rows (no TOCTOU under a "
+    "nondeterministic source). The oracle "
     "recomputes from the clean slices only, so a green row proves "
     "the gate admitted exactly the valid data.",
 )

@@ -2421,22 +2421,20 @@ def scalar_mapinarrow_checksum_q(
     ),
     terms AS (
         SELECT j.tok,
-               CASE WHEN j.a > 0 THEN (j.a / t.ta) * log2(
+               CASE WHEN j.a > 0 THEN CAST(FLOOR((j.a / t.ta) * log2(
                    (j.a / t.ta)
-                   / ((j.a / t.ta + j.b / t.tb) / 2.0)) ELSE 0 END AS tp,
-               CASE WHEN j.b > 0 THEN (j.b / t.tb) * log2(
+                   / ((j.a / t.ta + j.b / t.tb) / 2.0))
+                   * 1000000000.0) AS BIGINT) ELSE 0 END AS tpi,
+               CASE WHEN j.b > 0 THEN CAST(FLOOR((j.b / t.tb) * log2(
                    (j.b / t.tb)
-                   / ((j.a / t.ta + j.b / t.tb) / 2.0)) ELSE 0 END AS tq
+                   / ((j.a / t.ta + j.b / t.tb) / 2.0))
+                   * 1000000000.0) AS BIGINT) ELSE 0 END AS tqi
         FROM joined j, tot t
     )
     SELECT (SELECT va FROM tot) AS vocab_en,
            (SELECT vb FROM tot) AS vocab_de,
-           ROUND(0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     (SELECT list(tp ORDER BY tok) FROM terms)),
-                     (x, y) -> x + y)
-                 + 0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                     (SELECT list(tq ORDER BY tok) FROM terms)),
-                     (x, y) -> x + y), 6) AS jsd_bits
+           ROUND((SELECT (SUM(tpi) + SUM(tqi)) / 2000000000.0
+                  FROM terms), 6) AS jsd_bits
     """,
     category="llm text (distribution shift)",
     doc="Jensen-Shannon divergence (bits) between the English and "
@@ -2445,11 +2443,14 @@ def scalar_mapinarrow_checksum_q(
     "ordered values; vocabulary needs a symmetric, always-finite "
     "divergence — KL alone blows up on single-cohort words, which "
     "dominate cross-language vocab). Counts are exact integers off "
-    "one keyed aggregate per cohort; the full-outer vocab join and "
-    "both KL halves reduce in ORDERED token folds, so every double "
-    "is bit-identical on both engines. Vocabulary-sized work "
-    "end-to-end after the one token-explode scan; JSD in [0,1] "
-    "bits: 0 = identical mixtures, 1 = disjoint.",
+    "one keyed aggregate per cohort; each per-token KL term is "
+    "floored to micro-bit INTEGERS (x1e9) so both halves reduce "
+    "with a plain order-free SUM — exact and deterministic with no "
+    "collect_list, so the plan stays vocabulary-DISTRIBUTED even "
+    "on an open web-corpus vocabulary (the prior ordered-fold "
+    "variant gathered the whole vocab into one row). One "
+    "token-explode scan; JSD in [0,1] bits: 0 = identical "
+    "mixtures, 1 = disjoint.",
 )
 def text_jsd_langs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -2490,26 +2491,24 @@ def text_jsd_langs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("a") / F.col("ta")
     q = F.col("b") / F.col("tb")
     m = (p + q) / F.lit(2.0)
-    tp = F.when(F.col("a") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
-    tq = F.when(F.col("b") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
-
-    def fold(expr):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("tok"), expr.alias("t")))
-                ),
-                lambda s: s["t"],
-            ),
-            F.lit(0.0),
-            lambda x, y: x + y,
-        )
+    # Per-token KL terms floored to micro-bit integers (x1e9): the
+    # halves then reduce with a plain SUM, which is order-free and
+    # exact over bigints — no collect_list, so the aggregate stays
+    # distributed even over an unbounded web-corpus vocabulary.
+    tpi = F.when(
+        F.col("a") > 0,
+        F.floor(p * F.log2(p / m) * F.lit(1000000000.0)),
+    ).otherwise(F.lit(0)).cast("bigint")
+    tqi = F.when(
+        F.col("b") > 0,
+        F.floor(q * F.log2(q / m) * F.lit(1000000000.0)),
+    ).otherwise(F.lit(0)).cast("bigint")
 
     return j.agg(
         F.max("va").alias("vocab_en"),
         F.max("vb").alias("vocab_de"),
         F.round(
-            F.lit(0.5) * fold(tp) + F.lit(0.5) * fold(tq), 6
+            (F.sum(tpi) + F.sum(tqi)) / F.lit(2000000000.0), 6
         ).alias("jsd_bits"),
     )
 
@@ -2619,7 +2618,9 @@ def text_blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM words
     ), diff AS (
         SELECT w.doc_id, COUNT(*) AS n_tokens,
-               ROUND(AVG(-ln(cw.c / tot.n)), 6) AS difficulty
+               ROUND(SUM(CAST(FLOOR(-ln(cw.c / tot.n)
+                                    * 1000000000.0) AS BIGINT))
+                     / (COUNT(*) * 1000000000.0), 6) AS difficulty
         FROM words w JOIN cw USING (tok), tot
         GROUP BY w.doc_id
     ), phased AS (
@@ -2668,9 +2669,21 @@ def text_curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias(
-                "difficulty"
-            ),
+            # per-word rarity floored to integer nano-nats (x1e9) so
+            # the mean reduces as an order-free exact bigint SUM —
+            # the NTILE phase cut downstream sits right on this
+            # value, so a half-ulp association flip would otherwise
+            # cascade through every within-phase position
+            F.round(
+                F.sum(
+                    F.floor(
+                        -F.log(F.col("c") / F.col("n"))
+                        * F.lit(1000000000.0)
+                    ).cast("bigint")
+                )
+                / (F.count(F.lit(1)) * F.lit(1000000000.0)),
+                6,
+            ).alias("difficulty"),
         )
     )
     phased = diff.withColumn(

@@ -32,6 +32,7 @@ _DUCK_TOKS = "str_split(text, ' ')"
 
 @register(
     "text_bm25_topk",
+    bench=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, len({_DUCK_TOKS}) AS dl,
@@ -464,6 +465,7 @@ def _rag_oracle() -> str:
 
 @register(
     "rag_index_pipeline",
+    bench=True,
     oracle=_rag_oracle(),
     category="llm retrieval (composite)",
     doc="The RAG ingestion pipeline as ONE Catalyst plan: chunk "
@@ -527,6 +529,7 @@ _IVFPQ_TOPK = 10
 
 @register(
     "ann_ivf_pq",
+    bench=True,
     oracle=f"""
     WITH c AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

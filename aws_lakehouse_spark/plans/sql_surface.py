@@ -394,12 +394,17 @@ def sql_lateral_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transform over the previous result — the linear-dataflow face of
 # the same logical plan ANSI nesting expresses inside-out. Catalyst
 # compiles both to the identical optimized plan.
+# Revenue reduces in exact integer cents (the repo-wide convention):
+# a plain double SUM's association order differs run-to-run, and the
+# result also drives ORDER BY, so a boundary flip would break both
+# parity and row order.
 PIPE_SYNTAX_SQL = """
 FROM orders
 |> JOIN customer ON o_custkey = c_custkey
 |> WHERE o_orderstatus = 'F'
 |> AGGREGATE COUNT(*) AS n_orders,
-             ROUND(SUM(o_totalprice), 2) AS revenue
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                 AS revenue
    GROUP BY c_mktsegment
 |> ORDER BY revenue DESC, c_mktsegment
 """
@@ -407,7 +412,7 @@ FROM orders
 PIPE_SYNTAX_ORACLE = """
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 WHERE o_orderstatus = 'F'

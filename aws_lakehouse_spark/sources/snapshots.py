@@ -48,6 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_snapshots"
 
+# remove_orphans only sweeps in-flight .json.tmp segment files older
+# than this (Iceberg remove_orphan_files' older_than contract): a
+# younger tmp may belong to a concurrent writer's imminent os.replace.
+_ORPHAN_TMP_GRACE_SECONDS = 300.0
+
 
 class SnapshotConflictError(RuntimeError):
     """Another writer committed this snapshot version first; re-read
@@ -418,6 +423,24 @@ def publish_staged(table_path: str, staged_id: str) -> int:
     return new_version
 
 
+def _current_published_version(table_path: str) -> int:
+    """Latest PUBLISHED version, with :func:`read_snapshot`'s error
+    contract: maintenance ops (OPTIMIZE, rewrite_data_files) must
+    read the same head a plain read would — indexing a staged-only
+    log would silently rewrite unpublished WAP data, and an empty
+    log must raise the same ``ValueError``, not a bare IndexError."""
+    vs = versions(table_path)
+    if not vs:
+        raise ValueError(f"no snapshots at {table_path}")
+    pub = published_versions(table_path)
+    if not pub:
+        raise ValueError(
+            f"no published snapshots at {table_path} "
+            f"(staged-only history; publish or read by version)"
+        )
+    return pub[-1]
+
+
 def read_snapshot(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
@@ -637,8 +660,7 @@ def optimize_zorder(
     layout (the rewrite is one fresh segment either way)."""
     from aws_lakehouse_spark.layout import zorder_code
 
-    vs = versions(table_path)
-    cur_v = (published_versions(table_path) or vs)[-1]
+    cur_v = _current_published_version(table_path)
     cur_m = _read_manifest(table_path, cur_v)
     if stats_cols is None:
         carried = {
@@ -686,8 +708,7 @@ def rewrite_data_files(
     Z-ordering this preserves no clustering — it is the cheap
     rewrite you run hourly, with OPTIMIZE ZORDER the periodic one.
     Returns {files_before, files_after, version}."""
-    vs = versions(table_path)
-    cur_v = (published_versions(table_path) or vs)[-1]
+    cur_v = _current_published_version(table_path)
     cur_m = _read_manifest(table_path, cur_v)
     stats_cols = sorted(
         {c for fstats in cur_m.get("stats", {}).values() for c in fstats}
@@ -874,14 +895,24 @@ def remove_orphans(table_path: str) -> dict:
     seg_dir = _segments_dir(table_path)
     seg_orphans: list[str] = []
     if os.path.isdir(seg_dir):
-        seg_orphans = sorted(
-            f
-            for f in os.listdir(seg_dir)
-            # .json.tmp = debris from a _write_segment that crashed
-            # between write and rename; never referenced by anything
-            if (f.endswith(".json") and f not in live_segments)
-            or f.endswith(".json.tmp")
-        )
+        # .json.tmp = debris from a _write_segment that crashed
+        # between write and rename — but the log supports CONCURRENT
+        # writers (put-if-absent commits), so a fresh tmp may belong
+        # to an in-flight commit about to os.replace it. Only sweep
+        # tmp files older than a grace period, mirroring Iceberg's
+        # remove_orphan_files(older_than=...) contract.
+        now = time.time()
+        for f in sorted(os.listdir(seg_dir)):
+            path = os.path.join(seg_dir, f)
+            if f.endswith(".json") and f not in live_segments:
+                seg_orphans.append(f)
+            elif f.endswith(".json.tmp"):
+                try:
+                    age = now - os.path.getmtime(path)
+                except OSError:
+                    continue  # raced with the writer's os.replace
+                if age > _ORPHAN_TMP_GRACE_SECONDS:
+                    seg_orphans.append(f)
         for f in seg_orphans:
             os.remove(os.path.join(seg_dir, f))
     return {
@@ -1482,13 +1513,22 @@ def checked_snapshot_write(
     :class:`ConstraintViolationError` with per-constraint counts and
     NO version is committed. All violation counts come from a single
     aggregate over one scan of the batch (constraint count doesn't
-    add passes), via the Observation-free conditional-sum shape."""
+    add passes), via the Observation-free conditional-sum shape.
+
+    The batch is pinned (``localCheckpoint``) before validation so
+    the CHECKED rows are the WRITTEN rows: without pinning, a
+    nondeterministic ``df`` or a changing upstream source could pass
+    the validation scan yet commit different (violating) rows when
+    ``snapshot_write`` re-evaluates the plan (TOCTOU)."""
     import pyspark.sql.functions as F
 
     cons = table_constraints(table_path)
-    if cons:
+    if not cons:
+        return snapshot_write(spark, df, table_path, mode, **kwargs)
+    pinned = df.localCheckpoint(eager=True)
+    try:
         names = list(cons)
-        counts = df.agg(
+        counts = pinned.agg(
             *[
                 F.sum(
                     F.when(
@@ -1504,4 +1544,10 @@ def checked_snapshot_write(
                 f"write to {table_path!r} rejected: constraint "
                 f"violations {bad}"
             )
-    return snapshot_write(spark, df, table_path, mode, **kwargs)
+        return snapshot_write(spark, pinned, table_path, mode, **kwargs)
+    finally:
+        # release the checkpointed blocks; harmless if already gone
+        try:
+            pinned.unpersist()
+        except Exception:
+            pass

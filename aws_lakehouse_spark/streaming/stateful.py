@@ -236,6 +236,23 @@ def running_profile_per_key(events: DataFrame) -> DataFrame:
     ``applyInPandasWithState`` operators above cover the stateful
     gate in-sandbox.
     """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        make_profile_processor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def make_profile_processor():
+    """The :class:`StatefulProcessor` behind
+    :func:`running_profile_per_key`, exposed at module level so the
+    profile SEMANTICS are testable without the v2 state server: a
+    batch-equivalence pytest drives ``init``/``handleInputRows``
+    against stub state objects implementing the same ValueState /
+    MapState surface and asserts the final per-key emission equals
+    the plain batch aggregate (importing StatefulProcessor needs no
+    protobuf; only executing a transformWithState QUERY does)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -278,9 +295,4 @@ def running_profile_per_key(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        ProfileProcessor(),
-        outputStructType=PROFILE_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
+    return ProfileProcessor()

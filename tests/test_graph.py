@@ -239,3 +239,82 @@ def test_bfs_distances_match_sequential(spark):
         frontier = labels.filter(F.col("dist") == r)
     got = {r["node"]: r["dist"] for r in labels.collect()}
     assert got == expected
+
+
+def test_hub_slicing_matches_unsliced_pagerank(spark):
+    """Planted super-hub (deg >> max_degree): hub-sliced PageRank
+    must match the unsliced computation exactly — slicing only
+    regroups the same per-edge contributions, and the keyed
+    aggregate re-merges them (verdict r4 'super-hub OOM' watch
+    item). Exercises BOTH slicing paths: the salted build
+    (pagerank over edges) and the array-slice path
+    (pagerank_from_adjacency)."""
+    from aws_lakehouse_spark.operators.graph import (
+        pagerank,
+        pagerank_from_adjacency,
+        sliced_adjacency,
+        symmetrize,
+    )
+
+    # hub 0 connected to 1..60, plus a ring 1-2, 3-4, ... for texture
+    pairs = [(0, i) for i in range(1, 61)] + [
+        (i, i + 1) for i in range(1, 60, 2)
+    ]
+    edges = _edges(spark, pairs)
+
+    unsliced = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=4, max_degree=10**6).collect()
+    }
+    via_salted = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, iterations=4, max_degree=7).collect()
+    }
+    adj = symmetrize(edges).groupBy("src").agg(
+        F.collect_set("dst").alias("nbrs")
+    )
+    via_arrayslice = {
+        r["node"]: r["pr"]
+        for r in pagerank_from_adjacency(
+            adj, iterations=4, max_degree=7
+        ).collect()
+    }
+    assert set(via_salted) == set(unsliced)
+    assert set(via_arrayslice) == set(unsliced)
+    for n in unsliced:
+        assert math.isclose(via_salted[n], unsliced[n], rel_tol=1e-9), n
+        assert math.isclose(via_arrayslice[n], unsliced[n], rel_tol=1e-9), n
+
+    # the slicing invariant itself: every slice row bounded, full
+    # degree preserved, union of slices = the neighbor set
+    sliced = sliced_adjacency(edges, max_degree=7)
+    rows = sliced.collect()
+    hub_rows = [r for r in rows if r["src"] == 0]
+    assert len(hub_rows) == math.ceil(60 / 7)
+    assert all(r["deg"] == 60 for r in hub_rows)
+    got_nbrs = sorted(x for r in hub_rows for x in r["nbrs"])
+    assert got_nbrs == list(range(1, 61))
+    # hash salting is balanced in expectation, not exactly; bound by
+    # the statistical envelope, not the cap itself
+    assert max(len(r["nbrs"]) for r in rows) <= 3 * 7
+
+
+def test_hub_slicing_matches_unsliced_lpa(spark):
+    """Same planted-hub check for label propagation: sliced votes
+    re-merge in the (node, label) count, so communities are
+    unchanged."""
+    from aws_lakehouse_spark.operators.graph import label_propagation
+
+    tri1 = [(1, 2), (1, 3), (2, 3)]
+    star = [(4, i) for i in range(5, 30)]  # hub 4, deg 25
+    pairs = tri1 + star + [(3, 4)]
+    edges = _edges(spark, pairs)
+    unsliced = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3, max_degree=10**6).collect()
+    }
+    sliced = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3, max_degree=4).collect()
+    }
+    assert sliced == unsliced

@@ -3,6 +3,7 @@
 procedures (iceberg_maintenance.py:47-81), real `applied: True` ops."""
 
 import os
+import time
 
 import pyspark.sql.functions as F
 import pytest
@@ -1068,17 +1069,25 @@ def test_optimize_zorder_carries_bloom_and_segments(spark, table_path):
 
 def test_remove_orphans_reclaims_crashed_segment_tmp(spark, table_path):
     """A .json.tmp left by a _write_segment that died between write
-    and rename is debris; remove_orphans sweeps it."""
+    and rename is debris — but only once it has AGED past the grace
+    period (Iceberg's remove_orphan_files older_than contract): a
+    fresh tmp may belong to a concurrent writer's in-flight commit
+    about to os.replace it, and sweeping it would fail that commit."""
     snapshots.snapshot_write(
         spark, _df(spark, 0, 10), table_path, "overwrite", segmented=True
     )
     seg_dir = snapshots._segments_dir(table_path)
-    debris = os.path.join(seg_dir, "seg-deadbeef.json.tmp")
-    with open(debris, "w") as fh:
-        fh.write("{}")
+    fresh = os.path.join(seg_dir, "seg-inflight.json.tmp")
+    stale = os.path.join(seg_dir, "seg-deadbeef.json.tmp")
+    for p in (fresh, stale):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    old = time.time() - snapshots._ORPHAN_TMP_GRACE_SECONDS - 60
+    os.utime(stale, (old, old))
     res = snapshots.remove_orphans(table_path)
     assert res["removed_segments"] >= 1
-    assert not os.path.exists(debris)
+    assert not os.path.exists(stale)  # aged debris swept
+    assert os.path.exists(fresh)  # in-flight commit protected
     assert snapshots.read_snapshot(spark, table_path).count() == 10
 
 

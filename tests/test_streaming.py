@@ -664,3 +664,97 @@ def test_stream_stream_left_outer_emits_unmatched(spark, sf_dir, tmp_path):
     assert any(cid is None for _, cid in got), (
         "fixture should contain unattributed purchases"
     )
+
+
+def test_profile_processor_batch_equivalence(spark, sf_dir):
+    """The state-v2 ProfileProcessor BODY (init + handleInputRows)
+    asserted without the state server (r4 verdict item 7: protobuf
+    absent in this sandbox keeps the end-to-end query skipped, so
+    certify the operator's semantics, not just its plumbing): stub
+    ValueState/MapState objects implement the exact API surface the
+    processor uses, events arrive split across two micro-batches per
+    key, and the LAST emission per key must equal the plain batch
+    aggregate (n_events, total_value, n_distinct_types)."""
+    import pandas as pd
+
+    from aws_lakehouse_spark.streaming.stateful import (
+        make_profile_processor,
+    )
+
+    class StubValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class StubMapState:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return k in self._m
+
+        def getValue(self, k):
+            return self._m[k]
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+        def keys(self):
+            return iter(self._m)
+
+    class StubHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, StubValueState())
+
+        def getMapState(self, name, kschema, vschema):
+            return self.states.setdefault(name, StubMapState())
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "value")
+        .toPandas()
+    )
+    got = {}
+    for uid, grp in events.groupby("user_id"):
+        proc = make_profile_processor()
+        proc.init(StubHandle())
+        # two micro-batches: even event_ids, then odd — state must
+        # carry between handleInputRows calls
+        batches = [
+            grp[grp["event_id"] % 2 == 0],
+            grp[grp["event_id"] % 2 == 1],
+        ]
+        last = None
+        for b in batches:
+            if len(b) == 0:
+                continue
+            for out in proc.handleInputRows((uid,), [b], None):
+                last = out
+        proc.close()
+        got[int(uid)] = (
+            int(last["n_events"].iloc[0]),
+            round(float(last["total_value"].iloc[0]), 6),
+            int(last["n_types"].iloc[0]),
+        )
+
+    expected = {
+        int(uid): (
+            int(len(grp)),
+            round(float(grp["value"].sum()), 6),
+            int(grp["event_type"].nunique()),
+        )
+        for uid, grp in events.groupby("user_id")
+    }
+    assert got == expected
+    assert len(got) > 1
