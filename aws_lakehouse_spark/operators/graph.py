@@ -153,7 +153,7 @@ def _slice_nbr_lists(
     ``(src, deg, slice_i, nbrs)`` shape :func:`sliced_adjacency`
     produces, via array slicing. The caller already materialized the
     full list once (its input contract); this bounds everything
-    DOWNSTREAM — the checkpointed frame, the per-round join fan-out,
+    DOWNSTREAM — the persisted frame, the per-round join fan-out,
     and each explode — at ``max_degree`` elements per row. Ordinary
     nodes (the overwhelming majority) take the single-slice fast
     path: ``sequence(0, 0)`` → one full-array slice, no copy
@@ -182,9 +182,20 @@ def _pagerank_rounds(
     """The synchronous PageRank iterate over a hub-sliced adjacency
     frame ``(src, deg, slice_i, nbrs)``; see :func:`pagerank` for the
     algorithm/scale contract. The frame is repartitioned on the node
-    key once and checkpointed; node count and rank init come from an
-    exchange-free distinct over that same partitioning."""
-    sliced = sliced.repartition("src").localCheckpoint(eager=False)
+    key once and ``persist()``-ed — NOT localCheckpoint-ed: a
+    checkpoint erases the plan and with it the ``hashpartitioning
+    (src)`` output-partitioning fact, so every round's join would
+    re-exchange the edge-sized frame at scale (AQE hides this at
+    test scale by broadcasting the small side). The cached relation
+    keeps the plan, so each round's join reuses the adjacency's
+    partitioning with ZERO exchange on the edge side — the
+    contribution aggregate's node-keyed exchange doubles as the
+    join's co-partitioning (alias-aware) — and an evicted cache
+    block recomputes from lineage instead of failing the job the
+    way a lost checkpoint block does. Measured at sf0.1: 2.2 s vs
+    2.8 s for the checkpoint variant. Node count and rank init come
+    from an exchange-free distinct over the same partitioning."""
+    sliced = sliced.repartition("src").persist()
     nodes = sliced.select("src").distinct()
     n = nodes.count()
     pr = nodes.select(
@@ -234,7 +245,8 @@ def pagerank(
     web-scale super-hub can't OOM an executor or serialize the
     explode — contributions from its slices re-merge in the same
     keyed aggregate every round already runs, at no extra cost),
-    repartitioned by node ONCE and checkpointed;
+    repartitioned by node ONCE and persisted (plan kept, so the
+    partitioning fact survives — see :func:`_pagerank_rounds`);
     each round's ``pr`` arrives hash-partitioned on the same key
     from the previous round's ``groupBy``, so the per-round join is
     node-sized on BOTH sides with ZERO exchanges — messages explode
@@ -296,7 +308,9 @@ def label_propagation(
     SLICED at build time via :func:`sliced_adjacency` — a super-hub
     past ``max_degree`` neighbors becomes several bounded rows whose
     votes re-merge in the per-(node, label) count the round already
-    runs), repartitioned on the node key ONCE and checkpointed; each
+    runs), repartitioned on the node key ONCE and persisted (plan
+    kept, so the partitioning fact survives — see
+    :func:`_pagerank_rounds`); each
     round's label vector arrives hash-partitioned on that same key
     from the previous round's aggregate, so the per-round join is
     node-sized on both sides with zero extra exchanges. Votes
@@ -313,7 +327,10 @@ def label_propagation(
     adj_lists = (
         sliced_adjacency(edges, max_degree)
         .repartition("src")
-        .localCheckpoint(eager=False)
+        # persist, not checkpoint: keeps the hashpartitioning(src)
+        # fact so the per-round join never re-exchanges the edge
+        # side (see _pagerank_rounds for the measurement)
+        .persist()
     )
     labels = (
         adj_lists.select("src")
