@@ -283,6 +283,16 @@ def connected_components(
     early-exiting ``limit(1)`` probe would leave unvisited partitions
     unmaterialized, silently re-attaching their lineage to the next
     round.
+
+    The edge frame is ``repartition(dst).persist()``-ed, not
+    checkpointed: the cached relation keeps its plan and with it the
+    ``hashpartitioning(dst)`` fact, so every round's neighbor join
+    reuses the edges' partitioning and only the node-sized label
+    vector moves — a checkpoint would erase the fact and re-exchange
+    the EDGE-sized frame each round at scale (same measurement and
+    rationale as ``operators/graph._pagerank_rounds``); the cache is
+    released before returning since the result is already a
+    materialized checkpoint.
     """
     # no .distinct() on edges: every downstream use is a min
     # aggregation, which duplicate edges cannot perturb — the
@@ -303,7 +313,13 @@ def connected_components(
             F.least(F.col("src"), F.col("__m")).alias("component"),
         )
     )
-    edges = edges.localCheckpoint(eager=False)
+    # persist (not checkpoint) the edges, pre-partitioned on the join
+    # key: a checkpoint erases the plan and its hashpartitioning(dst)
+    # fact, so every round's join would re-exchange the EDGE-sized
+    # frame; the cached relation keeps the fact, so each round only
+    # moves the node-sized label vector (same fix, measurement, and
+    # rationale as operators/graph._pagerank_rounds)
+    edges = edges.repartition("dst").persist()
     labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iterations):
         neighbor_min = (
@@ -356,6 +372,11 @@ def connected_components(
         labels = new_labels.drop("__prev")
         if changed == 0:
             break
+    # the returned frame is a MATERIALIZED checkpoint (every round's
+    # convergence count scans all partitions), so it no longer reads
+    # through the edge cache — release those blocks eagerly instead
+    # of leaving them to the context cleaner
+    edges.unpersist()
     return labels
 
 
