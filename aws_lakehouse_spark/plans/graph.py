@@ -501,7 +501,15 @@ def graph_bfs_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.operators.graph import symmetrize
 
     edges = copurchase_edges(spark, sf_dir, min_weight=2)
-    adj = symmetrize(edges.select("src", "dst"))
+    # pin the adjacency once, partitioned on the expansion key:
+    # without this every round's frontier join re-runs the whole
+    # copurchase build (lineitem scan + per-order explode), and with
+    # a checkpoint instead of persist the hashpartitioning(src) fact
+    # would be erased and each round would re-exchange the edge frame
+    # (see operators/graph._pagerank_rounds)
+    adj = (
+        symmetrize(edges.select("src", "dst")).repartition("src").persist()
+    )
     nodes = adj.select(F.col("src").alias("node")).distinct()
     source = nodes.agg(F.min("node")).collect()[0][0]  # one scalar
     labels = (
