@@ -318,3 +318,44 @@ def test_hub_slicing_matches_unsliced_lpa(spark):
         for r in label_propagation(edges, rounds=3, max_degree=4).collect()
     }
     assert sliced == unsliced
+
+
+def test_pagerank_random_graphs_any_cap_matches_dense(spark):
+    """Property over seeded random graphs x aggressive hub caps: the
+    sliced kernel must equal the independent dense-matrix iterate
+    regardless of where the slice boundaries fall (caps of 2 and 3
+    force nearly every node to split)."""
+    import random
+
+    import numpy as np
+
+    for seed, cap in ((13, 2), (29, 3), (47, 2)):
+        rng = random.Random(seed)
+        nodes = list(range(12))
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(25)
+            }
+        )
+        present = sorted({x for p in pairs for x in p})
+        idx = {n: i for i, n in enumerate(present)}
+        n, it, d = len(present), 4, 0.85
+        adj = np.zeros((n, n))
+        for a, b in pairs:
+            adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+        deg = adj.sum(axis=1)
+        p = np.full(n, 1.0 / n)
+        for _ in range(it):
+            p = (1 - d) / n + d * adj.T @ (p / deg)
+        got = {
+            r["node"]: r["pr"]
+            for r in pagerank(
+                _edges(spark, pairs), it, max_degree=cap
+            ).collect()
+        }
+        assert set(got) == set(present), (seed, cap)
+        for node in present:
+            assert math.isclose(
+                got[node], p[idx[node]], rel_tol=1e-9
+            ), (seed, cap, node)
