@@ -49,10 +49,44 @@ from aws_lakehouse_spark.registry import REGISTRY
 # rows certify the edits). Previously-green queries follow (rows
 # banked); rows-only specs (oracle=None) stay dead last.
 #
-# Remaining backlog after this window: 81 never-driver-graded queries
-# (all judge-green in JUDGE_ORACLE_r4) — the r6 queue, same mechanism.
-# Registry growth is FROZEN this round (r4 verdict item 2) until the
-# grading debt clears: 131 -> 81 -> ~31 -> 0 over r5-r7.
+# Remaining backlog after this window: 80 never-driver-graded
+# oracle-backed queries (all judge-green in JUDGE_ORACLE_r4) — the r6
+# queue, same mechanism; put the first 50 in slots 1-50 next round
+# (plus embed_pca_project, rows-only by design, which never enters the
+# graded window). Registry growth is FROZEN (r4 verdict item 2) until
+# the debt clears: 131 -> 81 -> 31 -> 0 over r5-r7. The r6 queue:
+# agg_abc_classification, agg_bitmap_distinct, agg_correlation_matrix,
+# agg_countmin_heavy_hitters, agg_extended_moments, agg_filtered_kpis,
+# agg_gini_concentration, agg_hierarchy_rollup, agg_hll_intersection,
+# agg_hll_partial_merge, agg_market_share_hhi, agg_price_elasticity,
+# ann_range_search, customer_rfm_segmentation, customer_survival_km,
+# dedup_cluster_survivor_quality, dedup_minhash_jaccard_estimate,
+# embed_drift_monitor, embed_matryoshka_topk, events_bounce_rate,
+# events_burstiness_fano, events_cohort_retention,
+# events_cusum_changepoint, events_ewma_trailing, events_funnel_steps,
+# events_interval_merge, events_stream_stream_join,
+# events_time_to_convert, events_top_paths, format_roundtrip_json,
+# format_roundtrip_xml, geo_grid_density, geo_haversine_neighbor_join,
+# geo_knn_bounded, geo_polygon_contains, incremental_join_maintenance,
+# incremental_partition_recompute, join_asof_tolerance,
+# join_bloom_prefilter, join_bucketed_colocated,
+# join_dynamic_partition_pruning, join_longest_prefix, join_null_safe,
+# join_scd2_pointintime, layout_zorder_pruned_scan,
+# market_basket_rules, media_audio_curation_pipeline,
+# media_audio_rms_loudness, media_curation_pipeline,
+# media_image_neardup, media_scene_cuts, order_pareto_frontier,
+# quality_ab_ttest, quality_benford_drift, quality_chisquare_drift,
+# quality_entropy_profile, quality_k_anonymity, quality_ks_drift,
+# quality_psi_drift, quality_ratio_delta_method,
+# quality_referential_integrity, quality_winsorize,
+# recsys_item_cosine, scalar_collation_groupby,
+# scalar_interval_family, scalar_map_family,
+# scalar_mapinarrow_checksum, scalar_math_family, set_multiset_ops,
+# sink_dynamic_partition_overwrite, sink_identity_column,
+# source_python_stream_datasource, source_python_udtf_sentences,
+# text_blocklist_filter, text_epoch_allocation,
+# text_quality_classifier, text_unicode_nfc, text_vocab_growth,
+# text_weighted_sample, udaf_grouped_geomean.
 _PRIORITY = [
     # snapshot-log tier: time travel, WAP, branches, clone, CDC-style
     # incremental scan, constraints, maintenance rewrites, pruning
