@@ -216,6 +216,13 @@ def _pagerank_rounds(
         # a per-round barrier costs ~25% of the 5-round wall (sf0.1)
         if (i + 1) % 3 == 0 and (i + 1) < iterations:
             pr = pr.localCheckpoint(eager=False)
+    # pin the NODE-sized result eagerly so the EDGE-sized adjacency
+    # cache can be released here — otherwise the lazy result reads
+    # through the cache and the CacheManager entry (unlike the old
+    # GC-collected checkpoint RDDs) leaks for the session lifetime,
+    # one per kernel invocation
+    pr = pr.localCheckpoint(eager=True)
+    sliced.unpersist()
     return pr
 
 
@@ -355,4 +362,8 @@ def label_propagation(
         # barrier every 3rd round, not every round
         if (r + 1) % 3 == 0 and (r + 1) < rounds:
             labels = labels.localCheckpoint(eager=False)
+    # same cache-release contract as _pagerank_rounds: pin the
+    # node-sized labels, release the edge-sized adjacency cache
+    labels = labels.localCheckpoint(eager=True)
+    adj_lists.unpersist()
     return labels

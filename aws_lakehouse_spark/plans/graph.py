@@ -527,6 +527,10 @@ def graph_bfs_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = labels.unionByName(nxt).localCheckpoint(eager=False)
         frontier = labels.filter(F.col("dist") == r)
+    # pin the node-sized labeling, release the adjacency cache (same
+    # contract as operators/graph._pagerank_rounds)
+    labels = labels.localCheckpoint(eager=True)
+    adj.unpersist()
     return labels.select(
         F.col("node").cast("bigint").alias("node"), "dist"
     ).orderBy("dist", "node")

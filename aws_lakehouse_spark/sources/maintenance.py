@@ -195,14 +195,21 @@ def remove_orphans(
     table_path: str | None = None,
 ) -> dict:
     """M3 — remove data files not referenced by table metadata.
-    Manifest-logged table: real directory-vs-manifest diff + delete.
-    Bare plain Parquet has no manifest to diff against → no-op
-    (every file under the table location is live)."""
+    Manifest-logged table: real directory-vs-manifest diff + delete,
+    honoring Iceberg's ``older_than`` contract (``older_than_days``;
+    a younger unreferenced file may belong to an in-flight concurrent
+    commit). Bare plain Parquet has no manifest to diff against →
+    no-op (every file under the table location is live)."""
     path = _snapshot_log_path(spark, table, table_path)
     if path:
         from aws_lakehouse_spark.sources import snapshots
 
-        return {"table": table, **snapshots.remove_orphans(path)}
+        return {
+            "table": table,
+            **snapshots.remove_orphans(
+                path, older_than_seconds=older_than_days * 86400.0
+            ),
+        }
     return {"table": table, "op": "remove_orphans", "applied": False,
             "reason": "plain parquet: all files under location are live"}
 

@@ -450,19 +450,13 @@ def read_snapshot(
     published, though an explicit ``version`` can audit them).
     Column pruning and filter pushdown apply per-file as with any
     parquet scan."""
+    if version is None:
+        v = _current_published_version(table_path)
+    else:
+        v = version
     vs = versions(table_path)
     if not vs:
         raise ValueError(f"no snapshots at {table_path}")
-    if version is None:
-        pub = published_versions(table_path)
-        if not pub:
-            raise ValueError(
-                f"no published snapshots at {table_path} "
-                f"(staged-only history; publish or read by version)"
-            )
-        v = pub[-1]
-    else:
-        v = version
     if v not in vs:
         raise ValueError(f"version {v} not in {vs} (expired or never committed)")
     files = _read_manifest(table_path, v)["files"]
@@ -875,11 +869,24 @@ def expire_snapshots(
     }
 
 
-def remove_orphans(table_path: str) -> dict:
+def remove_orphans(
+    table_path: str,
+    older_than_seconds: float = _ORPHAN_TMP_GRACE_SECONDS,
+) -> dict:
     """M3 — delete part files referenced by NO live manifest (the
     contract of Iceberg ``remove_orphan_files``, iceberg_maintenance
     .py:74-81). Run after ``expire_snapshots``; files belonging to
-    still-retained versions are never touched."""
+    still-retained versions are never touched.
+
+    ``older_than_seconds`` mirrors Iceberg's ``older_than`` and
+    applies to EVERY candidate — unreferenced data files,
+    unreferenced segment .json files, and segment .json.tmp debris —
+    because the log supports concurrent writers: a younger
+    unreferenced file may belong to an in-flight commit (part files
+    and segments land BEFORE the put-if-absent manifest commit that
+    references them), and sweeping one makes that commit permanently
+    unreadable. Pass 0 only when no writer can be in flight (e.g.
+    single-writer test harnesses reclaiming just-expired files)."""
     live: set[str] = set()
     live_segments: set[str] = set()
     for v in versions(table_path):
@@ -887,34 +894,57 @@ def remove_orphans(table_path: str) -> dict:
         live_segments |= set(
             _read_manifest_raw(table_path, v).get("segments", [])
         )
-    orphans = sorted(_data_files(table_path) - live)
+    # the same older_than gate protects DATA files: a concurrent
+    # snapshot_write lands its part files before its manifest commit,
+    # so a fresh unreferenced part file may be about to become live
+    now = time.time()
+    orphans = []
+    for f in sorted(_data_files(table_path) - live):
+        path = os.path.join(table_path, f)
+        try:
+            if now - os.path.getmtime(path) <= older_than_seconds:
+                continue
+        except OSError:
+            continue  # raced with a concurrent writer/sweeper
+        orphans.append(f)
     for f in orphans:
-        os.remove(os.path.join(table_path, f))
+        try:
+            os.remove(os.path.join(table_path, f))
+        except FileNotFoundError:
+            pass  # a concurrent sweep got there first
     # manifest segments referenced by no live manifest (their
     # manifests were expired) are metadata orphans — same contract
     seg_dir = _segments_dir(table_path)
     seg_orphans: list[str] = []
     if os.path.isdir(seg_dir):
-        # .json.tmp = debris from a _write_segment that crashed
-        # between write and rename — but the log supports CONCURRENT
-        # writers (put-if-absent commits), so a fresh tmp may belong
-        # to an in-flight commit about to os.replace it. Only sweep
-        # tmp files older than a grace period, mirroring Iceberg's
-        # remove_orphan_files(older_than=...) contract.
+        # the log supports CONCURRENT writers (put-if-absent
+        # commits), so a fresh segment file may belong to an
+        # in-flight commit: a .json.tmp about to be os.replace-d,
+        # or a renamed .json whose manifest commit hasn't landed
+        # yet (it is unreferenced only for that window — sweeping
+        # it would make the subsequent commit permanently
+        # unreadable). Only sweep files older than a grace period,
+        # mirroring Iceberg's remove_orphan_files(older_than=...)
+        # contract, which applies the age gate to ALL candidates.
         now = time.time()
         for f in sorted(os.listdir(seg_dir)):
             path = os.path.join(seg_dir, f)
-            if f.endswith(".json") and f not in live_segments:
+            is_candidate = (
+                f.endswith(".json") and f not in live_segments
+            ) or f.endswith(".json.tmp")
+            if not is_candidate:
+                continue
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # raced with the writer's os.replace
+            if age > older_than_seconds:
                 seg_orphans.append(f)
-            elif f.endswith(".json.tmp"):
-                try:
-                    age = now - os.path.getmtime(path)
-                except OSError:
-                    continue  # raced with the writer's os.replace
-                if age > _ORPHAN_TMP_GRACE_SECONDS:
-                    seg_orphans.append(f)
         for f in seg_orphans:
-            os.remove(os.path.join(seg_dir, f))
+            try:
+                os.remove(os.path.join(seg_dir, f))
+            except FileNotFoundError:
+                pass  # a concurrent sweep got there first
     return {
         "op": "remove_orphans",
         "applied": True,
@@ -1525,29 +1555,31 @@ def checked_snapshot_write(
     cons = table_constraints(table_path)
     if not cons:
         return snapshot_write(spark, df, table_path, mode, **kwargs)
+    # localCheckpoint, not persist: a persisted batch whose blocks get
+    # evicted would RECOMPUTE from lineage, and a nondeterministic
+    # source could then commit rows the validation never saw — the
+    # exact TOCTOU this pin exists to prevent. The checkpoint severs
+    # lineage, so the checked bytes are the only bytes that can be
+    # written; its blocks are reclaimed by the ContextCleaner once
+    # this DataFrame is garbage-collected after the commit (bounded:
+    # one batch in flight per call — DataFrame.unpersist() cannot
+    # free them earlier, it only covers CacheManager entries).
     pinned = df.localCheckpoint(eager=True)
-    try:
-        names = list(cons)
-        counts = pinned.agg(
-            *[
-                F.sum(
-                    F.when(
-                        ~F.coalesce(F.expr(cons[n]), F.lit(False)), 1
-                    ).otherwise(0)
-                ).alias(n)
-                for n in names
-            ]
-        ).collect()[0]
-        bad = {n: counts[n] for n in names if (counts[n] or 0) > 0}
-        if bad:
-            raise ConstraintViolationError(
-                f"write to {table_path!r} rejected: constraint "
-                f"violations {bad}"
-            )
-        return snapshot_write(spark, pinned, table_path, mode, **kwargs)
-    finally:
-        # release the checkpointed blocks; harmless if already gone
-        try:
-            pinned.unpersist()
-        except Exception:
-            pass
+    names = list(cons)
+    counts = pinned.agg(
+        *[
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(cons[n]), F.lit(False)), 1
+                ).otherwise(0)
+            ).alias(n)
+            for n in names
+        ]
+    ).collect()[0]
+    bad = {n: counts[n] for n in names if (counts[n] or 0) > 0}
+    if bad:
+        raise ConstraintViolationError(
+            f"write to {table_path!r} rejected: constraint "
+            f"violations {bad}"
+        )
+    return snapshot_write(spark, pinned, table_path, mode, **kwargs)

@@ -51,7 +51,9 @@ def test_expire_then_orphan_removal_preserves_latest(spark, table_path):
     n_files_before = len(
         [f for f in os.listdir(table_path) if f.endswith(".parquet")]
     )
-    res = snapshots.remove_orphans(table_path)
+    # single-writer harness reclaiming just-expired files: no commit
+    # can be in flight, so the concurrent-writer grace is waived
+    res = snapshots.remove_orphans(table_path, older_than_seconds=0.0)
     assert res["applied"] is True
     assert res["removed_files"] > 0
     n_files_after = len(
@@ -84,7 +86,9 @@ def test_maintenance_ops_apply_on_snapshot_table(spark, table_path):
     snapshots.snapshot_write(spark, _df(spark, 0, 5), table_path, "overwrite")
     m1 = expire_snapshots(spark, "ignored", retain_days=0, table_path=table_path)
     assert m1["applied"] is True and m1["expired_versions"] == [0]
-    m3 = remove_orphans(spark, "ignored", table_path=table_path)
+    m3 = remove_orphans(
+        spark, "ignored", older_than_days=0, table_path=table_path
+    )
     assert m3["applied"] is True and m3["removed_files"] > 0
     assert snapshots.read_snapshot(spark, table_path).count() == 5
 
@@ -760,7 +764,9 @@ def test_wap_abandoned_stage_files_reclaimed(spark, tmp_path):
     n_files_before = len(
         [f for f in os.listdir(table) if f.endswith(".parquet")]
     )
-    stats = remove_orphans(spark, "ignored", table_path=table)
+    stats = remove_orphans(
+        spark, "ignored", older_than_days=0, table_path=table
+    )
     n_files_after = len(
         [f for f in os.listdir(table) if f.endswith(".parquet")]
     )
@@ -999,7 +1005,7 @@ def test_segment_gc_after_expiry(spark, table_path):
     assert len(os.listdir(seg_dir)) == 3
 
     snapshots.expire_snapshots(table_path, retain_last=1, older_than_s=0.0)
-    res = snapshots.remove_orphans(table_path)
+    res = snapshots.remove_orphans(table_path, older_than_seconds=0.0)
     assert res["removed_segments"] == 2
     assert len(os.listdir(seg_dir)) == 1
     # survivor still reads
@@ -1079,7 +1085,11 @@ def test_remove_orphans_reclaims_crashed_segment_tmp(spark, table_path):
     seg_dir = snapshots._segments_dir(table_path)
     fresh = os.path.join(seg_dir, "seg-inflight.json.tmp")
     stale = os.path.join(seg_dir, "seg-deadbeef.json.tmp")
-    for p in (fresh, stale):
+    # a renamed-but-not-yet-committed segment: unreferenced by any
+    # manifest only because its writer's put-if-absent commit hasn't
+    # landed yet — sweeping it would make that commit unreadable
+    fresh_renamed = os.path.join(seg_dir, "seg-precommit.json")
+    for p in (fresh, stale, fresh_renamed):
         with open(p, "w") as fh:
             fh.write("{}")
     old = time.time() - snapshots._ORPHAN_TMP_GRACE_SECONDS - 60
@@ -1087,7 +1097,8 @@ def test_remove_orphans_reclaims_crashed_segment_tmp(spark, table_path):
     res = snapshots.remove_orphans(table_path)
     assert res["removed_segments"] >= 1
     assert not os.path.exists(stale)  # aged debris swept
-    assert os.path.exists(fresh)  # in-flight commit protected
+    assert os.path.exists(fresh)  # in-flight tmp protected
+    assert os.path.exists(fresh_renamed)  # in-flight commit protected
     assert snapshots.read_snapshot(spark, table_path).count() == 10
 
 
