@@ -113,9 +113,13 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = int(start["next"])
         hi = min(lo + self.batch_size, self.n)
-        # lists, not generators: the engine copies the prefetch-cache
-        # iterator when planning partitions, and generators don't copy
-        return [synth_row(i) for i in range(lo, hi)], {"next": hi}
+        # Must be a list ITERATOR, not the list itself: the engine's
+        # prefetch cache copy.copy()s it when serving planInputPartitions
+        # (so it can't be a one-shot generator), but on an exhausted
+        # source (end == start) it instead calls next() to verify the
+        # batch is empty — a bare list fails that with TypeError and
+        # kills the stream after the data drains.
+        return iter([synth_row(i) for i in range(lo, hi)]), {"next": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return [

@@ -451,6 +451,53 @@ def test_python_datasource_streaming_batches(spark, tmp_path):
     assert n_batches >= 2  # genuinely incremental, not one big batch
 
 
+def test_python_datasource_stream_survives_exhaustion(spark, tmp_path):
+    """After the source drains, latestOffset keeps returning the same
+    offset; the engine then verifies the batch is EMPTY by calling
+    next() on it — which requires read() to return an iterator, not a
+    bare list. Regression: a list made the idle tick raise TypeError
+    and terminate the whole query right after the data finished."""
+    from aws_lakehouse_spark.sources.pydatasource import (
+        register_synthdocs,
+    )
+
+    import time
+
+    register_synthdocs(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("synthdocs")
+        .option("n", 40)
+        .option("batch_size", 25)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 40:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        # let the exhausted source take several idle latestOffset
+        # ticks; with the bug the query dies here within a tick or two
+        idle_until = time.time() + 5
+        while time.time() < idle_until:
+            assert q.isActive, f"stream died after drain: {q.exception()}"
+            time.sleep(1)
+        assert q.exception() is None
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 40
+
+
 def test_apply_merge_batch_without_order_col(spark, tmp_path):
     """Without an order column, exactly one row per key survives the
     in-batch collapse and the merge still upserts correctly."""
