@@ -28,7 +28,29 @@ from aws_lakehouse_spark.registry import load_all  # noqa: E402
 from aws_lakehouse_spark.session import get_spark  # noqa: E402
 
 
+def _calibrate_cpu() -> float:
+    """Host-speed canary: best-of-5 single-thread 512x512 float64
+    matmul, in seconds. Query timings on this shared host drift
+    1.2-2x with external load (measured round 5: the same kernel,
+    same code, same sf ran 2.2 s and 4.4 s twenty minutes apart), so
+    cross-round comparisons need a denominator that tracks the host,
+    not the engine. Pure numpy, no Spark involvement."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((512, 512))
+    b = rng.standard_normal((512, 512))
+    a @ b  # warm
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        a @ b
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 5)
+
+
 def run() -> dict:
+    calib = _calibrate_cpu()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -74,6 +96,12 @@ def run() -> dict:
         spreads[name] = round(
             (sum((s - mean) ** 2 for s in warm) / len(warm)) ** 0.5, 3
         )
+        # isolation between queries: drop any cache a query left
+        # behind and nudge the JVM to release trial localCheckpoint
+        # RDDs now, so query N's leftovers can't inflate query N+1
+        # (GC spikes of 2-3x observed when checkpoints accumulate)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     spark.stop()
     return {
@@ -84,6 +112,10 @@ def run() -> dict:
         "stddev": spreads,
         "trials": trials,
         "sf": sf,
+        # host-speed canary (see _calibrate_cpu): divide query times
+        # by (calib_cpu_sec of that round / calib_cpu_sec of a
+        # reference round) to compare rounds across host-load drift
+        "calib_cpu_sec": calib,
     }
 
 
