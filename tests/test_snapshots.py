@@ -347,6 +347,77 @@ def test_concurrent_snapshot_writers_never_clobber(spark, tmp_path):
             assert os.path.exists(os.path.join(table, f))
 
 
+def test_optimistic_retry_melee_log_stays_consistent(spark, tmp_path):
+    """Three writers each land three appends under the real client
+    protocol — retry on SnapshotConflictError until committed. The
+    melee must leave a GAP-FREE version sequence with one manifest
+    per success, the head must hold every (writer, seq) row exactly
+    once, and a zero-grace orphan sweep afterwards (all writers
+    drained, so 0 is safe per the remove_orphans contract) must
+    reclaim only loser debris: every version stays readable and the
+    head contents are byte-identical before and after the sweep."""
+    import threading
+
+    from aws_lakehouse_spark.sources import snapshots
+    from aws_lakehouse_spark.sources.snapshots import SnapshotConflictError
+
+    table = str(tmp_path / "t")
+    writers, commits_each = 3, 3
+    barrier = threading.Barrier(writers)
+    errors: list = []
+
+    def run_writer(w: int) -> None:
+        barrier.wait()
+        for seq in range(commits_each):
+            df = spark.createDataFrame(
+                [(w, seq)], "writer int, seq int"
+            )
+            for _ in range(40):  # bounded optimistic retry
+                try:
+                    snapshots.snapshot_write(spark, df, table, "append")
+                    break
+                except SnapshotConflictError:
+                    continue
+            else:
+                errors.append((w, seq, "retries exhausted"))
+                return
+
+    threads = [
+        threading.Thread(target=run_writer, args=(w,))
+        for w in range(writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    total = writers * commits_each
+    vs = snapshots.versions(table)
+    assert vs == list(range(total))  # gap-free, one per success
+    head = sorted(
+        tuple(r)
+        for r in snapshots.read_snapshot(spark, table).collect()
+    )
+    assert head == sorted(
+        (w, s) for w in range(writers) for s in range(commits_each)
+    )
+    # loser attempts left orphan part files; with all writers drained
+    # a zero-grace sweep is in-contract and must not touch live data
+    snapshots.remove_orphans(table, older_than_seconds=0)
+    assert (
+        sorted(
+            tuple(r)
+            for r in snapshots.read_snapshot(spark, table).collect()
+        )
+        == head
+    )
+    for v in vs:  # time travel intact at EVERY version post-sweep
+        m = snapshots._read_manifest(table, v)
+        for f in m["files"]:
+            assert os.path.exists(os.path.join(table, f)), (v, f)
+
+
 def test_merge_into_update_insert_delete_arms(spark, table_path):
     target = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
