@@ -101,7 +101,10 @@ def run() -> dict:
         # RDDs now, so query N's leftovers can't inflate query N+1
         # (GC spikes of 2-3x observed when checkpoints accumulate)
         spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        try:  # py4j-only hint; never let hygiene kill the bench
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     spark.stop()
     return {
