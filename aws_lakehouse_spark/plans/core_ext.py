@@ -4,7 +4,7 @@ numpy-vectorized similarity search."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from aws_lakehouse_spark.catalog import load_table
 from aws_lakehouse_spark.operators.skew import salted_group_agg
@@ -857,22 +857,71 @@ def join_fuzzy_levenshtein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY bucket
     """,
     category="2.4 aggregates",
-    doc="Equi-DEPTH histogram (deciles): cut points from one "
-    "mergeable-sketch pass (approx_percentile sized exact at test "
-    "SF — the same sketch-parity contract as agg_quantile_sketch), "
-    "broadcast back, bucket derived scan-side as count-of-cuts-"
-    "below. Two bounded passes and one small shuffle — never the "
-    "ntile global sort, which is how equi-depth binning stays "
-    "feasible at 100 TB. Complements the fixed-width "
-    "agg_histogram.",
+    doc="Equi-DEPTH histogram (deciles): EXACT distributed order "
+    "statistics — per-value counts (one value-cardinality shuffle), "
+    "global cumulative rank via the repo's two-level prefix sum "
+    "(value-range buckets; no global sort), decile cut = min value "
+    "whose cumulative count reaches ceil(k*N/10), matching "
+    "quantile_disc exactly at EVERY scale (a GK sketch flips a cut "
+    "by one rank as soon as N/accuracy rounds past half a rank — "
+    "observed at sf0.1 with accuracy=1e6). Cuts broadcast back; "
+    "bucket derived scan-side as count-of-cuts-below. Everything "
+    "between the two corpus scans is bounded by value cardinality, "
+    "which is how exact equi-depth binning stays feasible at "
+    "100 TB. Complements the fixed-width agg_histogram.",
 )
 def agg_histogram_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    qs = ", ".join(f"{q / 10:.1f}D" for q in range(1, 10))
-    cuts = li.agg(
-        F.expr(
-            f"approx_percentile(l_extendedprice, array({qs}), 1000000)"
-        ).alias("c")
+    counts = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # two-level prefix sum over value order (same shape as
+    # text_shard_plan): bucket by value range — bucket count scales
+    # with the PRICE RANGE, not row count — then tiny cross-bucket
+    # offsets + per-bucket running sums
+    # three consumers (running sums, bucket totals, N) — checkpoint
+    # the value-cardinality frame once so the corpus-count aggregate
+    # runs once, per the repo's multi-consumer convention
+    b = (
+        counts.withColumn("__b", F.floor(F.col("v") / 100))
+        .repartition("__b")
+        .localCheckpoint(eager=False)
+    )
+    off_w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # bucket totals feed BOTH the cross-bucket offsets and N (for the
+    # ranks), off the same __b exchange — lineitem is scanned exactly
+    # twice (the counts aggregate and the final bucketing scan)
+    totals = b.groupBy("__b").agg(F.sum("cnt").alias("__bt"))
+    offsets = totals.select(
+        "__b",
+        F.coalesce(F.sum("__bt").over(off_w), F.lit(0)).alias("__off"),
+    )
+    local_w = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.join(F.broadcast(offsets), "__b").select(
+        "v", (F.col("__off") + F.sum("cnt").over(local_w)).alias("cum")
+    )
+    # decile ranks in exact integer arithmetic: ceil(k*N/10) =
+    # (k*N + 9) div 10 — never a float q*N whose binary epsilon
+    # could round the rank up
+    ranks = totals.agg(F.sum("__bt").alias("n")).select(
+        F.explode(
+            F.expr("transform(sequence(1, 9), k -> (k * n + 9) DIV 10)")
+        ).alias("rank")
+    )
+    # smallest value whose cumulative count reaches each rank; the
+    # 9-row broadcast makes the inequality join a bounded nested loop
+    # over the value-cardinality frame, never a cartesian
+    cuts = (
+        cum.join(F.broadcast(ranks), F.col("rank") <= F.col("cum"))
+        .groupBy("rank")
+        .agg(F.min("v").alias("cut"))
+        .agg(F.sort_array(F.collect_list("cut")).alias("c"))
     )
     bucket = F.size(
         F.filter(F.col("c"), lambda x: x < F.col("l_extendedprice"))
