@@ -139,7 +139,8 @@ def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_brand,
            COUNT(*) AS n_matches,
-           ROUND(SUM(o.o_totalprice), 2) AS sum_price
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
+               AS sum_price
     FROM orders o
     JOIN part p
       ON o.o_totalprice >= p.p_retailprice * 100 - 2000
@@ -152,7 +153,10 @@ def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sides banded onto a 4000-wide grid, equi-join on the band id, "
     "exact range predicate as residual — O(points + intervals x 2) "
     "join input instead of O(points x intervals). Oracle-checked "
-    "equal to the nested-loop range join.",
+    "equal to the nested-loop range join. Price reduces in exact "
+    "integer cents (repo-wide convention) — a plain double SUM went "
+    "bitwise-unequal to the oracle at sf0.1 as the association "
+    "order diverged.",
 )
 def join_range_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.operators import range_join_banded
@@ -168,7 +172,12 @@ def join_range_banded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_matches"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                )
+                / 100.0
+            ).alias("sum_price"),
         )
         .orderBy("p_brand")
     )
