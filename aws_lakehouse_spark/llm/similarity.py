@@ -117,14 +117,23 @@ def brute_force_topk_vectorized(
     import numpy as np
     import pandas as pd
 
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+    if len(queries_pdf) == 0:
+        # an upstream filter can legitimately match no query rows;
+        # np.stack([]) raises, and an empty top-k is the right answer
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rnk", F.lit(0))
+        )
+
     q_ids = queries_pdf[id_col].to_numpy()
     q_mat = np.stack(queries_pdf[vec_col].to_list()).astype("float64")
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
-    out_schema = "query_id long, neighbor_id long, cosine_sim double"
-
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue  # empty Arrow batch from an empty partition
             ids = pdf[id_col].to_numpy()
             c_mat = np.stack(pdf[vec_col].to_list()).astype("float64")
             c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)

@@ -198,6 +198,14 @@ def _pagerank_rounds(
     sliced = sliced.repartition("src").persist()
     nodes = sliced.select("src").distinct()
     n = nodes.count()
+    if n == 0:
+        # a filtered edge set can legitimately be empty (e.g. a
+        # min-weight cut on a sparse graph); the rank of an empty
+        # graph is an empty frame, not a 1/0 division
+        sliced.unpersist()
+        return nodes.select(
+            F.col("src").alias("node"), F.lit(0.0).alias("pr")
+        )
     pr = nodes.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("pr")
     )

@@ -608,6 +608,12 @@ def maintenance_compact_roundtrip_q(
     from aws_lakehouse_spark.sources.maintenance import compact_path
 
     orders = load_table(spark, sf_dir, "orders")
+    if orders.isEmpty():
+        # empty source: nothing to compact; empty summary, not a
+        # degenerate-scenario assertion failure
+        return spark.createDataFrame(
+            [], "o_orderpriority string, n_orders bigint, sum_price double"
+        )
     path = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_compact_"), "orders_small_files"
     )
@@ -661,6 +667,12 @@ def snapshot_delete_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    if orders.isEmpty():
+        # empty source: no rows to delete/update; empty result, not a
+        # degenerate-scenario assertion failure
+        return spark.createDataFrame(
+            [], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
     table = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_dml_"), "orders_snap"
     )
@@ -1601,6 +1613,11 @@ def snapshot_stats_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    if orders.isEmpty():
+        # empty source: no files, so nothing to prune; empty summary
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders bigint, total_price double"
+        )
     table = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_stats_"), "orders_snap"
     )
@@ -1656,6 +1673,13 @@ def snapshot_bloom_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+    if orders.isEmpty():
+        # empty source: no files, so nothing to bloom-prune
+        return spark.createDataFrame(
+            [],
+            "n_orders bigint, total_price double, "
+            "min_orderkey bigint, max_orderkey bigint",
+        )
     table = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_bloom_"), "orders_snap"
     )
@@ -1774,6 +1798,14 @@ def incremental_partition_recompute_q(
         "value",
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
     )
+    if ev.isEmpty():
+        # empty source: a partitioned write lands no files and the
+        # read-back cannot infer a schema; empty gold table instead
+        return spark.createDataFrame(
+            [],
+            "event_date string, event_type string, "
+            "n_events bigint, total_value double",
+        )
     path = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_increcompute_"), "events_by_day"
     )
@@ -1852,6 +1884,11 @@ def snapshot_wap_publish_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    if orders.isEmpty():
+        # empty source: nothing to stage or publish
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders bigint, total_price double"
+        )
     table = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_wap_"), "orders_snap"
     )
@@ -1928,6 +1965,11 @@ def snapshot_partition_evolution_q(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     n_max = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    if n_max is None:
+        # empty source: nothing to split the spec evolution around
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders bigint, total_price double"
+        )
     split = n_max // 2
     table = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_specevo_"), "orders_evo"
@@ -2010,6 +2052,11 @@ def snapshot_branch_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    if orders.isEmpty():
+        # empty source: no branches worth of rows to merge
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders bigint, total_price double"
+        )
     table = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_branch_"), "orders_snap"
     )
@@ -2432,6 +2479,12 @@ def snapshot_optimize_zorder_q(
         F.min("o_custkey"), F.max("o_custkey"),
         F.min("o_totalprice"), F.max("o_totalprice"),
     ).collect()[0]
+    if rng[0] is None:
+        # empty source: no ranges to Z-order by; the scenario's
+        # result is an empty summary, not a float(None) crash
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders bigint, total_price double"
+        )
     optimize_zorder(
         spark,
         table,
@@ -2579,6 +2632,11 @@ def snapshot_rewrite_files_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    if orders.isEmpty():
+        # empty source: no files for bin-packing to shrink
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders bigint, total_price double"
+        )
     table = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_rwf_"), "orders_snap"
     )
@@ -2721,6 +2779,11 @@ def snapshot_check_constraints_q(
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    if orders.isEmpty():
+        # empty source: no clean batch to admit nor poison to reject
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders bigint, total_price double"
+        )
     table = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_chk_"), "orders_snap"
     )

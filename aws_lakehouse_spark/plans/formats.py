@@ -241,6 +241,12 @@ def partition_pruned_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
     )
+    if ev.isEmpty():
+        # empty source: a partitioned write lands no files and the
+        # read-back cannot infer a schema; empty summary instead
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, sum_value double"
+        )
     path = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_partlayout_"), "events_by_day"
     )
@@ -354,6 +360,11 @@ def layout_zorder_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
+    if events.isEmpty():
+        # empty source: no files for the Z-order layout to prune
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
     table = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_zorder_"), "events_z"
     )
@@ -415,6 +426,12 @@ def join_dynamic_partition_pruning_q(
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
+    if events.isEmpty():
+        # empty source: a partitioned write lands no files and the
+        # read-back cannot infer a schema; empty summary instead
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
     base = os.path.join(tempfile.mkdtemp(prefix="lakehouse_dpp_"), "events_p")
     events.write.mode("overwrite").partitionBy("event_type").parquet(base)
     fact = spark.read.parquet(base)
@@ -537,6 +554,11 @@ def sink_dynamic_partition_overwrite_q(
         "value",
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
     )
+    if ev.isEmpty():
+        # empty source: no partition directories to overwrite
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, sum_value double"
+        )
     path = os.path.join(
         tempfile.mkdtemp(prefix="lakehouse_dynoverwrite_"), "events_by_day"
     )

@@ -264,6 +264,10 @@ def embed_pca_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.llm.pca import covariance_matrix
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        # the kernel rightly refuses a covariance of nothing; the
+        # query face degrades to an empty matrix
+        return spark.createDataFrame([], "i long, j long, cov double")
     _, _, cov = covariance_matrix(emb, "embedding", 64)
     rows = [
         (i + 1, j + 1, round(float(cov[i, j]), 5))
@@ -300,6 +304,11 @@ def embed_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        # same degradation as embed_pca_covariance: no rows, no PCs
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, pc1 double, pc2 double"
+        )
     _, mean, cov = covariance_matrix(emb, "embedding", 64)
     _, comps = principal_components(cov, k=2)
     return project(emb, mean, comps).select(

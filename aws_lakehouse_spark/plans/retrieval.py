@@ -357,6 +357,12 @@ def ann_product_quantization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [[float(x) for x in r["embedding"]] for r in cb_rows], dtype=np.float64
     )  # [K, 64]
     q_row = emb.filter(F.col("vec_id") == _PQ_QUERY).select("embedding").collect()
+    if not cb_rows or not q_row:
+        # no codebook rows / query vector absent: the search result
+        # is empty, not an IndexError
+        return spark.createDataFrame(
+            [], "vec_id bigint, approx_d2 double, rnk int"
+        )
     qv = np.array([float(x) for x in q_row[0]["embedding"]], dtype=np.float64)
 
     # ADC lookup table qd[j, c]: sequential accumulation to match the
@@ -372,6 +378,8 @@ def ann_product_quantization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch from an empty partition
             X = np.array(
                 [[float(x) for x in v] for v in pdf["embedding"]],
                 dtype=np.float64,
@@ -691,6 +699,12 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_row = (
         emb.filter(F.col("vec_id") == _PQ_QUERY).select("embedding").collect()
     )
+    if not cb_rows or not q_row:
+        # no codebook rows / query vector absent: the search result
+        # is empty, not an IndexError
+        return spark.createDataFrame(
+            [], "vec_id bigint, approx_d2 double, rnk int"
+        )
     qv = np.array(
         [float(x) for x in q_row[0]["embedding"]], dtype=np.float64
     )

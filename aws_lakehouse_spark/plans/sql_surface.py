@@ -294,6 +294,13 @@ def streaming_cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") <= 10000
     )
+    if orders.isEmpty():
+        # empty source: the stream drains zero batches, foreachBatch
+        # never fires, and no snapshot exists to read — the CDC
+        # result of an empty changefeed is an empty table
+        return spark.createDataFrame(
+            [], "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
     work = tempfile.mkdtemp(prefix="lakehouse_cdc_stream_")
     src = os.path.join(work, "src")
     ckpt = os.path.join(work, "ckpt")

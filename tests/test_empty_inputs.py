@@ -1,0 +1,81 @@
+"""Empty-input robustness: at 100 TB an upstream filter, a stale
+partition, or a first-run pipeline can hand ANY operator zero rows,
+and the correct answer is an empty result — never a driver-side
+IndexError/ZeroDivisionError or a degenerate-scenario assertion.
+
+These are the 22 registry queries an all-tables-empty sweep
+(tools/empty_sweep.py) crashed before round 5 hardened them:
+numpy kernels stacking empty batches, PageRank dividing by a zero
+node count, PQ codebook collects indexed without rows, snapshot-log
+demos asserting on scenarios their empty input can't produce, and
+partitioned write-then-read roundtrips that land no files. Each must
+now return an empty (or trivially small) frame with its contract
+schema."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from aws_lakehouse_spark.registry import load_all
+
+REGISTRY = load_all()
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# the pre-hardening crash list (tools/empty_sweep.py, round 5)
+PREVIOUSLY_CRASHING = [
+    "snapshot_bloom_pruned_scan",
+    "snapshot_branch_merge",
+    "snapshot_check_constraints",
+    "snapshot_optimize_zorder",
+    "snapshot_partition_evolution",
+    "snapshot_rewrite_files",
+    "snapshot_stats_pruned_scan",
+    "snapshot_wap_publish",
+    "graph_pagerank_topk",
+    "ann_ivf_pq",
+    "ann_product_quantization",
+    "embed_pca_covariance",
+    "ann_bruteforce_vectorized",
+    "maintenance_compact_roundtrip",
+    "snapshot_delete_update",
+    "incremental_partition_recompute",
+    "partition_pruned_roundtrip",
+    "layout_zorder_pruned_scan",
+    "join_dynamic_partition_pruning",
+    "sink_dynamic_partition_overwrite",
+    "streaming_cdc_upsert",
+    "embed_pca_project",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory):
+    """Zero-row copies of every driver table, preserving the exact
+    parquet physical types (duckdb round-trips TIMESTAMP_NS, which
+    the events table needs for the nanosAsLong read path)."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    out = tmp_path_factory.mktemp("sf_empty")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') "
+            f"LIMIT 0) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize("name", PREVIOUSLY_CRASHING)
+def test_query_survives_empty_tables(name, spark, empty_sf_dir):
+    df = REGISTRY[name].fn(spark, empty_sf_dir)
+    # schema must still be the contract schema (column names intact),
+    # and executing the plan must not raise
+    assert df.columns, name
+    assert df.count() >= 0, name
