@@ -381,6 +381,12 @@ def layout_zorder_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) == 0
     preds = {"user_id": (3, 9), "value": (10.0, 60.0)}
     planned, total = plan_pruned_files_multi(table, preds)
+    if total < 2 or not planned:
+        # too few rows for a multi-file Z-order layout, or the fixed
+        # probe box misses the data: pruning has nothing to certify
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
     assert 0 < len(planned) < total, (planned, total)
     pruned = read_snapshot_pruned_multi(spark, table, preds)
     return (
@@ -554,8 +560,19 @@ def sink_dynamic_partition_overwrite_q(
         "value",
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
     )
-    if ev.isEmpty():
-        # empty source: no partition directories to overwrite
+    have = {
+        r[0]
+        for r in ev.filter(
+            F.col("event_date").isin("2024-01-02", "2024-01-03")
+        )
+        .select("event_date")
+        .distinct()
+        .collect()
+    }
+    if len(have) < 2:
+        # the scenario rewrites the 01-03 partition and proves the
+        # 01-02 sibling survives untouched; without both days there
+        # are no partition directories to certify
         return spark.createDataFrame(
             [], "event_type string, n_events bigint, sum_value double"
         )

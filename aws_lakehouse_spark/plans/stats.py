@@ -565,7 +565,10 @@ def agg_correlation_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         vb = (
             F.col("n") * F.col(f"p{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
         ).cast("double")
-        return F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6)
+        # try_divide: a zero-variance measure (constant column, or a
+        # single-row group) makes Pearson correlation undefined —
+        # NULL, not an ANSI DIVIDE_BY_ZERO crash
+        return F.round(F.try_divide(cov, F.sqrt(va) * F.sqrt(vb)), 6)
 
     rows = []
     for i, a in enumerate(keys):

@@ -79,3 +79,42 @@ def test_query_survives_empty_tables(name, spark, empty_sf_dir):
     # and executing the plan must not raise
     assert df.columns, name
     assert df.count() >= 0, name
+
+
+# the one-row boundary (tables truncated to a single row, referential
+# integrity broken): the sweep crashed these 9 before hardening —
+# scenario self-assertions whose preconditions (enough rows for a
+# multi-file layout, a probe key/range present, both branch batches
+# populated, non-degenerate variance) a single row cannot satisfy
+ONE_ROW_PREVIOUSLY_CRASHING = [
+    "snapshot_bloom_pruned_scan",
+    "snapshot_branch_merge",
+    "snapshot_optimize_zorder",
+    "snapshot_stats_pruned_scan",
+    "snapshot_wap_publish",
+    "maintenance_compact_roundtrip",
+    "layout_zorder_pruned_scan",
+    "sink_dynamic_partition_overwrite",
+    "agg_correlation_matrix",
+]
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(tmp_path_factory):
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    out = tmp_path_factory.mktemp("sf_one")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') "
+            f"LIMIT 1) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize("name", ONE_ROW_PREVIOUSLY_CRASHING)
+def test_query_survives_one_row_tables(name, spark, one_row_sf_dir):
+    df = REGISTRY[name].fn(spark, one_row_sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name

@@ -11,7 +11,10 @@ empty-edge bugs (numpy kernels stacking empty batches, PageRank's
 roundtrips asserting on scenarios an empty input can't produce);
 tests/test_empty_inputs.py regression-locks the fixed set.
 
-    python tools/empty_sweep.py            # schemas from sf0.001
+    python tools/empty_sweep.py            # zero-row tables
+    python tools/empty_sweep.py --rows 1   # one-row boundary (also
+                                           # breaks referential
+                                           # integrity across tables)
 """
 
 from __future__ import annotations
@@ -30,17 +33,17 @@ TABLES = (
 )
 
 
-def build_empty_dir(src: str) -> str:
-    """Zero-row parquet per table, preserving physical types
+def build_truncated_dir(src: str, rows: int) -> str:
+    """``rows``-row parquet per table, preserving physical types
     (duckdb round-trips TIMESTAMP_NS for the events table)."""
     import duckdb
 
-    out = tempfile.mkdtemp(prefix="lakehouse_sf_empty_")
+    out = tempfile.mkdtemp(prefix=f"lakehouse_sf_rows{rows}_")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') "
-            f"LIMIT 0) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            f"LIMIT {rows}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.close()
     return out
@@ -49,8 +52,11 @@ def build_empty_dir(src: str) -> str:
 def main() -> int:
     from pyspark.sql import SparkSession
 
+    rows = 0
+    if "--rows" in sys.argv:
+        rows = int(sys.argv[sys.argv.index("--rows") + 1])
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    empty_dir = build_empty_dir(src)
+    empty_dir = build_truncated_dir(src, rows)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
