@@ -418,6 +418,31 @@ def test_optimistic_retry_melee_log_stays_consistent(spark, tmp_path):
             assert os.path.exists(os.path.join(table, f)), (v, f)
 
 
+def test_all_null_stats_column_is_always_candidate(spark, tmp_path):
+    """A column that is entirely NULL in a file has no footer min/max;
+    the stats writer must omit it and the pruner must keep the file
+    as a candidate (never wrongly skip it) — while the actual read
+    still returns zero rows because NULL never satisfies BETWEEN."""
+    import pyspark.sql.functions as F
+
+    table = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("bigint").alias("v"),
+    )
+    snapshots.snapshot_write(
+        spark, df.repartition(4), table, "overwrite", stats_cols=["k", "v"]
+    )
+    planned, total = snapshots.plan_pruned_files(table, "v", 1, 5)
+    assert total == 4
+    assert len(planned) == total  # stats-less: always-candidate
+    assert (
+        snapshots.read_snapshot_pruned(spark, table, "v", 1, 5).count() == 0
+    )
+    # the sibling column with real stats is unaffected
+    assert snapshots.plan_pruned_files(table, "k", 1, 5)[1] == 4
+
+
 def test_merge_into_update_insert_delete_arms(spark, table_path):
     target = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
