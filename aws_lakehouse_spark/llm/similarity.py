@@ -118,6 +118,11 @@ def brute_force_topk_vectorized(
     import pandas as pd
 
     out_schema = "query_id long, neighbor_id long, cosine_sim double"
+    # null vectors cannot be scored (np.stack would raise); drop them
+    # on both sides — query set driver-side, corpus via a pushed-down
+    # JVM filter before any batch reaches Python
+    queries_pdf = queries_pdf[queries_pdf[vec_col].notna()]
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     if len(queries_pdf) == 0:
         # an upstream filter can legitimately match no query rows;
         # np.stack([]) raises, and an empty top-k is the right answer

@@ -2016,6 +2016,12 @@ def snapshot_partition_evolution_q(
     assert files_v0 <= set(_read_manifest(table, v1)["files"])
     # a range inside the new regime plans only fine-spec files
     planned, total = plan_pruned_files(table, "o_orderkey", 200, 350)
+    if total < 2 or not planned:
+        # too few rows for the two-spec layout, or the fixed probe
+        # range misses the data: no evolution pruning to certify
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders bigint, total_price double"
+        )
     assert 0 < len(planned) < total, (planned, total)
     assert set(planned) <= new_files, (planned, new_files)
     assert versions(table) == [v0, v1]
@@ -2814,6 +2820,19 @@ def snapshot_check_constraints_q(
     )
     if orders.isEmpty():
         # empty source: no clean batch to admit nor poison to reject
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n_orders bigint, total_price double"
+        )
+    if (
+        not orders.filter(
+            ~F.coalesce(F.col("o_totalprice") > 0, F.lit(False))
+        ).isEmpty()
+        or orders.filter(F.col("o_orderkey") % 4 == 0).isEmpty()
+    ):
+        # scenario preconditions: the clean batches must actually
+        # satisfy the constraint (strict semantics: NULL price is a
+        # violation) and the poison slice must be non-empty to prove
+        # rejection — otherwise there is nothing to certify
         return spark.createDataFrame(
             [], "o_orderstatus string, n_orders bigint, total_price double"
         )

@@ -344,7 +344,11 @@ def ann_product_quantization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from collections.abc import Iterator
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # null vectors cannot be encoded; one pushed-down filter protects
+    # the codebook/query collects and every Arrow batch
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     # codebook + query: tiny driver-side collects (16 + 1 rows) — the
     # broadcast-query-set pattern
     cb_rows = (
@@ -635,7 +639,11 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from aws_lakehouse_spark.llm.similarity import cosine_sim_col
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # null vectors cannot be assigned or encoded; one pushed-down
+    # filter protects the codebook/query collects and every batch
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
 
     cells = (
         emb.filter(

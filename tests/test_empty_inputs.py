@@ -118,3 +118,46 @@ def test_query_survives_one_row_tables(name, spark, one_row_sf_dir):
     df = REGISTRY[name].fn(spark, one_row_sf_dir)
     assert df.columns, name
     assert df.count() >= 0, name
+
+
+# the null-heavy boundary (every column NULL except each table's
+# first id column — a bad upstream extract): the sweep crashed these
+# 5 before hardening — null embeddings reaching np.stack / float()
+# in the ANN kernels, and scenario preconditions (constraint-clean
+# batches, probe ranges) the nulled data cannot satisfy
+NULL_HEAVY_PREVIOUSLY_CRASHING = [
+    "snapshot_check_constraints",
+    "snapshot_partition_evolution",
+    "ann_ivf_pq",
+    "ann_product_quantization",
+    "ann_bruteforce_vectorized",
+]
+
+
+@pytest.fixture(scope="module")
+def null_heavy_sf_dir(tmp_path_factory):
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    out = tmp_path_factory.mktemp("sf_nulls")
+    con = duckdb.connect()
+    for t in TABLES:
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchall()
+        exprs = [
+            f'"{name}"' if i == 0 else f'CAST(NULL AS {typ}) AS "{name}"'
+            for i, (name, typ, *_rest) in enumerate(cols)
+        ]
+        con.execute(
+            f"COPY (SELECT {', '.join(exprs)} FROM "
+            f"read_parquet('{src}/{t}.parquet') LIMIT 200) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize("name", NULL_HEAVY_PREVIOUSLY_CRASHING)
+def test_query_survives_null_heavy_tables(name, spark, null_heavy_sf_dir):
+    df = REGISTRY[name].fn(spark, null_heavy_sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name

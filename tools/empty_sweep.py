@@ -15,6 +15,9 @@ tests/test_empty_inputs.py regression-locks the fixed set.
     python tools/empty_sweep.py --rows 1   # one-row boundary (also
                                            # breaks referential
                                            # integrity across tables)
+    python tools/empty_sweep.py --nulls    # every column NULL except
+                                           # each table's first id
+                                           # (a bad upstream extract)
 """
 
 from __future__ import annotations
@@ -33,16 +36,27 @@ TABLES = (
 )
 
 
-def build_truncated_dir(src: str, rows: int) -> str:
+def build_truncated_dir(src: str, rows: int, nulls: bool = False) -> str:
     """``rows``-row parquet per table, preserving physical types
-    (duckdb round-trips TIMESTAMP_NS for the events table)."""
+    (duckdb round-trips TIMESTAMP_NS for the events table). With
+    ``nulls``, every column except each table's first is NULLed."""
     import duckdb
 
-    out = tempfile.mkdtemp(prefix=f"lakehouse_sf_rows{rows}_")
+    tag = "nulls" if nulls else f"rows{rows}"
+    out = tempfile.mkdtemp(prefix=f"lakehouse_sf_{tag}_")
     con = duckdb.connect()
     for t in TABLES:
+        proj = "*"
+        if nulls:
+            cols = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchall()
+            proj = ", ".join(
+                f'"{n}"' if i == 0 else f'CAST(NULL AS {ty}) AS "{n}"'
+                for i, (n, ty, *_rest) in enumerate(cols)
+            )
         con.execute(
-            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') "
+            f"COPY (SELECT {proj} FROM read_parquet('{src}/{t}.parquet') "
             f"LIMIT {rows}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.close()
@@ -53,10 +67,13 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     rows = 0
+    nulls = "--nulls" in sys.argv
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
+    if nulls and not rows:
+        rows = 200
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    empty_dir = build_truncated_dir(src, rows)
+    empty_dir = build_truncated_dir(src, rows, nulls)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
