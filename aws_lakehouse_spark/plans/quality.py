@@ -342,8 +342,13 @@ def _entropy_duck(table: str, col: str) -> str:
 )
 def quality_entropy_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def entropy(df: DataFrame, tname: str, col: str) -> DataFrame:
-        counts = df.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("c")
+        # two consumers (the total and the fold) — checkpoint the
+        # category-cardinality frame once so each column costs ONE
+        # table scan, not two (plan audit caught 6 scans for 3 cols)
+        counts = (
+            df.groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=False)
         )
         total = counts.agg(F.sum("c").alias("t"))
         term = (F.col("c").cast("double") / F.col("t")) * F.log2(
