@@ -68,10 +68,16 @@ from aws_lakehouse_spark.registry import register
 )
 def events_funnel_steps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # each step frame feeds BOTH the next step's join and its own
+    # funnel count — checkpoint the user-sized frames so the events
+    # scans don't compound down the chain (unpinned, step k re-embeds
+    # steps 1..k-1: 1+2+3 = 6 scans; pinned: one pushed-down
+    # event_type scan per step)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -79,6 +85,7 @@ def events_funnel_steps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

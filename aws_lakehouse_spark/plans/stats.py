@@ -1050,6 +1050,9 @@ def agg_market_share_hhi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("rev")
         )
+        # two consumers (nation totals, share join) — checkpoint the
+        # supplier-cardinality frame so lineitem is scanned once
+        .localCheckpoint(eager=False)
     )
     tot = sup.groupBy("nation").agg(
         F.sum("rev").alias("t"),
