@@ -62,7 +62,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     is counted exactly once — at its minimum-(degree, id) vertex.
     Returns a single row ``(n_nodes, n_edges, n_triangles)``.
     """
-    deg = degrees(edges)
+    # the edge list is typically DERIVED (e.g. a two-shuffle
+    # fact-table expansion) and this algorithm consumes it five ways
+    # (two degree sides, the orientation join, the closing semi-join,
+    # the edge count) — unpinned, every consumer re-embeds the
+    # derivation and the source scans compound (measured: 14 fact
+    # scans for the co-purchase graph). Pin edges and the node-sized
+    # degree frame once; the oriented self-join below gets its own
+    # pin for the same reason.
+    edges = edges.localCheckpoint(eager=False)
+    deg = degrees(edges).localCheckpoint(eager=False)
     du = deg.select(
         F.col("node").alias("src"),
         F.col("degree").alias("__sdeg"),
@@ -78,7 +87,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
         F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(

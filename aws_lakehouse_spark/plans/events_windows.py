@@ -214,16 +214,21 @@ def events_dedup_within_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # each stage frame feeds the next stage's join AND its own count;
+    # unpinned, stage k re-embeds stages 1..k-1 and the events scans
+    # compound 1+2+3 — pin the user-sized frames (one scan per stage)
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("fv"))
+        .localCheckpoint(eager=False)
     )
     c = (
         e.join(v, "user_id")
         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("fv")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("fc"))
+        .localCheckpoint(eager=False)
     )
     p = (
         e.join(c, "user_id")
@@ -774,10 +779,16 @@ def events_rolling_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    wu = ev.select(
-        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
-        "user_id",
-    ).distinct()
+    # four consumers (week list twice via the self-join, prev, cur) —
+    # pin the user-week frame so events is scanned once, not six times
+    wu = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     weeks = wu.select("wk").distinct()
     pairs = (
         weeks.alias("w1")

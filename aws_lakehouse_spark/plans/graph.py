@@ -343,8 +343,13 @@ def graph_connected_components_q(
     "TakeOrdered, no global sort.",
 )
 def graph_adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = copurchase_edges(spark, sf_dir, min_weight=2).select(
-        "src", "dst"
+    edges = (
+        copurchase_edges(spark, sf_dir, min_weight=2)
+        .select("src", "dst")
+        # three consumers (both adjacency directions, the non-edge
+        # anti-join) — pin the derived edge list so the two-shuffle
+        # fact expansion runs once, not seven times
+        .localCheckpoint(eager=False)
     )
     adj = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

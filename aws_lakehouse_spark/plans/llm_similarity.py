@@ -565,8 +565,12 @@ def ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, queries, k=5, round_digits=6).select(
         "query_id", "neighbor_id"
     )
-    approx = lsh_bucket_topk(emb, queries, dim=64, bits=6, k=5).select(
-        "query_id", "neighbor_id"
+    # two consumers (per-query counts, the hit join) — pin the tiny
+    # (queries x k) result so the whole LSH pass runs once
+    approx = (
+        lsh_bucket_topk(emb, queries, dim=64, bits=6, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     n_app = approx.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_approx")

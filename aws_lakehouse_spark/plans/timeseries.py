@@ -609,14 +609,21 @@ def ts_seasonal_decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_anomaly_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    s = orders.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.to_date("o_orderdate").alias("day"),
-    ).agg(F.sum("o_totalprice").alias("x"))
+    # s feeds the median AND the join; j feeds the MAD AND the final
+    # filter — unpinned, the orders scan compounds 4x. Both frames
+    # are (priority x day)-sized; pin each once.
+    s = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("x"))
+        .localCheckpoint(eager=False)
+    )
     med = s.groupBy("priority").agg(
         F.expr("percentile(x, 0.5)").alias("med")
     )
-    j = s.join(F.broadcast(med), "priority")
+    j = s.join(F.broadcast(med), "priority").localCheckpoint(eager=False)
     mad = j.groupBy("priority").agg(
         F.expr("percentile(abs(x - med), 0.5)").alias("mad")
     )
