@@ -248,6 +248,8 @@ def events_interval_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # bounds and priorities derive from the (priority x day) frame —
+    # pin it once and orders is scanned once, not three times
     daily = (
         orders.groupBy(
             F.col("o_orderpriority").alias("priority"),
@@ -257,14 +259,12 @@ def ts_gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+        .localCheckpoint(eager=False)
     )
-    bounds = orders.agg(
-        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
-        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
     )
-    priorities = orders.select(
-        F.col("o_orderpriority").alias("priority")
-    ).distinct()
+    priorities = daily.select("priority").distinct()
     calendar = (
         priorities.crossJoin(F.broadcast(bounds))
         .select(

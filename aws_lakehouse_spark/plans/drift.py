@@ -156,8 +156,12 @@ def quality_ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("v"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g"),
     )
-    per_v = pts.groupBy("v").agg(
-        F.sum("g").alias("c1"), F.sum(1 - F.col("g")).alias("c2")
+    # three consumers (bucketed prefix sums via d, the totals) — pin
+    # the value-cardinality frame so orders is scanned once
+    per_v = (
+        pts.groupBy("v")
+        .agg(F.sum("g").alias("c1"), F.sum(1 - F.col("g")).alias("c2"))
+        .localCheckpoint(eager=False)
     )
     # two-level prefix sum: bucket offsets broadcast, local running
     # sums within each value bucket — no global sort

@@ -2476,6 +2476,10 @@ def text_jsd_langs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("a"), F.lit(0)).alias("a"),
             F.coalesce(F.col("b"), F.lit(0)).alias("b"),
         )
+        # two consumers (the totals, the KL fold) — pin the vocab-
+        # sized frame so the explode + both count aggregates + the
+        # full-outer join run once, not twice
+        .localCheckpoint(eager=False)
     )
     tot = joined.agg(
         F.sum("a").cast("double").alias("ta"),

@@ -200,8 +200,13 @@ def quality_chisquare_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("B"))
         .alias("cohort"),
     )
-    obs = tagged.groupBy("lang", "cohort").agg(
-        F.count(F.lit(1)).cast("double").alias("o")
+    # four consumers (row totals, column totals, grand total, the
+    # cell join) — pin the (lang x cohort)-sized table so documents
+    # is scanned once, not four times
+    obs = (
+        tagged.groupBy("lang", "cohort")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+        .localCheckpoint(eager=False)
     )
     row_tot = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
     col_tot = obs.groupBy("cohort").agg(F.sum("o").alias("col_tot"))
