@@ -357,3 +357,42 @@ def test_pregel_adjacency_partitioning_survives_pinning(spark):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+# queries whose multi-consumer frames were pinned in round 5 after the
+# same-table rescan audit (tools/rescan_audit.py): unpinned, their
+# source scans compound per consumer (triangle counting measured 14
+# fact scans). The VISIBLE scan count in the final plan must stay at
+# the audited minimum — checkpointed derivations show as RDD scans,
+# so a regression (someone dropping a pin) reappears as parquet scans.
+RESCAN_PINNED_MAX_VISIBLE = {
+    "graph_triangle_count": 0,   # everything behind the edge pin
+    "graph_adamic_adar": 0,
+    "events_funnel": 1,          # the purchase-stage scan
+    "events_funnel_steps": 1,
+    "events_growth_accounting": 0,
+    "ts_anomaly_mad": 0,
+    "ts_gap_fill": 0,
+    "quality_chisquare_drift": 0,
+    "quality_ks_drift": 0,
+    "text_jsd_langs": 0,
+    "agg_market_share_hhi": 0,
+    "agg_histogram_equidepth": 1,  # the final bucketing scan
+    "quality_entropy_profile": 0,
+    "ann_recall_eval": 2,        # exact + approx corpus passes ARE
+    #                              the comparison being evaluated
+}
+
+
+@pytest.mark.parametrize(
+    "name,max_scans", sorted(RESCAN_PINNED_MAX_VISIBLE.items())
+)
+def test_pinned_fanout_scan_budget(name, max_scans, spark, sf_dir):
+    # count on the SIMPLE plan: formatted explain prints every node
+    # twice (tree + per-node detail), doubling the scan count
+    df = REGISTRY[name].fn(spark, sf_dir)
+    simple = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    n = simple.count("Scan parquet")
+    assert n <= max_scans, (name, n, max_scans)
