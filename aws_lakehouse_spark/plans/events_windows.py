@@ -275,8 +275,14 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     d = F.to_date("ts")
-    first = e.groupBy("user_id").agg(F.min(d).alias("d0"))
-    act = e.select("user_id", d.alias("d")).distinct()
+    # first-seen derives from the distinct (user, day) frame — pin it
+    # once and events is scanned once, not twice
+    act = (
+        e.select("user_id", d.alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
     return (
         act.join(first, "user_id")
         .groupBy(
@@ -712,9 +718,13 @@ def events_burst_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_rolling_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    day_user = ev.select(
-        F.to_date("ts").alias("d"), "user_id"
-    ).distinct()
+    # two consumers (the day list, the contribution explode) — pin
+    # the distinct (day, user) frame so events is scanned once
+    day_user = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     days = day_user.select("d").distinct()
     contrib = day_user.select(
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),

@@ -109,7 +109,11 @@ def copurchase_edges(
 def graph_degree_distribution_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    deg = degrees(copurchase_edges(spark, sf_dir))
+    # symmetrize unions both directions of the SAME derived frame —
+    # pin it so the two-shuffle fact expansion runs once, not twice
+    deg = degrees(
+        copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    )
     return (
         deg.groupBy("degree")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
