@@ -381,6 +381,9 @@ RESCAN_PINNED_MAX_VISIBLE = {
     "quality_entropy_profile": 0,
     "ann_recall_eval": 2,        # exact + approx corpus passes ARE
     #                              the comparison being evaluated
+    "graph_degree_distribution": 0,
+    "events_retention": 0,
+    "events_rolling_wau": 0,
 }
 
 
