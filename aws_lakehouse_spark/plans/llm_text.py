@@ -363,7 +363,14 @@ def text_tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the TF table feeds BOTH the document-frequency aggregate and
+    # the score join — pin it (the materialized TF table every real
+    # indexing pipeline keeps) so the explode + group runs once
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -1352,9 +1359,11 @@ def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # two consumers (the total mass, the top-200 cut) — pin the
+    # vocab-sized frame so the explode + both aggregates run once
     vocab = per_doc.groupBy("token").agg(
         F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df")
-    )
+    ).localCheckpoint(eager=False)
     total = vocab.agg(F.sum("tf").alias("tt"))
     top = vocab.orderBy(F.col("tf").desc(), "token").limit(200)
     w = Window.orderBy(F.col("tf").desc(), "token").rowsBetween(

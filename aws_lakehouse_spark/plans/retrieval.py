@@ -83,8 +83,13 @@ def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("dl"),
         F.explode(toks).alias("term"),
     ).filter(F.col("term").isin(*_BM25_TERMS))
-    tf = exploded.groupBy("doc_id", "term").agg(
-        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    # two consumers (document frequencies, the score aggregate) — pin
+    # the query-term-filtered TF frame (tiny: |terms| x matching
+    # docs) so the corpus explode runs once
+    tf = (
+        exploded.groupBy("doc_id", "term")
+        .agg(F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
@@ -197,8 +202,13 @@ def ann_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("dl"),
         F.explode(toks).alias("term"),
     ).filter(F.col("term").isin(*_BM25_TERMS))
-    tf = exploded.groupBy("doc_id", "term").agg(
-        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    # two consumers (document frequencies, the score aggregate) — pin
+    # the query-term-filtered TF frame (tiny: |terms| x matching
+    # docs) so the corpus explode runs once
+    tf = (
+        exploded.groupBy("doc_id", "term")
+        .agg(F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
