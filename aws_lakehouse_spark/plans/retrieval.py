@@ -30,6 +30,25 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 _DUCK_TOKS = "str_split(text, ' ')"
 
 
+def bm25_tf_frame(docs: DataFrame) -> DataFrame:
+    """The BM25 term-frequency fragment: token explode filtered to
+    the query terms SCAN-SIDE (before any exchange — only matching
+    (doc, term) pairs shuffle), then the per-(doc, term) count.
+    Shared by the standalone BM25 query and the hybrid-RRF lexical
+    arm; module-level so the plan-shape test can assert the pushed
+    filter on the fragment itself (the queries pin the result, which
+    hides this subtree behind a checkpoint in their final plans)."""
+    toks = tokens_col(F.col("text"))
+    exploded = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    return exploded.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf")
+    )
+
+
 @register(
     "text_bm25_topk",
     bench=True,
@@ -78,19 +97,10 @@ _DUCK_TOKS = "str_split(text, ' ')"
 def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    exploded = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
-    ).filter(F.col("term").isin(*_BM25_TERMS))
     # two consumers (document frequencies, the score aggregate) — pin
     # the query-term-filtered TF frame (tiny: |terms| x matching
     # docs) so the corpus explode runs once
-    tf = (
-        exploded.groupBy("doc_id", "term")
-        .agg(F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    tf = bm25_tf_frame(docs).localCheckpoint(eager=False)
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -197,19 +207,10 @@ def ann_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    exploded = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
-    ).filter(F.col("term").isin(*_BM25_TERMS))
     # two consumers (document frequencies, the score aggregate) — pin
     # the query-term-filtered TF frame (tiny: |terms| x matching
     # docs) so the corpus explode runs once
-    tf = (
-        exploded.groupBy("doc_id", "term")
-        .agg(F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    tf = bm25_tf_frame(docs).localCheckpoint(eager=False)
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -186,10 +186,16 @@ def test_rag_plan_shape(spark):
 
 def test_bm25_pushes_term_filter_below_aggregation(spark):
     """The query-term filter must run scan-side (before any
-    exchange), so only matching (doc, term) pairs shuffle."""
+    exchange), so only matching (doc, term) pairs shuffle. Asserted
+    on the shared TF fragment (bm25_tf_frame) — the registry queries
+    pin its result, which hides this subtree behind a checkpoint in
+    their final plans."""
     import re
 
-    df = REGISTRY["text_bm25_topk"].fn(spark, SF)
+    from aws_lakehouse_spark.catalog import load_table
+    from aws_lakehouse_spark.plans.retrieval import bm25_tf_frame
+
+    df = bm25_tf_frame(load_table(spark, SF, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     # every term-IN filter must sit DIRECTLY above its Generate explode
