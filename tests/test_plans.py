@@ -384,6 +384,10 @@ RESCAN_PINNED_MAX_VISIBLE = {
     "graph_degree_distribution": 0,
     "events_retention": 0,
     "events_rolling_wau": 0,
+    "text_vocab_topk": 0,
+    "text_tfidf_topk": 1,   # the n_docs count scan
+    "text_bm25_topk": 1,    # the avgdl stats scan
+    "ann_hybrid_rrf": 3,    # stats scan + embeddings corpus + query row
 }
 
 
