@@ -7,12 +7,18 @@ reference BFS. Examples are kept small — each runs a real Spark job.
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 
 import pyspark.sql.functions as F
 from hypothesis import given, settings, strategies as st
 
-SETTINGS = dict(max_examples=8, deadline=None)
+# default 8 keeps the suite fast (each example runs a real Spark
+# job); SPARK_GRAFT_HYP_EXAMPLES raises it for a stress pass
+SETTINGS = dict(
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "8")),
+    deadline=None,
+)
 
 keys = st.integers(min_value=0, max_value=4)
 vals = st.one_of(
