@@ -50,7 +50,10 @@ _EDGES_SQL = """
 
 
 def copurchase_edges(
-    spark: SparkSession, sf_dir: str, min_weight: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    min_weight: int = 1,
+    max_basket: int = 1_000,
 ) -> DataFrame:
     """Distinct undirected (src < dst) part co-purchase edges with
     co-occurrence weight ``w``. Group-then-expand shape: collect each
@@ -62,21 +65,48 @@ def copurchase_edges(
     the equivalent self-join at sf0.1: two exchanges instead of
     three and no join hash table over the full line set — and at
     cluster scale the per-order expansion stays embarrassingly
-    parallel while a self-join would shuffle the whole fact twice."""
+    parallel while a self-join would shuffle the whole fact twice.
+
+    MEGA-BASKET ESCAPE HATCH: the in-row expansion builds |ps|²/2
+    structs in ONE row, so a pathological order touching 10^5 parts
+    would allocate 10^10 structs on one executor (the same hazard
+    class the Pregel kernels' hub-slicing bounds). Orders past
+    ``max_basket`` distinct parts are routed through an
+    explode-then-self-join expansion instead: identical pairs, but
+    the fan-out lands in SHUFFLE partitions, never one row. TPC-H
+    orders top out at 7 lines, so the hot path is unchanged at every
+    test scale; the join branch only materializes work when a mega
+    basket actually exists."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    # two consumers (the small/big routing filters) — pin the basket
+    # frame so the fact grouping runs once
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
     )
+    small = per_order.filter(F.size("ps") <= max_basket)
+    big = per_order.filter(F.size("ps") > max_basket)
     pair_rows = F.expr(
         "flatten(transform(ps, (x, i) -> "
         "transform(slice(ps, i + 2, size(ps)), "
         "y -> struct(x AS src, y AS dst))))"
     )
+    pairs = small.select(F.explode(pair_rows).alias("p")).select(
+        "p.src", "p.dst"
+    )
+    big_parts = big.select(
+        "l_orderkey", F.explode("ps").alias("part")
+    )
+    a = big_parts.select("l_orderkey", F.col("part").alias("src"))
+    b = big_parts.select("l_orderkey", F.col("part").alias("dst"))
+    big_pairs = a.join(b, "l_orderkey").filter(
+        F.col("src") < F.col("dst")
+    ).select("src", "dst")
     edges = (
-        per_order.select(F.explode(pair_rows).alias("p"))
-        .select("p.src", "p.dst")
+        pairs.unionByName(big_pairs)
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )

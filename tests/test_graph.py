@@ -359,3 +359,44 @@ def test_pagerank_random_graphs_any_cap_matches_dense(spark):
             assert math.isclose(
                 got[node], p[idx[node]], rel_tol=1e-9
             ), (seed, cap, node)
+
+
+def test_mega_basket_join_path_matches_array_expansion(spark, tmp_path):
+    """An order whose distinct part set exceeds max_basket routes
+    through the explode-then-self-join expansion (shuffle-bounded)
+    instead of the in-row array transform (one |ps|^2 row). Both
+    paths must produce the identical weighted edge set; with the
+    default cap the same data takes the array path, which must agree
+    too."""
+    from aws_lakehouse_spark.plans.graph import copurchase_edges
+
+    rows = []
+    # order 1: a "mega" basket of 9 distinct parts (cap will be 4)
+    rows += [(1, p) for p in range(100, 109)]
+    # order 2: small basket overlapping order 1's parts
+    rows += [(2, 100), (2, 101), (2, 105)]
+    # order 3: duplicate lineitems collapse via collect_set
+    rows += [(3, 100), (3, 100), (3, 101)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    def edge_set(max_basket):
+        return sorted(
+            tuple(r)
+            for r in copurchase_edges(
+                spark, sf, min_weight=1, max_basket=max_basket
+            ).collect()
+        )
+
+    routed = edge_set(4)       # order 1 takes the join path
+    array_only = edge_set(10_000)  # everything takes the array path
+    assert routed == array_only
+    # spot-check a weight: (100, 101) co-occurs in all three orders
+    assert (100, 101, 3) in routed
+    # and the mega basket produced all C(9,2) = 36 of its own pairs
+    mega_pairs = [
+        e for e in routed if 100 <= e[0] and e[1] <= 108 and e[0] < e[1]
+    ]
+    assert len(mega_pairs) >= 36
