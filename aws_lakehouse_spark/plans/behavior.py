@@ -345,9 +345,29 @@ def _cooc(spark: SparkSession, sf_dir: str):
         "transform(slice(ps, i + 2, size(ps)), "
         "y -> struct(x AS pa, y AS pb))))"
     )
+    # mega-basket escape hatch (same hazard and routing as
+    # plans.graph.copurchase_edges): the in-row expansion is |ps|^2/2
+    # structs in ONE row, so baskets past the cap take an explode-
+    # then-self-join whose fan-out lands in shuffle partitions
+    max_basket = 1_000
+    small = per_order.filter(F.size("ps") <= max_basket)
+    big = per_order.filter(F.size("ps") > max_basket)
+    small_pairs = small.select(F.explode(pair_rows).alias("p")).select(
+        F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb")
+    )
+    bp = big.select("l_orderkey", F.explode("ps").alias("part"))
+    big_pairs = (
+        bp.select("l_orderkey", F.col("part").alias("pa"))
+        .join(
+            bp.select("l_orderkey", F.col("part").alias("pb")),
+            "l_orderkey",
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+    )
     pairs = (
-        per_order.select(F.explode(pair_rows).alias("p"))
-        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        small_pairs.unionByName(big_pairs)
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("pair_cnt"))
         .localCheckpoint(eager=False)
     )

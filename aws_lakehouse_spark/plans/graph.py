@@ -263,18 +263,42 @@ def graph_pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    # two consumers once the mega-basket routing below splits the
+    # frame — pin so the order-key grouping runs once
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
     )
     directed = F.expr(
         "flatten(transform(ps, x -> "
         "transform(filter(ps, y -> y != x), "
         "y -> struct(x AS src, y AS dst))))"
     )
+    # mega-basket escape hatch (same hazard and routing as
+    # copurchase_edges): |ps|^2 directed structs in ONE row past the
+    # cap would OOM an executor; big baskets expand via explode +
+    # self-join instead, shuffle-bounded
+    max_basket = 1_000
+    small = per_order.filter(F.size("ps") <= max_basket)
+    big = per_order.filter(F.size("ps") > max_basket)
+    small_pairs = small.select(F.explode(directed).alias("p")).select(
+        "p.src", "p.dst"
+    )
+    bp = big.select("l_orderkey", F.explode("ps").alias("part"))
+    big_pairs = (
+        bp.select("l_orderkey", F.col("part").alias("src"))
+        .join(
+            bp.select("l_orderkey", F.col("part").alias("dst")),
+            "l_orderkey",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
     adj_lists = (
-        per_order.select(F.explode(directed).alias("p"))
-        .groupBy(F.col("p.src").alias("src"))
-        .agg(F.collect_set("p.dst").alias("nbrs"))
+        small_pairs.unionByName(big_pairs)
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("nbrs"))
     )
     pr = pagerank_from_adjacency(adj_lists, iterations=5, damping=0.85)
     return (
