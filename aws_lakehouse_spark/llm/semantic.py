@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from aws_lakehouse_spark.llm.similarity import cosine_sim_col
+from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
 
 
 def assign_clusters(
@@ -48,15 +48,20 @@ def assign_clusters(
     ``centroids`` must be small (it is broadcast). The corpus side
     is scanned once; only (id, cluster, sim) triples move.
     """
+    # per-side norms hoisted out of the per-pair cosine: sqrt(dot(v,v))
+    # is the same bits wherever it runs, so each (vector, centroid)
+    # pair costs one HOF dot fold instead of three
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
+    ).withColumn("__vn", norm_col(F.col("__v")))
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", norm_col(F.col("__cv")))
     sim = F.round(
-        cosine_sim_col(F.col("__v"), F.col("__cv")), round_digits
+        dot_col(F.col("__v"), F.col("__cv"))
+        / (F.col("__vn") * F.col("__cn")),
+        round_digits,
     )
     # argmax via a combinable aggregate, not a window: max over
     # struct(sim, -cid) picks (max sim, tie -> min cid) exactly, and

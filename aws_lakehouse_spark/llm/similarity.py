@@ -60,15 +60,23 @@ def brute_force_topk(
     """
     from aws_lakehouse_spark.layout import widen_if_narrow
 
+    # norms attached per SIDE before the pair join: sqrt(dot(v, v))
+    # is the same bits wherever it runs, so hoisting it from the
+    # per-pair expression to a per-row projection changes nothing in
+    # the output while cutting the per-pair HOF work from three
+    # interpreted dot folds to one (HOF lambdas never enter codegen
+    # — at N pairs per query that third is the whole scoring cost)
     c = widen_if_narrow(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
+    ).withColumn("__cn", norm_col(F.col("c_vec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("__qn", norm_col(F.col("q_vec")))
+    sim = dot_col(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("__qn") * F.col("__cn")
     )
-    sim = cosine_sim_col(F.col("q_vec"), F.col("c_vec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -264,14 +272,25 @@ def lsh_bucket_topk(
     """
     from aws_lakehouse_spark.layout import widen_if_narrow
 
-    c = widen_if_narrow(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("bucket", hyperplane_signature("c_vec", dim, bits))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("bucket", hyperplane_signature("q_vec", dim, bits))
+    c = (
+        widen_if_narrow(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        .withColumn("bucket", hyperplane_signature("c_vec", dim, bits))
+        # per-row norm, hoisted out of the per-pair cosine (same bits,
+        # one interpreted HOF fold per pair instead of three)
+        .withColumn("__cn", norm_col(F.col("c_vec")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("bucket", hyperplane_signature("q_vec", dim, bits))
+        .withColumn("__qn", norm_col(F.col("q_vec")))
+    )
 
     scored = (
         c.join(F.broadcast(q), ["bucket"])
@@ -279,7 +298,11 @@ def lsh_bucket_topk(
         # round before ranking: reproducible top-k across engines
         .withColumn(
             "cosine_sim",
-            F.round(cosine_sim_col(F.col("q_vec"), F.col("c_vec")), 6),
+            F.round(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
@@ -363,9 +386,15 @@ def ivf_assign(
     v = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", F.round(cosine_sim_col(F.col("v"), F.col("cent_vec")), 6)
+    ).withColumn("__vn", norm_col(F.col("v")))
+    cents = centroids.withColumn("__cn", norm_col(F.col("cent_vec")))
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "sim",
+        F.round(
+            dot_col(F.col("v"), F.col("cent_vec"))
+            / (F.col("__vn") * F.col("__cn")),
+            6,
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("sim"), F.asc("centroid_id")
@@ -402,15 +431,19 @@ def ivf_topk(
     lists = ivf_assign(corpus, cents, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).join(lists, "neighbor_id")
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        .withColumn("__cn", norm_col(F.col("c_vec")))
+        .join(lists, "neighbor_id")
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("__qn", norm_col(F.col("q_vec")))
     q_probe = (
         q.crossJoin(F.broadcast(cents))
         .withColumn(
@@ -425,7 +458,7 @@ def ivf_topk(
             ),
         )
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "__qn", "centroid_id")
     )
 
     scored = (
@@ -433,7 +466,11 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_sim_col(F.col("q_vec"), F.col("c_vec")), 6),
+            F.round(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
     )
@@ -466,28 +503,41 @@ def lsh_bucket_topk_multiprobe(
     with queries, not corpus."""
     from aws_lakehouse_spark.layout import widen_if_narrow
 
-    c = widen_if_narrow(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("bucket", hyperplane_signature("c_vec", dim, bits))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("home", hyperplane_signature("q_vec", dim, bits))
+    c = (
+        widen_if_narrow(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        .withColumn("bucket", hyperplane_signature("c_vec", dim, bits))
+        .withColumn("__cn", norm_col(F.col("c_vec")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("home", hyperplane_signature("q_vec", dim, bits))
+        .withColumn("__qn", norm_col(F.col("q_vec")))
+    )
     probes = F.array(
         F.col("home"), *[
             F.col("home").bitwiseXOR(F.lit(1 << b)) for b in range(bits)
         ]
     )
     q_fan = q.select(
-        "query_id", "q_vec", F.explode(probes).alias("bucket")
+        "query_id", "q_vec", "__qn", F.explode(probes).alias("bucket")
     )
     scored = (
         c.join(F.broadcast(q_fan), ["bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_sim_col(F.col("q_vec"), F.col("c_vec")), 6),
+            F.round(
+                dot_col(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
         .select("query_id", "neighbor_id", "cosine_sim")
         .distinct()

@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_lakehouse_spark.catalog import load_table
 from aws_lakehouse_spark.llm.similarity import (
     brute_force_topk,
-    cosine_sim_col,
     lsh_bucket_topk,
 )
 from aws_lakehouse_spark.registry import register
@@ -89,15 +88,23 @@ def ann_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 10 == 0
     )
+    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
+
+    # per-side norms hoisted out of the per-pair cosine (same bits —
+    # sqrt(dot(v,v)) is computed once per row instead of per pair)
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").cast("array<double>").alias("va"),
-    )
+    ).withColumn("__na", norm_col(F.col("va")))
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").cast("array<double>").alias("vb"),
+    ).withColumn("__nb", norm_col(F.col("vb")))
+    sim = F.round(
+        dot_col(F.col("va"), F.col("vb"))
+        / (F.col("__na") * F.col("__nb")),
+        6,
     )
-    sim = F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6)
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine_sim", sim)
@@ -465,14 +472,24 @@ def embed_matryoshka_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
+
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    ).withColumn("__cn", norm_col(F.col("cv")))
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("__qn", norm_col(F.col("qv")))
     )
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
+    sim = F.round(
+        dot_col(F.col("qv"), F.col("cv"))
+        / (F.col("__qn") * F.col("__cn")),
+        6,
     )
-    sim = F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6)
     return (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("query_id") != F.col("vec_id"))

@@ -203,7 +203,7 @@ def _duck_cos(a: str, b: str) -> str:
     "the fusion input k-bounded per query).",
 )
 def ann_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_lakehouse_spark.llm.similarity import cosine_sim_col
+    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
 
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
@@ -240,17 +240,27 @@ def ann_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "r_lex")
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("qv")
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("qv"))
+        .withColumn("__qn", norm_col(F.col("qv")))
     )
     vec = (
         emb.select(
             F.col("vec_id").alias("doc_id"),
             F.col("embedding").cast("array<double>").alias("cv"),
         )
+        # per-side norms hoisted out of the per-pair cosine (same
+        # bits, one HOF dot per pair instead of three)
+        .withColumn("__cn", norm_col(F.col("cv")))
         .crossJoin(F.broadcast(q))
         .withColumn(
-            "sim", F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6)
+            "sim",
+            F.round(
+                dot_col(F.col("qv"), F.col("cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
         .withColumn(
             "r_vec",
@@ -648,7 +658,7 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from collections.abc import Iterator
 
-    from aws_lakehouse_spark.llm.similarity import cosine_sim_col
+    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
 
     # null vectors cannot be assigned or encoded; one pushed-down
     # filter protects the codebook/query collects and every batch
@@ -664,18 +674,26 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") - 15).cast("int").alias("cell_id"),
             F.col("embedding").cast("array<double>").alias("cent"),
         )
+        # per-side norms hoisted out of the per-pair cosine (same
+        # bits, one HOF dot per pair instead of three)
+        .withColumn("__cn", norm_col(F.col("cent")))
     )
 
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("__vn", norm_col(F.col("v")))
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("cell_id")
     )
     assigned = (
         v.crossJoin(F.broadcast(cells))
         .withColumn(
-            "sim", F.round(cosine_sim_col(F.col("v"), F.col("cent")), 6)
+            "sim",
+            F.round(
+                dot_col(F.col("v"), F.col("cent"))
+                / (F.col("__vn") * F.col("__cn")),
+                6,
+            ),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -683,12 +701,17 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     q_vec = v.filter(F.col("vec_id") == _PQ_QUERY).select(
-        F.col("v").alias("qv")
+        F.col("v").alias("qv"), F.col("__vn").alias("__qn")
     )
     probes = (
         q_vec.crossJoin(F.broadcast(cells))
         .withColumn(
-            "sim", F.round(cosine_sim_col(F.col("qv"), F.col("cent")), 6)
+            "sim",
+            F.round(
+                dot_col(F.col("qv"), F.col("cent"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
         )
         .withColumn(
             "rn",
