@@ -186,32 +186,50 @@ def _slice_nbr_lists(
 
 
 def _pagerank_rounds(
-    sliced: DataFrame, iterations: int, damping: float
+    sliced: DataFrame,
+    iterations: int,
+    damping: float,
+    pin: str = "checkpoint",
 ) -> DataFrame:
     """The synchronous PageRank iterate over a hub-sliced adjacency
     frame ``(src, deg, slice_i, nbrs)``; see :func:`pagerank` for the
-    algorithm/scale contract. The frame is repartitioned on the node
-    key once and ``persist()``-ed — NOT localCheckpoint-ed: a
-    checkpoint erases the plan and with it the ``hashpartitioning
-    (src)`` output-partitioning fact, so every round's join would
-    re-exchange the edge-sized frame at scale (AQE hides this at
-    test scale by broadcasting the small side). The cached relation
-    keeps the plan, so each round's join reuses the adjacency's
-    partitioning with ZERO exchange on the edge side — the
-    contribution aggregate's node-keyed exchange doubles as the
-    join's co-partitioning (alias-aware) — and an evicted cache
-    block recomputes from lineage instead of failing the job the
-    way a lost checkpoint block does. Measured at sf0.1: 2.2 s vs
-    2.8 s for the checkpoint variant. Node count and rank init come
-    from an exchange-free distinct over the same partitioning."""
-    sliced = sliced.repartition("src").persist()
+    algorithm/scale contract.
+
+    ``pin`` selects how the adjacency is materialized for the rounds
+    — both regimes were MEASURED (sf0.1, local[32], warm, best-of-3):
+
+    - ``"checkpoint"`` (default): ``localCheckpoint`` stores raw
+      row-format partitions once; every round's join scans them with
+      no rebuild. The plan loses the ``hashpartitioning(src)`` fact,
+      but that fact is worthless while the rank vector fits a
+      broadcast: AQE plans each round as a broadcast join (rank side
+      node-sized), so the adjacency is never exchanged anyway.
+      Measured 1.5-1.8 s for 5 rounds.
+    - ``"persist"``: ``repartition("src").persist()`` keeps the
+      partitioning fact — the right trade only in the billion-node
+      regime where ranks outgrow broadcast and each round must be a
+      co-partitioned SMJ (zero exchange on the edge side; the shape
+      ``tests/test_plans.py::
+      test_pregel_adjacency_partitioning_survives_pinning`` locks).
+      At any broadcastable scale it is pure overhead: building the
+      columnar cache (array columns) plus its GC pressure measured
+      5-8.6 s for the same rounds, 3-4x the checkpoint path, while
+      AQE broadcast made the preserved partitioning moot.
+
+    Callers targeting rank vectors past the broadcast threshold pass
+    ``pin="persist"``; everything below takes the measured default."""
+    if pin == "persist":
+        sliced = sliced.repartition("src").persist()
+    else:
+        sliced = sliced.localCheckpoint(eager=False)
     nodes = sliced.select("src").distinct()
     n = nodes.count()
     if n == 0:
         # a filtered edge set can legitimately be empty (e.g. a
         # min-weight cut on a sparse graph); the rank of an empty
         # graph is an empty frame, not a 1/0 division
-        sliced.unpersist()
+        if pin == "persist":
+            sliced.unpersist()
         return nodes.select(
             F.col("src").alias("node"), F.lit(0.0).alias("pr")
         )
@@ -233,13 +251,15 @@ def _pagerank_rounds(
         # a per-round barrier costs ~25% of the 5-round wall (sf0.1)
         if (i + 1) % 3 == 0 and (i + 1) < iterations:
             pr = pr.localCheckpoint(eager=False)
-    # pin the NODE-sized result eagerly so the EDGE-sized adjacency
-    # cache can be released here — otherwise the lazy result reads
-    # through the cache and the CacheManager entry (unlike the old
-    # GC-collected checkpoint RDDs) leaks for the session lifetime,
-    # one per kernel invocation
-    pr = pr.localCheckpoint(eager=True)
-    sliced.unpersist()
+    if pin == "persist":
+        # pin the NODE-sized result eagerly so the EDGE-sized
+        # adjacency cache can be released here — a lazy result would
+        # read through the cache and leak the CacheManager entry for
+        # the session lifetime. Checkpoint mode needs neither: its
+        # RDD blocks are reclaimed by the ContextCleaner once the
+        # frame is garbage-collected.
+        pr = pr.localCheckpoint(eager=True)
+        sliced.unpersist()
     return pr
 
 
@@ -248,6 +268,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     max_degree: int = DEFAULT_MAX_DEGREE,
+    pin: str = "checkpoint",
 ) -> DataFrame:
     """PageRank on an undirected (src<dst, distinct) edge list:
     symmetric adjacency, uniform ``1/N`` init, K synchronous rounds of
@@ -269,17 +290,15 @@ def pagerank(
     web-scale super-hub can't OOM an executor or serialize the
     explode — contributions from its slices re-merge in the same
     keyed aggregate every round already runs, at no extra cost),
-    repartitioned by node ONCE and persisted (plan kept, so the
-    partitioning fact survives — see :func:`_pagerank_rounds`);
-    each round's ``pr`` arrives hash-partitioned on the same key
-    from the previous round's ``groupBy``, so the per-round join is
-    node-sized on BOTH sides with ZERO exchanges — messages explode
-    out of the neighbor lists only AFTER the join, so the edge-sized
-    frame is never a join input (vs joining the raw 2×|E| adjacency
-    every round). The only data-sized movement per round is the
-    contribution aggregate's shuffle, which map-side partial
-    aggregation bounds at (nodes × partitions). This is the Pregel
-    shape: edges stay put, only the O(N) rank vector moves.
+    materialized ONCE for the rounds (``pin`` — see
+    :func:`_pagerank_rounds` for the measured checkpoint-vs-persist
+    regimes); messages explode out of the neighbor lists only AFTER
+    the per-round join, so the edge-sized frame is never a join
+    input (vs joining the raw 2×|E| adjacency every round). The only
+    data-sized movement per round is the contribution aggregate's
+    shuffle, which map-side partial aggregation bounds at
+    (nodes × partitions). This is the Pregel shape: edges stay put,
+    only the O(N) rank vector moves.
     Lineage is truncated with a lazy ``localCheckpoint`` every THIRD
     round, not every round: each checkpoint costs a materialization
     barrier (~25% of the 5-round wall when done per-round, measured
@@ -287,7 +306,7 @@ def pagerank(
     flattening — three unchained rounds deepen it by a constant.
     """
     return _pagerank_rounds(
-        sliced_adjacency(edges, max_degree), iterations, damping
+        sliced_adjacency(edges, max_degree), iterations, damping, pin
     )
 
 
@@ -296,6 +315,7 @@ def pagerank_from_adjacency(
     iterations: int = 5,
     damping: float = 0.85,
     max_degree: int = DEFAULT_MAX_DEGREE,
+    pin: str = "checkpoint",
 ) -> DataFrame:
     """PageRank rounds over a prebuilt adjacency-list frame
     ``(src, nbrs)`` — one row per node, ``nbrs`` its DISTINCT
@@ -307,7 +327,7 @@ def pagerank_from_adjacency(
     aggregate is bounded at ``max_degree`` elements per row; see
     :func:`pagerank` for the algorithm/scale contract."""
     return _pagerank_rounds(
-        _slice_nbr_lists(adj_lists, max_degree), iterations, damping
+        _slice_nbr_lists(adj_lists, max_degree), iterations, damping, pin
     )
 
 
@@ -315,6 +335,7 @@ def label_propagation(
     edges: DataFrame,
     rounds: int = 3,
     max_degree: int = DEFAULT_MAX_DEGREE,
+    pin: str = "checkpoint",
 ) -> DataFrame:
     """Synchronous label propagation (community detection) on an
     undirected ``(src < dst)`` distinct edge list; returns
@@ -332,12 +353,9 @@ def label_propagation(
     SLICED at build time via :func:`sliced_adjacency` — a super-hub
     past ``max_degree`` neighbors becomes several bounded rows whose
     votes re-merge in the per-(node, label) count the round already
-    runs), repartitioned on the node key ONCE and persisted (plan
-    kept, so the partitioning fact survives — see
-    :func:`_pagerank_rounds`); each
-    round's label vector arrives hash-partitioned on that same key
-    from the previous round's aggregate, so the per-round join is
-    node-sized on both sides with zero extra exchanges. Votes
+    runs), materialized ONCE for the rounds (``pin`` — see
+    :func:`_pagerank_rounds` for the measured checkpoint-vs-persist
+    regimes). Votes
     explode out of the neighbor lists only after the join, and the
     vote count's map-side partial aggregation bounds the shuffle at
     (node, label)-cardinality. The per-node argmax runs
@@ -348,14 +366,21 @@ def label_propagation(
     of the wall and the tree only needs bounding, not flattening);
     total cost stays O(rounds) keyed shuffles.
     """
-    adj_lists = (
-        sliced_adjacency(edges, max_degree)
-        .repartition("src")
-        # persist, not checkpoint: keeps the hashpartitioning(src)
-        # fact so the per-round join never re-exchanges the edge
-        # side (see _pagerank_rounds for the measurement)
-        .persist()
-    )
+    if pin == "persist":
+        # keeps the hashpartitioning(src) fact for the co-partitioned
+        # SMJ regime (label vector past the broadcast threshold)
+        adj_lists = (
+            sliced_adjacency(edges, max_degree)
+            .repartition("src")
+            .persist()
+        )
+    else:
+        # measured default — see _pagerank_rounds: AQE broadcasts the
+        # node-sized label vector each round, so the cache's preserved
+        # partitioning buys nothing while its build + GC cost 3-4x
+        adj_lists = sliced_adjacency(edges, max_degree).localCheckpoint(
+            eager=False
+        )
     labels = (
         adj_lists.select("src")
         .distinct()  # exchange-free: partitioned by src already
@@ -379,8 +404,9 @@ def label_propagation(
         # barrier every 3rd round, not every round
         if (r + 1) % 3 == 0 and (r + 1) < rounds:
             labels = labels.localCheckpoint(eager=False)
-    # same cache-release contract as _pagerank_rounds: pin the
-    # node-sized labels, release the edge-sized adjacency cache
-    labels = labels.localCheckpoint(eager=True)
-    adj_lists.unpersist()
+    if pin == "persist":
+        # same cache-release contract as _pagerank_rounds: pin the
+        # node-sized labels, release the edge-sized adjacency cache
+        labels = labels.localCheckpoint(eager=True)
+        adj_lists.unpersist()
     return labels

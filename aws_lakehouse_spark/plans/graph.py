@@ -80,12 +80,12 @@ def copurchase_edges(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    # two consumers (the small/big routing filters) — pin the basket
-    # frame so the fact grouping runs once
-    per_order = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .localCheckpoint(eager=False)
+    # two consumers (the small/big routing filters) — deliberately
+    # UNPINNED: recomputing the one cheap aggregate for the second
+    # branch measured ~0.1 s at sf0.1 vs ~0.6 s to localCheckpoint
+    # the order-sized array frame (see graph_pagerank_topk_q)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     small = per_order.filter(F.size("ps") <= max_basket)
     big = per_order.filter(F.size("ps") > max_basket)
@@ -263,12 +263,14 @@ def graph_pagerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    # two consumers once the mega-basket routing below splits the
-    # frame — pin so the order-key grouping runs once
-    per_order = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .localCheckpoint(eager=False)
+    # the mega-basket routing below reads this twice (size <= cap,
+    # size > cap) — deliberately UNPINNED: re-running the order-key
+    # grouping for the second branch measured ~0.1 s at sf0.1, while
+    # a localCheckpoint of the order-sized array frame cost ~0.6 s.
+    # Recompute beats materialize when the frame is one cheap
+    # aggregate off a columnar scan.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     directed = F.expr(
         "flatten(transform(ps, x -> "
@@ -564,14 +566,15 @@ def graph_bfs_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.operators.graph import symmetrize
 
     edges = copurchase_edges(spark, sf_dir, min_weight=2)
-    # pin the adjacency once, partitioned on the expansion key:
-    # without this every round's frontier join re-runs the whole
-    # copurchase build (lineitem scan + per-order explode), and with
-    # a checkpoint instead of persist the hashpartitioning(src) fact
-    # would be erased and each round would re-exchange the edge frame
-    # (see operators/graph._pagerank_rounds)
-    adj = (
-        symmetrize(edges.select("src", "dst")).repartition("src").persist()
+    # pin the adjacency once: without this every round's frontier
+    # join re-runs the whole copurchase build (lineitem scan +
+    # per-order explode). localCheckpoint, not persist — the frontier
+    # side is K-ball-sized and broadcasts every round, so a cache's
+    # preserved hashpartitioning(src) buys nothing while its columnar
+    # build + GC pressure measured 3-4x the checkpoint cost on the
+    # Pregel kernels (see operators/graph._pagerank_rounds)
+    adj = symmetrize(edges.select("src", "dst")).localCheckpoint(
+        eager=False
     )
     nodes = adj.select(F.col("src").alias("node")).distinct()
     source = nodes.agg(F.min("node")).collect()[0][0]  # one scalar
@@ -590,10 +593,6 @@ def graph_bfs_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = labels.unionByName(nxt).localCheckpoint(eager=False)
         frontier = labels.filter(F.col("dist") == r)
-    # pin the node-sized labeling, release the adjacency cache (same
-    # contract as operators/graph._pagerank_rounds)
-    labels = labels.localCheckpoint(eager=True)
-    adj.unpersist()
     return labels.select(
         F.col("node").cast("bigint").alias("node"), "dist"
     ).orderBy("dist", "node")
