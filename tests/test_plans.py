@@ -403,3 +403,30 @@ def test_pinned_fanout_scan_budget(name, max_scans, spark, sf_dir):
     )
     n = simple.count("Scan parquet")
     assert n <= max_scans, (name, n, max_scans)
+
+
+def test_pregel_default_pin_is_checkpoint_not_cache(spark):
+    """Round-5 measurement guard: the kernels' DEFAULT adjacency pin
+    must be the raw-row checkpoint, not a cached relation — the
+    repartition+persist variant measured 3-4x slower for the same
+    rounds at sf0.1 (columnar cache build over array columns + GC)
+    while AQE broadcast made its preserved partitioning moot. The
+    persist regime stays available behind pin="persist" (covered by
+    test_pregel_adjacency_partitioning_survives_pinning and the
+    kernel equivalence test); this test fails if someone flips the
+    default back."""
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    pr = pagerank(edges, iterations=2)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        pr._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryTableScan" not in plan, plan
+    # the adjacency must still be pinned (scanned as a checkpoint
+    # RDD, not rebuilt from parquet/lineage inside the rounds)
+    assert "Scan ExistingRDD" in plan, plan
