@@ -53,7 +53,9 @@ from aws_lakehouse_spark.registry import REGISTRY
 # clears: 131 -> 81 -> 31 -> 0 over r5-r7. Rounds 6 and 7 rotate onto
 # the remaining 81 in alphabetical order (agg_abc_classification ..
 # media_image_neardup for r6; media_scene_cuts .. udaf_grouped_geomean
-# for r7).
+# for r7). `python tools/rotate_window.py --apply` (run AFTER the
+# driver writes CORRECTNESS_r05.json) computes and rewrites the next
+# window mechanically; update this comment with the round's rationale.
 _PRIORITY = [
     "snapshot_bloom_pruned_scan",
     "snapshot_branch_merge",
