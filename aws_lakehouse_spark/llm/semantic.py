@@ -28,7 +28,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
+from aws_lakehouse_spark.llm.similarity import (
+    cosine_ratio_col,
+    dot_col,
+    norm_col,
+)
 
 
 def assign_clusters(
@@ -59,8 +63,11 @@ def assign_clusters(
         F.col(vec_col).cast("array<double>").alias("__cv"),
     ).withColumn("__cn", norm_col(F.col("__cv")))
     sim = F.round(
-        dot_col(F.col("__v"), F.col("__cv"))
-        / (F.col("__vn") * F.col("__cn")),
+        cosine_ratio_col(
+            dot_col(F.col("__v"), F.col("__cv")),
+            F.col("__vn"),
+            F.col("__cn"),
+        ),
         round_digits,
     )
     # argmax via a combinable aggregate, not a window: max over
@@ -116,7 +123,11 @@ def semdedup_pairs(
     real scale K ∝ N ≫ cores, so callers leave fanout=1 and pay no
     replication.
     """
-    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
+    from aws_lakehouse_spark.llm.similarity import (
+        cosine_ratio_col,
+        dot_col,
+        norm_col,
+    )
 
     # join the vectors back ONCE, then self-join the clustered frame
     # on cluster_id — the lazy checkpoint makes both pair sides read
@@ -157,8 +168,11 @@ def semdedup_pairs(
         F.col("vec_a") < F.col("vec_b")
     )
     sim = F.round(
-        dot_col(F.col("__va"), F.col("__vb"))
-        / (F.col("__na") * F.col("__nb")),
+        cosine_ratio_col(
+            dot_col(F.col("__va"), F.col("__vb")),
+            F.col("__na"),
+            F.col("__nb"),
+        ),
         round_digits,
     )
     return (

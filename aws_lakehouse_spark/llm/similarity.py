@@ -37,10 +37,25 @@ def norm_col(a: Column) -> Column:
     return F.sqrt(dot_col(a, a))
 
 
+def cosine_ratio_col(dot: Column, na: Column, nb: Column) -> Column:
+    """``dot / (na · nb)`` with the zero-magnitude guard every cosine
+    site shares: a zero vector makes the denominator exactly 0.0, and
+    under ANSI mode (the Spark 4 default, and therefore the DRIVER's
+    vanilla sessions) double ``0/0`` THROWS ``DIVIDE_BY_ZERO`` instead
+    of yielding NaN — one all-zero embedding row (real corpora ship
+    them as padding) would kill the whole query. ``nullif`` maps the
+    zero denominator to NULL — similarity-to-a-zero-vector is
+    undefined, and NULL propagates gracefully through rounds, filters
+    and rankings — while any nonzero denominator passes through
+    UNCHANGED, so scores stay bit-identical to the unguarded form."""
+    return dot / F.nullif(na * nb, F.lit(0.0))
+
+
 def cosine_sim_col(a: Column, b: Column) -> Column:
     """Cosine similarity; inputs should be pre-cast to
-    ``array<double>`` (float32→float64 widening is exact)."""
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    ``array<double>`` (float32→float64 widening is exact). Zero
+    vectors yield NULL (see :func:`cosine_ratio_col`)."""
+    return cosine_ratio_col(dot_col(a, b), norm_col(a), norm_col(b))
 
 
 def brute_force_topk(
@@ -74,8 +89,10 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     ).withColumn("__qn", norm_col(F.col("q_vec")))
-    sim = dot_col(F.col("q_vec"), F.col("c_vec")) / (
-        F.col("__qn") * F.col("__cn")
+    sim = cosine_ratio_col(
+        dot_col(F.col("q_vec"), F.col("c_vec")),
+        F.col("__qn"),
+        F.col("__cn"),
     )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -302,8 +319,11 @@ def lsh_bucket_topk(
         .withColumn(
             "cosine_sim",
             F.round(
-                dot_col(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("__qn") * norm_col(F.col("c_vec"))),
+                cosine_ratio_col(
+                    dot_col(F.col("q_vec"), F.col("c_vec")),
+                    F.col("__qn"),
+                    norm_col(F.col("c_vec")),
+                ),
                 6,
             ),
         )
@@ -394,8 +414,11 @@ def ivf_assign(
     scored = v.crossJoin(F.broadcast(cents)).withColumn(
         "sim",
         F.round(
-            dot_col(F.col("v"), F.col("cent_vec"))
-            / (F.col("__vn") * F.col("__cn")),
+            cosine_ratio_col(
+                dot_col(F.col("v"), F.col("cent_vec")),
+                F.col("__vn"),
+                F.col("__cn"),
+            ),
             6,
         ),
     )
@@ -470,8 +493,11 @@ def ivf_topk(
         .withColumn(
             "cosine_sim",
             F.round(
-                dot_col(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("__qn") * F.col("__cn")),
+                cosine_ratio_col(
+                    dot_col(F.col("q_vec"), F.col("c_vec")),
+                    F.col("__qn"),
+                    F.col("__cn"),
+                ),
                 6,
             ),
         )
@@ -539,8 +565,11 @@ def lsh_bucket_topk_multiprobe(
         .withColumn(
             "cosine_sim",
             F.round(
-                dot_col(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("__qn") * norm_col(F.col("c_vec"))),
+                cosine_ratio_col(
+                    dot_col(F.col("q_vec"), F.col("c_vec")),
+                    F.col("__qn"),
+                    norm_col(F.col("c_vec")),
+                ),
                 6,
             ),
         )

@@ -477,7 +477,11 @@ def embed_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ref",
         "n_prod",
         F.round(
-            F.col("dot") / (F.sqrt(F.col("nr")) * F.sqrt(F.col("np"))), 6
+            F.col("dot")
+            / F.nullif(
+                F.sqrt(F.col("nr")) * F.sqrt(F.col("np")), F.lit(0.0)
+            ),
+            6,
         ).alias("mean_cosine"),
         F.round(F.col("mad"), 6).alias("max_dim_shift"),
         F.round(F.col("sad") / 64.0, 6).alias("avg_dim_shift"),

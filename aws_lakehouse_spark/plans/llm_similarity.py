@@ -88,7 +88,11 @@ def ann_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 10 == 0
     )
-    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
+    from aws_lakehouse_spark.llm.similarity import (
+        cosine_ratio_col,
+        dot_col,
+        norm_col,
+    )
 
     # per-side norms hoisted out of the per-pair cosine (same bits —
     # sqrt(dot(v,v)) is computed once per row instead of per pair)
@@ -101,8 +105,11 @@ def ann_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("vb"),
     ).withColumn("__nb", norm_col(F.col("vb")))
     sim = F.round(
-        dot_col(F.col("va"), F.col("vb"))
-        / (F.col("__na") * F.col("__nb")),
+        cosine_ratio_col(
+            dot_col(F.col("va"), F.col("vb")),
+            F.col("__na"),
+            F.col("__nb"),
+        ),
         6,
     )
     return (
@@ -472,7 +479,11 @@ def embed_matryoshka_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
+    from aws_lakehouse_spark.llm.similarity import (
+        cosine_ratio_col,
+        dot_col,
+        norm_col,
+    )
 
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("cv")
@@ -486,8 +497,11 @@ def ann_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__qn", norm_col(F.col("qv")))
     )
     sim = F.round(
-        dot_col(F.col("qv"), F.col("cv"))
-        / (F.col("__qn") * F.col("__cn")),
+        cosine_ratio_col(
+            dot_col(F.col("qv"), F.col("cv")),
+            F.col("__qn"),
+            F.col("__cn"),
+        ),
         6,
     )
     return (

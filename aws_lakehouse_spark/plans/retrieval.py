@@ -203,7 +203,11 @@ def _duck_cos(a: str, b: str) -> str:
     "the fusion input k-bounded per query).",
 )
 def ann_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
+    from aws_lakehouse_spark.llm.similarity import (
+        cosine_ratio_col,
+        dot_col,
+        norm_col,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
@@ -257,8 +261,11 @@ def ann_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sim",
             F.round(
-                dot_col(F.col("qv"), F.col("cv"))
-                / (F.col("__qn") * F.col("__cn")),
+                cosine_ratio_col(
+                    dot_col(F.col("qv"), F.col("cv")),
+                    F.col("__qn"),
+                    F.col("__cn"),
+                ),
                 6,
             ),
         )
@@ -658,7 +665,11 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from collections.abc import Iterator
 
-    from aws_lakehouse_spark.llm.similarity import dot_col, norm_col
+    from aws_lakehouse_spark.llm.similarity import (
+        cosine_ratio_col,
+        dot_col,
+        norm_col,
+    )
 
     # null vectors cannot be assigned or encoded; one pushed-down
     # filter protects the codebook/query collects and every batch
@@ -690,8 +701,11 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sim",
             F.round(
-                dot_col(F.col("v"), F.col("cent"))
-                / (F.col("__vn") * F.col("__cn")),
+                cosine_ratio_col(
+                    dot_col(F.col("v"), F.col("cent")),
+                    F.col("__vn"),
+                    F.col("__cn"),
+                ),
                 6,
             ),
         )
@@ -708,8 +722,11 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sim",
             F.round(
-                dot_col(F.col("qv"), F.col("cent"))
-                / (F.col("__qn") * F.col("__cn")),
+                cosine_ratio_col(
+                    dot_col(F.col("qv"), F.col("cent")),
+                    F.col("__qn"),
+                    F.col("__cn"),
+                ),
                 6,
             ),
         )

@@ -223,3 +223,55 @@ def test_lloyd_iterations_reduce_distortion(spark):
     a2 = assign_clusters(emb, cents2)
     m2 = a2.agg(FF.avg("cosine_sim")).collect()[0][0]
     assert m2 >= m1 - 1e-9, (m1, m2)
+
+
+def test_hoisted_norm_cosine_is_bit_identical(spark):
+    """The round-5 hoist's core claim, locked: ``cosine_ratio_col``
+    over per-SIDE precomputed norms produces the exact bits of the
+    per-pair ``cosine_sim_col`` — same IEEE ops in the same order,
+    just evaluated per row instead of per pair. Includes the edge
+    values real corpora ship: negative components, a zero vector
+    (which under ANSI mode — the Spark 4 / driver default — would
+    THROW as double 0/0 without the ``nullif`` guard; both guarded
+    forms yield NULL instead), and denormal-ish magnitudes."""
+    from aws_lakehouse_spark.llm.similarity import (
+        cosine_ratio_col,
+        cosine_sim_col,
+        dot_col,
+        norm_col,
+    )
+
+    rows = [
+        ([1.0, 2.0, -3.0], [0.5, -0.25, 8.0]),
+        ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),      # zero vector -> NULL
+        ([1e-300, 2e-300, 3e-300], [1e300, -1e300, 1e300]),
+        ([0.1, 0.2, 0.3], [0.1, 0.2, 0.3]),      # self-similarity
+        ([-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]),   # exactly -1
+    ]
+    df = spark.createDataFrame(
+        rows, "a array<double>, b array<double>"
+    ).withColumn("na", norm_col(F.col("a"))).withColumn(
+        "nb", norm_col(F.col("b"))
+    )
+    got = df.select(
+        "a",
+        cosine_sim_col(F.col("a"), F.col("b")).alias("per_pair"),
+        cosine_ratio_col(
+            dot_col(F.col("a"), F.col("b")), F.col("na"), F.col("nb")
+        ).alias("hoisted"),
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        if all(x == 0.0 for x in r["a"]):
+            # zero-magnitude vector: similarity undefined -> NULL on
+            # both forms (an unguarded 0/0 would THROW under ANSI)
+            assert r["per_pair"] is None, r
+            assert r["hoisted"] is None, r
+        elif r["per_pair"] is not None and math.isnan(r["per_pair"]):
+            # norm under/overflow (na->0 while nb->inf makes the
+            # denominator 0*inf = NaN): NaN on both forms — nullif
+            # passes a NaN denominator through (NaN != 0.0)
+            assert r["hoisted"] is not None and math.isnan(r["hoisted"]), r
+        else:
+            # bitwise, not isclose: the hoist claims identity
+            assert r["per_pair"] == r["hoisted"], r
