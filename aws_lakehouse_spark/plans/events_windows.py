@@ -384,7 +384,10 @@ def events_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type")
     mu = F.avg("value").over(w)
     sigma = F.stddev_samp("value").over(w)
-    z = (F.col("value") - mu) / sigma
+    # nullif: a constant-valued event type has sigma exactly 0 and
+    # ANSI double 0/0 THROWS — an undefined z-score is NULL (never
+    # beyond 3 sigma), not a job-killing exception
+    z = (F.col("value") - mu) / F.nullif(sigma, F.lit(0.0))
     return (
         e.select(
             "event_id",

@@ -444,7 +444,12 @@ def scalar_json_struct_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_variant_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    # try_parse_json, not parse_json: one malformed props record
+    # (ingest truncation, an empty string) must cost one NULL, not
+    # the stage — parse_json is FAILFAST under the driver session
+    k = F.variant_get(
+        F.try_parse_json(F.col("props")), "$.k", "bigint"
+    )
     return (
         events.select("event_type", k.alias("k"))
         .filter(F.col("k") >= 50)

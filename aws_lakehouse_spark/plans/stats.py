@@ -194,8 +194,11 @@ def quality_chisquare_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tagged = docs.select(
         "lang",
+        # try_cast: a malformed source tag (empty string, free
+        # text) lands in cohort B instead of throwing CAST_INVALID_INPUT
         F.when(
-            F.substring("source", 4, 10).cast("bigint") < 10, F.lit("A")
+            F.substring("source", 4, 10).try_cast("bigint") < 10,
+            F.lit("A"),
         )
         .otherwise(F.lit("B"))
         .alias("cohort"),
@@ -834,7 +837,14 @@ def agg_price_elasticity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     buckets = (
         li.groupBy(
-            F.floor(F.col("l_extendedprice") / F.col("l_quantity"))
+            # nullif: a zero-quantity line (cancelled order rows
+            # exist in real feeds) must yield a NULL price point —
+            # dropped by the price_pt > 0 filter — not an ANSI
+            # DIVIDE_BY_ZERO that kills the scan
+            F.floor(
+                F.col("l_extendedprice")
+                / F.nullif(F.col("l_quantity"), F.lit(0))
+            )
             .cast("bigint")
             .alias("price_pt")
         )

@@ -161,3 +161,46 @@ def test_query_survives_null_heavy_tables(name, spark, null_heavy_sf_dir):
     df = REGISTRY[name].fn(spark, null_heavy_sf_dir)
     assert df.columns, name
     assert df.count() >= 0, name
+
+
+# the adversarial-zeros boundary (keys kept; every measure 0, text
+# '', embeddings all-zero — tools/empty_sweep.py --zeros): under
+# ANSI mode (the Spark 4 / driver-session default) double 0/0 and a
+# CAST of '' both THROW, so any data-dependent ratio or cast needs a
+# nullif / try_cast / try_parse_json guard. The sweep crashed these
+# 4 before hardening (plus the zero-norm cosine class, locked
+# separately in tests/test_semantic.py).
+ZEROS_PREVIOUSLY_CRASHING = [
+    "scalar_variant_json",       # parse_json('') was FAILFAST
+    "events_anomaly_zscore",     # sigma=0 -> (v-mu)/0
+    "quality_chisquare_drift",   # CAST('' AS BIGINT) on the cohort tag
+    "agg_price_elasticity",      # price/quantity with quantity=0
+    # representatives of the zero-norm cosine class (all-zero
+    # embeddings flow through every ANN kernel without a crash)
+    "ann_bruteforce_topk",
+    "embed_semdedup",
+]
+
+
+@pytest.fixture(scope="module")
+def zeros_sf_dir(tmp_path_factory):
+    """Keys survive; every measure becomes its type's zero (numbers
+    0, strings '', float arrays zero-vectors) — plans still join and
+    group normally, but every ratio's denominator hits 0."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from empty_sweep import build_truncated_dir
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    return build_truncated_dir(src, 200, zeros=True)
+
+
+@pytest.mark.parametrize("name", ZEROS_PREVIOUSLY_CRASHING)
+def test_query_survives_zeroed_measures(name, spark, zeros_sf_dir):
+    df = REGISTRY[name].fn(spark, zeros_sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name

@@ -18,6 +18,15 @@ tests/test_empty_inputs.py regression-locks the fixed set.
     python tools/empty_sweep.py --nulls    # every column NULL except
                                            # each table's first id
                                            # (a bad upstream extract)
+    python tools/empty_sweep.py --zeros    # keys kept, every measure
+                                           # 0 / '' / zero-vector —
+                                           # the ANSI DIVIDE_BY_ZERO
+                                           # probe (Spark 4 sessions
+                                           # THROW on double 0/0, so
+                                           # any data-dependent ratio
+                                           # needs a nullif guard;
+                                           # found the zero-norm
+                                           # cosine crash)
 """
 
 from __future__ import annotations
@@ -36,25 +45,67 @@ TABLES = (
 )
 
 
-def build_truncated_dir(src: str, rows: int, nulls: bool = False) -> str:
+def _zero_expr(name: str, ty: str) -> str:
+    """Adversarial-zero projection for one column: ids/keys pass
+    through (plans must still join, group and window normally — the
+    point is zero VALUES flowing into ratios, not broken topology);
+    every measure becomes its type's zero. Strings go to '' (zero
+    tokens, zero length), embeddings to same-length zero vectors
+    (zero norm -> the ANSI 0/0 cosine class), temporals stay (year
+    filters must keep matching)."""
+    lname, lty = name.lower(), ty.upper()
+    keyish = (
+        lname.endswith("key")
+        or lname.endswith("_id")
+        or lname in ("doc_id", "vec_id")
+    )
+    if keyish or "TIMESTAMP" in lty or "DATE" in lty:
+        return f'"{name}"'
+    if lty.endswith("[]") and ("FLOAT" in lty or "DOUBLE" in lty):
+        elem = ty[:-2]
+        return (
+            f'list_transform("{name}", x -> CAST(0 AS {elem})) '
+            f'AS "{name}"'
+        )
+    if lty.startswith(("DECIMAL", "DOUBLE", "FLOAT", "REAL")) or lty in (
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+    ):
+        return f'CAST(0 AS {ty}) AS "{name}"'
+    if "VARCHAR" in lty and "[" not in lty:
+        return f"'' AS \"{name}\""
+    if lty == "BOOLEAN":
+        return f'false AS "{name}"'
+    return f'"{name}"'
+
+
+def build_truncated_dir(
+    src: str, rows: int, nulls: bool = False, zeros: bool = False
+) -> str:
     """``rows``-row parquet per table, preserving physical types
     (duckdb round-trips TIMESTAMP_NS for the events table). With
-    ``nulls``, every column except each table's first is NULLed."""
+    ``nulls``, every column except each table's first is NULLed; with
+    ``zeros``, keys survive but every measure is zeroed
+    (:func:`_zero_expr`)."""
     import duckdb
 
-    tag = "nulls" if nulls else f"rows{rows}"
+    tag = "nulls" if nulls else ("zeros" if zeros else f"rows{rows}")
     out = tempfile.mkdtemp(prefix=f"lakehouse_sf_{tag}_")
     con = duckdb.connect()
     for t in TABLES:
         proj = "*"
-        if nulls:
+        if nulls or zeros:
             cols = con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
-            proj = ", ".join(
-                f'"{n}"' if i == 0 else f'CAST(NULL AS {ty}) AS "{n}"'
-                for i, (n, ty, *_rest) in enumerate(cols)
-            )
+            if nulls:
+                proj = ", ".join(
+                    f'"{n}"' if i == 0 else f'CAST(NULL AS {ty}) AS "{n}"'
+                    for i, (n, ty, *_rest) in enumerate(cols)
+                )
+            else:
+                proj = ", ".join(
+                    _zero_expr(n, ty) for n, ty, *_rest in cols
+                )
         con.execute(
             f"COPY (SELECT {proj} FROM read_parquet('{src}/{t}.parquet') "
             f"LIMIT {rows}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
@@ -68,12 +119,13 @@ def main() -> int:
 
     rows = 0
     nulls = "--nulls" in sys.argv
+    zeros = "--zeros" in sys.argv
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
-    if nulls and not rows:
+    if (nulls or zeros) and not rows:
         rows = 200
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    empty_dir = build_truncated_dir(src, rows, nulls)
+    empty_dir = build_truncated_dir(src, rows, nulls, zeros)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
