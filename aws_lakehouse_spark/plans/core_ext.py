@@ -779,15 +779,24 @@ def snapshot_merge_into_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over a double product diverges between engines when the product's
     # shortest decimal repr sits on a .xx5 boundary (Spark rounds the
     # repr, DuckDB the scaled double) — 9/12500 rows flipped by 0.01.
-    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey",
-        F.lit("M").alias("o_orderstatus"),
-        (
-            F.col("o_totalprice").cast("decimal(18,2)")
-            * F.lit("1.1").cast("decimal(3,1)")
+    source = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        # the standard CDC posture: key-dedupe the source batch before
+        # MERGE. An at-least-once replayed ingest ships every row
+        # twice, and merge_into (like Delta) refuses a multi-row
+        # source key; here every source column is a function of the
+        # key, so the dedup is semantically exact.
+        .dropDuplicates(["o_orderkey"])
+        .select(
+            "o_orderkey",
+            F.lit("M").alias("o_orderstatus"),
+            (
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(3,1)")
+            )
+            .cast("double")
+            .alias("o_totalprice"),
         )
-        .cast("double")
-        .alias("o_totalprice"),
     )
     m = merge_into(spark, table, source, on=["o_orderkey"])
     assert m["version"] == 1, m

@@ -381,6 +381,10 @@ def ann_product_quantization_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-query-set pattern
     cb_rows = (
         emb.filter(F.col("vec_id") < _PQ_K)
+        # key-dedupe before the bounded collect: a replayed ingest
+        # batch (at-least-once delivery) ships every vec_id twice,
+        # and a [2K, d] codebook breaks the [n, K] distance kernel
+        .dropDuplicates(["vec_id"])
         .orderBy("vec_id")
         .select("vec_id", "embedding")
         .collect()
@@ -747,6 +751,8 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebook + query: tiny driver-side collects (16 + 1 rows)
     cb_rows = (
         emb.filter(F.col("vec_id") < _PQ_K)
+        # key-dedupe: replayed batches must not double the codebook
+        .dropDuplicates(["vec_id"])
         .orderBy("vec_id")
         .select("vec_id", "embedding")
         .collect()

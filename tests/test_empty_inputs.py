@@ -204,3 +204,39 @@ def test_query_survives_zeroed_measures(name, spark, zeros_sf_dir):
     df = REGISTRY[name].fn(spark, zeros_sf_dir)
     assert df.columns, name
     assert df.count() >= 0, name
+
+
+# the replayed-batch boundary (--dup: every physical row appears
+# twice, so primary keys collide — at-least-once ingest is the norm
+# at scale, exactly-once a lie). The sweep crashed these 3 before
+# hardening: PQ/IVFADC codebook collects returning [2K, d] arrays
+# that break the [n, K] distance kernel, and the MERGE demo shipping
+# a multi-row source key into the (correct, Delta-parity) duplicate-
+# source guard — the fix is the standard CDC source key-dedup, not
+# weakening the guard.
+DUP_PREVIOUSLY_CRASHING = [
+    "ann_product_quantization",
+    "ann_ivf_pq",
+    "snapshot_merge_into",
+]
+
+
+@pytest.fixture(scope="module")
+def dup_sf_dir(tmp_path_factory):
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from empty_sweep import build_truncated_dir
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    return build_truncated_dir(src, 200, dup=True)
+
+
+@pytest.mark.parametrize("name", DUP_PREVIOUSLY_CRASHING)
+def test_query_survives_replayed_batches(name, spark, dup_sf_dir):
+    df = REGISTRY[name].fn(spark, dup_sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name

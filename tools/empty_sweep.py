@@ -27,6 +27,13 @@ tests/test_empty_inputs.py regression-locks the fixed set.
                                            # needs a nullif guard;
                                            # found the zero-norm
                                            # cosine crash)
+    python tools/empty_sweep.py --dup      # every row twice — broken
+                                           # primary-key uniqueness
+                                           # (a replayed ingest batch;
+                                           # exactly-once is a LIE at
+                                           # scale). Probes merge /
+                                           # asof / collect sites that
+                                           # assume distinct keys.
 """
 
 from __future__ import annotations
@@ -79,7 +86,11 @@ def _zero_expr(name: str, ty: str) -> str:
 
 
 def build_truncated_dir(
-    src: str, rows: int, nulls: bool = False, zeros: bool = False
+    src: str,
+    rows: int,
+    nulls: bool = False,
+    zeros: bool = False,
+    dup: bool = False,
 ) -> str:
     """``rows``-row parquet per table, preserving physical types
     (duckdb round-trips TIMESTAMP_NS for the events table). With
@@ -88,7 +99,14 @@ def build_truncated_dir(
     (:func:`_zero_expr`)."""
     import duckdb
 
-    tag = "nulls" if nulls else ("zeros" if zeros else f"rows{rows}")
+    if nulls:
+        tag = "nulls"
+    elif zeros:
+        tag = "zeros"
+    elif dup:
+        tag = "dup"
+    else:
+        tag = f"rows{rows}"
     out = tempfile.mkdtemp(prefix=f"lakehouse_sf_{tag}_")
     con = duckdb.connect()
     for t in TABLES:
@@ -106,9 +124,17 @@ def build_truncated_dir(
                 proj = ", ".join(
                     _zero_expr(n, ty) for n, ty, *_rest in cols
                 )
+        base = (
+            f"SELECT {proj} FROM read_parquet('{src}/{t}.parquet') "
+            f"LIMIT {rows}"
+        )
+        if dup:
+            # the replayed-batch shape: the SAME physical rows appear
+            # twice (primary keys collide), as an at-least-once ingest
+            # retry produces
+            base = f"SELECT * FROM ({base}) UNION ALL SELECT * FROM ({base})"
         con.execute(
-            f"COPY (SELECT {proj} FROM read_parquet('{src}/{t}.parquet') "
-            f"LIMIT {rows}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY ({base}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.close()
     return out
@@ -120,12 +146,13 @@ def main() -> int:
     rows = 0
     nulls = "--nulls" in sys.argv
     zeros = "--zeros" in sys.argv
+    dup = "--dup" in sys.argv
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
-    if (nulls or zeros) and not rows:
+    if (nulls or zeros or dup) and not rows:
         rows = 200
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    empty_dir = build_truncated_dir(src, rows, nulls, zeros)
+    empty_dir = build_truncated_dir(src, rows, nulls, zeros, dup)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
