@@ -34,6 +34,14 @@ tests/test_empty_inputs.py regression-locks the fixed set.
                                            # scale). Probes merge /
                                            # asof / collect sites that
                                            # assume distinct keys.
+    python tools/empty_sweep.py --negatives  # keys kept, numeric
+                                           # measures negated (refund
+                                           # rows, sensor glitches) —
+                                           # probes computed array
+                                           # indexes (ANSI element_at
+                                           # throws on a negative or
+                                           # zero index), log/sqrt
+                                           # domains, bucket floors.
 """
 
 from __future__ import annotations
@@ -85,12 +93,36 @@ def _zero_expr(name: str, ty: str) -> str:
     return f'"{name}"'
 
 
+def _neg_expr(name: str, ty: str) -> str:
+    """Adversarial-negation projection: keys and temporals pass
+    through; every numeric measure becomes ``-abs(x)`` (refund rows,
+    chargebacks, sensor glitches ship negative where the schema
+    'promises' positive). Strings/arrays untouched — the point is
+    negative VALUES flowing into computed array indexes (ANSI
+    ``element_at`` throws on index <= 0), log/sqrt domains and
+    bucket floors, not broken text."""
+    lname, lty = name.lower(), ty.upper()
+    keyish = (
+        lname.endswith("key")
+        or lname.endswith("_id")
+        or lname in ("doc_id", "vec_id")
+    )
+    if keyish or "TIMESTAMP" in lty or "DATE" in lty:
+        return f'"{name}"'
+    if lty.startswith(("DECIMAL", "DOUBLE", "FLOAT", "REAL")) or lty in (
+        "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
+    ):
+        return f'-abs("{name}") AS "{name}"'
+    return f'"{name}"'
+
+
 def build_truncated_dir(
     src: str,
     rows: int,
     nulls: bool = False,
     zeros: bool = False,
     dup: bool = False,
+    negatives: bool = False,
 ) -> str:
     """``rows``-row parquet per table, preserving physical types
     (duckdb round-trips TIMESTAMP_NS for the events table). With
@@ -105,13 +137,15 @@ def build_truncated_dir(
         tag = "zeros"
     elif dup:
         tag = "dup"
+    elif negatives:
+        tag = "neg"
     else:
         tag = f"rows{rows}"
     out = tempfile.mkdtemp(prefix=f"lakehouse_sf_{tag}_")
     con = duckdb.connect()
     for t in TABLES:
         proj = "*"
-        if nulls or zeros:
+        if nulls or zeros or negatives:
             cols = con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
@@ -120,9 +154,13 @@ def build_truncated_dir(
                     f'"{n}"' if i == 0 else f'CAST(NULL AS {ty}) AS "{n}"'
                     for i, (n, ty, *_rest) in enumerate(cols)
                 )
-            else:
+            elif zeros:
                 proj = ", ".join(
                     _zero_expr(n, ty) for n, ty, *_rest in cols
+                )
+            else:
+                proj = ", ".join(
+                    _neg_expr(n, ty) for n, ty, *_rest in cols
                 )
         base = (
             f"SELECT {proj} FROM read_parquet('{src}/{t}.parquet') "
@@ -147,12 +185,13 @@ def main() -> int:
     nulls = "--nulls" in sys.argv
     zeros = "--zeros" in sys.argv
     dup = "--dup" in sys.argv
+    negatives = "--negatives" in sys.argv
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
-    if (nulls or zeros or dup) and not rows:
+    if (nulls or zeros or dup or negatives) and not rows:
         rows = 200
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    empty_dir = build_truncated_dir(src, rows, nulls, zeros, dup)
+    empty_dir = build_truncated_dir(src, rows, nulls, zeros, dup, negatives)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
