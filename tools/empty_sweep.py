@@ -42,6 +42,12 @@ tests/test_empty_inputs.py regression-locks the fixed set.
                                            # throws on a negative or
                                            # zero index), log/sqrt
                                            # domains, bucket floors.
+    python tools/empty_sweep.py --timewarp # temporals scattered over
+                                           # three centuries (clock-
+                                           # skewed devices, epoch
+                                           # bugs) — probes date-spine
+                                           # sequence() blowups and
+                                           # epoch arithmetic range.
 """
 
 from __future__ import annotations
@@ -116,6 +122,24 @@ def _neg_expr(name: str, ty: str) -> str:
     return f'"{name}"'
 
 
+def _warp_expr(name: str, ty: str) -> str:
+    """Adversarial-clock projection: temporal columns scatter across
+    three centuries (row parity decides -100y or +200y — the clock-
+    skewed-device / epoch-bug shape; both stay inside the
+    TIMESTAMP_NS int64 range 1677-2262). Everything else passes
+    through. Probes date-spine generators (a sequence() between min
+    and max must not blow up when the span is 300 years), epoch
+    arithmetic and year bucketing."""
+    lty = ty.upper()
+    if "TIMESTAMP" in lty or lty == "DATE":
+        return (
+            f'CASE WHEN row_number() OVER () % 2 = 0 '
+            f'THEN "{name}" - INTERVAL 100 YEAR '
+            f'ELSE "{name}" + INTERVAL 200 YEAR END AS "{name}"'
+        )
+    return f'"{name}"'
+
+
 def build_truncated_dir(
     src: str,
     rows: int,
@@ -123,6 +147,7 @@ def build_truncated_dir(
     zeros: bool = False,
     dup: bool = False,
     negatives: bool = False,
+    timewarp: bool = False,
 ) -> str:
     """``rows``-row parquet per table, preserving physical types
     (duckdb round-trips TIMESTAMP_NS for the events table). With
@@ -139,13 +164,15 @@ def build_truncated_dir(
         tag = "dup"
     elif negatives:
         tag = "neg"
+    elif timewarp:
+        tag = "warp"
     else:
         tag = f"rows{rows}"
     out = tempfile.mkdtemp(prefix=f"lakehouse_sf_{tag}_")
     con = duckdb.connect()
     for t in TABLES:
         proj = "*"
-        if nulls or zeros or negatives:
+        if nulls or zeros or negatives or timewarp:
             cols = con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
@@ -158,9 +185,13 @@ def build_truncated_dir(
                 proj = ", ".join(
                     _zero_expr(n, ty) for n, ty, *_rest in cols
                 )
-            else:
+            elif negatives:
                 proj = ", ".join(
                     _neg_expr(n, ty) for n, ty, *_rest in cols
+                )
+            else:
+                proj = ", ".join(
+                    _warp_expr(n, ty) for n, ty, *_rest in cols
                 )
         base = (
             f"SELECT {proj} FROM read_parquet('{src}/{t}.parquet') "
@@ -186,12 +217,15 @@ def main() -> int:
     zeros = "--zeros" in sys.argv
     dup = "--dup" in sys.argv
     negatives = "--negatives" in sys.argv
+    timewarp = "--timewarp" in sys.argv
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
-    if (nulls or zeros or dup or negatives) and not rows:
+    if (nulls or zeros or dup or negatives or timewarp) and not rows:
         rows = 200
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    empty_dir = build_truncated_dir(src, rows, nulls, zeros, dup, negatives)
+    empty_dir = build_truncated_dir(
+        src, rows, nulls, zeros, dup, negatives, timewarp
+    )
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
