@@ -582,3 +582,62 @@ def test_asof_tolerance_equals_pandas_merge_asof(
         for r in merged.itertuples()
     }
     assert got == expected
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-1e3, max_value=1e3, allow_nan=False
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+            st.lists(
+                st.floats(
+                    min_value=-1e3, max_value=1e3, allow_nan=False
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    zero_a=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_cosine_guard_matches_numpy(spark, vecs, zero_a):
+    """The ANSI zero-denominator guard (``cosine_ratio_col``) against
+    a numpy reference over random vectors: nonzero-norm pairs must
+    match numpy's cosine to 1e-9 (the nullif guard passes nonzero
+    denominators through bit-unchanged), and a planted zero vector
+    must yield NULL — never an ANSI DIVIDE_BY_ZERO job kill."""
+    import math
+
+    import numpy as np
+
+    from aws_lakehouse_spark.llm.similarity import cosine_sim_col
+
+    rows = [list(t) for t in vecs]
+    if zero_a:
+        rows[0] = ([0.0] * 4, rows[0][1])
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "i bigint, a array<double>, b array<double>",
+    )
+    got = {
+        r["i"]: r["sim"]
+        for r in df.select(
+            "i", cosine_sim_col(F.col("a"), F.col("b")).alias("sim")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(rows):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na * nb == 0.0:
+            assert got[i] is None, (i, got[i])
+        else:
+            want = float(np.dot(a, b) / (na * nb))
+            assert got[i] is not None and not math.isnan(got[i]), i
+            assert abs(got[i] - want) < 1e-9, (i, got[i], want)
