@@ -297,6 +297,9 @@ def connected_components(
     threshold and each round must be a co-partitioned join with zero
     exchange on the edge side.
     """
+    from aws_lakehouse_spark.operators.graph import _check_pin
+
+    _check_pin(pin)
     # no .distinct() on edges: every downstream use is a min
     # aggregation, which duplicate edges cannot perturb — the
     # dedup shuffle would be pure overhead

@@ -119,6 +119,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 DEFAULT_MAX_DEGREE = 100_000
 
 
+def _check_pin(pin: str) -> None:
+    """The two materialization regimes are exact strings; anything
+    else ("Persist", "cache", a typo) must error rather than silently
+    fall through to the checkpoint path — a caller targeting the
+    past-broadcast-threshold regime would otherwise get the wrong
+    materialization with no signal."""
+    if pin not in ("checkpoint", "persist"):
+        raise ValueError(
+            f"pin must be 'checkpoint' or 'persist', got {pin!r}"
+        )
+
+
 def sliced_adjacency(
     edges: DataFrame, max_degree: int = DEFAULT_MAX_DEGREE
 ) -> DataFrame:
@@ -218,6 +230,7 @@ def _pagerank_rounds(
 
     Callers targeting rank vectors past the broadcast threshold pass
     ``pin="persist"``; everything below takes the measured default."""
+    _check_pin(pin)
     if pin == "persist":
         sliced = sliced.repartition("src").persist()
     else:
@@ -366,6 +379,7 @@ def label_propagation(
     of the wall and the tree only needs bounding, not flattening);
     total cost stays O(rounds) keyed shuffles.
     """
+    _check_pin(pin)
     if pin == "persist":
         # keeps the hashpartitioning(src) fact for the co-partitioned
         # SMJ regime (label vector past the broadcast threshold)

@@ -15,9 +15,14 @@ schema."""
 from __future__ import annotations
 
 import os
+import sys
 
 import duckdb
 import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+)
 
 from aws_lakehouse_spark.registry import load_all
 
@@ -187,16 +192,12 @@ def zeros_sf_dir(tmp_path_factory):
     """Keys survive; every measure becomes its type's zero (numbers
     0, strings '', float arrays zero-vectors) — plans still join and
     group normally, but every ratio's denominator hits 0."""
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
-    )
     from empty_sweep import build_truncated_dir
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    return build_truncated_dir(src, 200, zeros=True)
+    return build_truncated_dir(
+        src, 200, zeros=True, out=str(tmp_path_factory.mktemp("sf_zeros"))
+    )
 
 
 @pytest.mark.parametrize("name", ZEROS_PREVIOUSLY_CRASHING)
@@ -223,16 +224,12 @@ DUP_PREVIOUSLY_CRASHING = [
 
 @pytest.fixture(scope="module")
 def dup_sf_dir(tmp_path_factory):
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
-    )
     from empty_sweep import build_truncated_dir
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    return build_truncated_dir(src, 200, dup=True)
+    return build_truncated_dir(
+        src, 200, dup=True, out=str(tmp_path_factory.mktemp("sf_dup"))
+    )
 
 
 @pytest.mark.parametrize("name", DUP_PREVIOUSLY_CRASHING)

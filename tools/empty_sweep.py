@@ -148,12 +148,16 @@ def build_truncated_dir(
     dup: bool = False,
     negatives: bool = False,
     timewarp: bool = False,
+    out: str | None = None,
 ) -> str:
     """``rows``-row parquet per table, preserving physical types
     (duckdb round-trips TIMESTAMP_NS for the events table). With
     ``nulls``, every column except each table's first is NULLed; with
     ``zeros``, keys survive but every measure is zeroed
-    (:func:`_zero_expr`)."""
+    (:func:`_zero_expr`). ``out`` names the destination directory
+    (callers with managed temp dirs — pytest's tmp_path_factory —
+    pass one so the build is cleaned up with the session); default
+    is a fresh ``tempfile.mkdtemp``."""
     import duckdb
 
     if nulls:
@@ -168,7 +172,10 @@ def build_truncated_dir(
         tag = "warp"
     else:
         tag = f"rows{rows}"
-    out = tempfile.mkdtemp(prefix=f"lakehouse_sf_{tag}_")
+    if out is None:
+        out = tempfile.mkdtemp(prefix=f"lakehouse_sf_{tag}_")
+    else:
+        os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
         proj = "*"
@@ -200,8 +207,15 @@ def build_truncated_dir(
         if dup:
             # the replayed-batch shape: the SAME physical rows appear
             # twice (primary keys collide), as an at-least-once ingest
-            # retry produces
-            base = f"SELECT * FROM ({base}) UNION ALL SELECT * FROM ({base})"
+            # retry produces. The selection is materialized ONCE and
+            # unioned with itself — evaluating the LIMIT subquery
+            # twice would only pick identical rows while DuckDB's
+            # preserve_insertion_order default holds, which is an
+            # implicit contract, not a guaranteed one.
+            con.execute(f'CREATE OR REPLACE TEMP TABLE "__dup" AS {base}')
+            base = (
+                'SELECT * FROM "__dup" UNION ALL SELECT * FROM "__dup"'
+            )
         con.execute(
             f"COPY ({base}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )

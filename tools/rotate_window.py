@@ -76,7 +76,19 @@ def next_window(pinned: list[str]) -> list[str]:
     if unknown:
         raise SystemExit(f"unknown pinned queries: {unknown}")
     ungraded = sorted(n for n in oracle_backed if n not in graded)
-    window = [n for n in pinned if n in ungraded]
+    dropped = [n for n in pinned if n not in ungraded]
+    if dropped:
+        # a pinned name that is already graded or rows-only would be
+        # silently omitted — the operator explicitly asked for it, so
+        # refuse rather than quietly rotate a different window
+        detail = {
+            n: "rows-only (oracle=None)"
+            if REGISTRY[n].oracle is None
+            else f"already graded green in r{graded[n]}"
+            for n in dropped
+        }
+        raise SystemExit(f"pinned queries excluded from window: {detail}")
+    window = list(pinned)
     window += [n for n in ungraded if n not in window][: WINDOW - len(window)]
     if len(window) < WINDOW:
         # debt cleared: pad with the stalest green rows for re-verification
