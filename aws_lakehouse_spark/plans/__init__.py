@@ -36,77 +36,80 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
 from aws_lakehouse_spark.registry import REGISTRY
 
 # The driver's correctness gate grades exactly the FIRST 50 entries of
-# the registry dict. Cumulative r1-r4 banked green rows for 197 of the
-# 328 registered queries; 131 oracle-backed queries have never had a
-# driver row (all 131 are judge-green in JUDGE_ORACLE_r4). The ROUND 5
-# window below follows the r4 verdict's explicit prioritization: the 14
-# ungraded snapshot_* faces, the graph tier, ts_*/window_*, sql_*
-# (recursive CTE / lateral / pipe syntax / parameterized), the r4
-# retrieval additions (IVF-PQ, PQ/ADC, recall eval, BM25, hybrid RRF),
-# then 9 high-traffic LLM-pipeline fills (RAG index, BPE encode, DSIR,
-# span-dedup apply, JSD, curriculum, incremental bloom dedup, k-means
-# iterate, PCA covariance). Previously-green queries follow (rows
-# banked); rows-only specs (oracle=None, e.g. embed_pca_project) stay
-# dead last and never enter the graded window.
+# the registry dict. Cumulative r1-r5 banked green rows for 247 of the
+# 328 registered queries; 81 oracle-backed queries have never had a
+# driver row (all 81 are judge-green in JUDGE_ORACLE_r5). The ROUND 6
+# window below follows the r5 verdict's explicit prioritization:
+# sql_pipe_syntax FIRST (its r5 row is a stale red — the float-
+# association fix landed pre-gate and re-verified bitwise green; this
+# window turns the contract record green), then the verdict-named
+# user-hot tiers pinned ahead of the alphabetical queue: the 10
+# quality_* data-quality checks, the 7 join_* strategies (as-of
+# tolerance, bloom prefilter, bucketed co-located, dynamic partition
+# pruning, longest-prefix, null-safe, SCD2 point-in-time), and the
+# queue's own first 32 (all 12 agg_* analytics, all 10 events_*
+# behavioral, plus ann_range/customer_*/dedup_*/embed_*/format_*/
+# geo_grid). Previously-green queries follow (rows banked); rows-only
+# specs (oracle=None, e.g. embed_pca_project) stay dead last and never
+# enter the graded window.
 #
-# Registry growth stays FROZEN (r4 verdict item 2) until the debt
-# clears: 131 -> 81 -> 31 -> 0 over r5-r7. Rounds 6 and 7 rotate onto
-# the remaining 81 in alphabetical order (agg_abc_classification ..
-# media_image_neardup for r6; media_scene_cuts .. udaf_grouped_geomean
-# for r7). `python tools/rotate_window.py --apply` (run AFTER the
-# driver writes CORRECTNESS_r05.json) computes and rewrites the next
-# window mechanically; update this comment with the round's rationale.
+# Registry growth stays FROZEN (r5 verdict item 5) until the debt
+# clears: 81 -> 31 -> 0 over r6-r7. Round 7 mops up the remaining 31
+# (geo_haversine_neighbor_join .. udaf_grouped_geomean, alphabetical).
+# `python tools/rotate_window.py --apply` (run AFTER the driver writes
+# CORRECTNESS_r06.json) computes and rewrites the next window
+# mechanically; update this comment with the round's rationale.
 _PRIORITY = [
-    "snapshot_bloom_pruned_scan",
-    "snapshot_branch_merge",
-    "snapshot_check_constraints",
-    "snapshot_clone_shallow",
-    "snapshot_history_table",
-    "snapshot_incremental_scan",
-    "snapshot_optimize_zorder",
-    "snapshot_partition_evolution",
-    "snapshot_rewrite_files",
-    "snapshot_rollback_restore",
-    "snapshot_segmented_manifest",
-    "snapshot_stats_pruned_scan",
-    "snapshot_tagged_read",
-    "snapshot_wap_publish",
-    "graph_adamic_adar",
-    "graph_bfs_distance",
-    "graph_connected_components",
-    "graph_degree_distribution",
-    "graph_label_propagation",
-    "graph_pagerank_topk",
-    "graph_triangle_count",
-    "ts_anomaly_mad",
-    "ts_autocorrelation",
-    "ts_gap_fill",
-    "ts_linear_trend",
-    "ts_seasonal_decompose",
-    "ts_theil_sen_slope",
-    "window_cumulative_distinct",
-    "window_ntile_deciles",
-    "window_percent_rank_cume",
-    "window_period_over_period",
-    "window_range_interval_frame",
-    "sql_lateral_topk",
-    "sql_parameterized_query",
     "sql_pipe_syntax",
-    "sql_recursive_cte",
-    "ann_ivf_pq",
-    "ann_product_quantization",
-    "ann_recall_eval",
-    "text_bm25_topk",
-    "ann_hybrid_rrf",
-    "rag_index_pipeline",
-    "text_bpe_encode",
-    "text_dsir_importance",
-    "text_span_dedup_apply",
-    "text_jsd_langs",
-    "text_curriculum_order",
-    "dedup_incremental_bloom",
-    "embed_kmeans_iteration",
-    "embed_pca_covariance",
+    "quality_ab_ttest",
+    "quality_benford_drift",
+    "quality_chisquare_drift",
+    "quality_entropy_profile",
+    "quality_k_anonymity",
+    "quality_ks_drift",
+    "quality_psi_drift",
+    "quality_ratio_delta_method",
+    "quality_referential_integrity",
+    "quality_winsorize",
+    "join_asof_tolerance",
+    "join_bloom_prefilter",
+    "join_bucketed_colocated",
+    "join_dynamic_partition_pruning",
+    "join_longest_prefix",
+    "join_null_safe",
+    "join_scd2_pointintime",
+    "agg_abc_classification",
+    "agg_bitmap_distinct",
+    "agg_correlation_matrix",
+    "agg_countmin_heavy_hitters",
+    "agg_extended_moments",
+    "agg_filtered_kpis",
+    "agg_gini_concentration",
+    "agg_hierarchy_rollup",
+    "agg_hll_intersection",
+    "agg_hll_partial_merge",
+    "agg_market_share_hhi",
+    "agg_price_elasticity",
+    "ann_range_search",
+    "customer_rfm_segmentation",
+    "customer_survival_km",
+    "dedup_cluster_survivor_quality",
+    "dedup_minhash_jaccard_estimate",
+    "embed_drift_monitor",
+    "embed_matryoshka_topk",
+    "events_bounce_rate",
+    "events_burstiness_fano",
+    "events_cohort_retention",
+    "events_cusum_changepoint",
+    "events_ewma_trailing",
+    "events_funnel_steps",
+    "events_interval_merge",
+    "events_stream_stream_join",
+    "events_time_to_convert",
+    "events_top_paths",
+    "format_roundtrip_json",
+    "format_roundtrip_xml",
+    "geo_grid_density",
     # --- index 50 boundary: the graded window ends here ---
 ]
 
