@@ -5,10 +5,16 @@ Runs the engine's headline queries (the ``bench=True`` registry
 entries: cleanse filter, as-of join, event windows, the flagship
 star-revenue query, dedup, token counting, similarity search) at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": 0.1}
+
+The line is kept to exactly those keys so it fits the driver's
+bounded output-tail capture (round 5's line, grown to ~4 KB by
+stddev + canaries, came back ``parsed: null``). Per-trial samples,
+stddev, GC-robust trimmed means, and the host-speed canaries land in
+``BENCH_DETAIL.json`` next to this script.
 
 Each query executes its full physical plan into the no-op sink —
 real scan/shuffle/compute work, nothing collected to the driver.
@@ -95,10 +101,16 @@ def run() -> dict:
     # n>=5 trials per query: with n=2 a ±50% swing is unreadable
     # (round-2 lesson); best-of-n stays the headline number (first
     # run pays codegen compile, spikes are host-load noise), stddev
-    # over the warm trials (all but the first) quantifies that noise
+    # over the warm trials (all but the first) quantifies that noise.
+    # Pinned plans (localCheckpoint kernels) are GC-BIMODAL: one
+    # outlier trial can double the mean, so the detail file also
+    # carries a trimmed mean (warm trials minus the single worst) —
+    # the statistic to trust when stddev rivals the mean.
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    trimmed: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name, spec in headline.items():
         samples: list[float] = []
         for _ in range(trials):
@@ -112,6 +124,9 @@ def run() -> dict:
         spreads[name] = round(
             (sum((s - mean) ** 2 for s in warm) / len(warm)) ** 0.5, 3
         )
+        trim = sorted(warm)[:-1] or warm
+        trimmed[name] = round(sum(trim) / len(trim), 3)
+        raw[name] = [round(s, 3) for s in samples]
         # isolation between queries: drop any cache a query left
         # behind and nudge the JVM to release trial localCheckpoint
         # RDDs now, so query N's leftovers can't inflate query N+1
@@ -123,14 +138,27 @@ def run() -> dict:
             pass
 
     spark.stop()
-    return {
+    # The driver machine-reads ONLY the final stdout line, through a
+    # bounded output-tail capture that truncated round 5's ~4 KB line
+    # (BENCH_r05.json came back parsed:null). The headline line
+    # therefore carries exactly the driver-contract keys (~1 KB for
+    # 32 queries); everything else — per-trial samples, stddev,
+    # trimmed means, host canaries — goes to the sidecar.
+    headline_line = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "stddev": spreads,
-        "trials": trials,
         "sf": sf,
+    }
+    detail = {
+        **headline_line,
+        "trials": trials,
+        "stddev": spreads,
+        # warm trials minus the single worst: robust to the one-GC-
+        # spike bimodality of pinned plans (round-5 verdict item 4)
+        "trimmed_mean": trimmed,
+        "samples": raw,
         # host-speed canaries: calib_cpu_sec is a pinned single-thread
         # matmul; calib_spark_sec is a fixed all-cores synthetic Spark
         # job (see above — it tracks throttling the matmul misses).
@@ -138,7 +166,15 @@ def run() -> dict:
         "calib_cpu_sec": calib,
         "calib_spark_sec": calib_spark,
     }
+    return headline_line, detail
 
 
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    headline_line, detail = run()
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"detail (stddev / trimmed means / samples / canaries): {sidecar}")
+    print(json.dumps(headline_line))
