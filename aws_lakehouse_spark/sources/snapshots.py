@@ -118,18 +118,22 @@ def _read_manifest(table_path: str, version: int) -> dict:
     files: set[str] = set()
     stats: dict = {}
     bloom: dict = {}
+    rows: dict = {}
     for name in m["segments"]:
         with open(os.path.join(_segments_dir(table_path), name)) as fh:
             seg = json.load(fh)
         files.update(seg["files"])
         stats.update(seg.get("stats", {}))
         bloom.update(seg.get("bloom", {}))
+        rows.update(seg.get("rows", {}))
     out = dict(m)
     out["files"] = sorted(files)
     if stats:
         out["stats"] = stats
     if bloom:
         out["bloom"] = bloom
+    if rows:
+        out["rows"] = rows
     return out
 
 
@@ -176,6 +180,15 @@ def _file_column_stats(path: str, cols: list[str]) -> dict:
         if lo is not None:
             out[col] = [safe(lo), safe(hi)]
     return out
+
+
+def _file_row_count(path: str) -> int:
+    """Row count from the parquet FOOTER — no data pages read. Every
+    commit records this per new file so version-level row counts
+    (``snapshot_history``) are a metadata sum, never a scan job."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def snapshot_write(
@@ -261,6 +274,7 @@ def snapshot_write(
     version = (vs[-1] + 1) if vs else 0
     stats: dict = {}
     bloom: dict = {}
+    rows: dict = {}
     # append base: the branch head for branch commits, else the last
     # PUBLISHED state — a staged snapshot must never become part of
     # another write's lineage before publish
@@ -276,6 +290,7 @@ def snapshot_write(
         live = prev["files"]
         stats.update(prev.get("stats", {}))
         bloom.update(prev.get("bloom", {}))
+        rows.update(prev.get("rows", {}))
         prev_segments = _read_manifest_raw(table_path, base_v).get(
             "segments"
         )
@@ -291,6 +306,10 @@ def snapshot_write(
             bloom[f] = _file_bloom(
                 os.path.join(table_path, f), list(bloom_cols)
             )
+    for f in new_files:
+        # always recorded (one footer read per just-written file):
+        # keeps snapshot_history metadata-only at any table size
+        rows[f] = _file_row_count(os.path.join(table_path, f))
     manifest = {
         "version": version,
         "mode": mode,
@@ -312,6 +331,7 @@ def snapshot_write(
                             "files": list(prev["files"]),
                             "stats": prev.get("stats", {}),
                             "bloom": prev.get("bloom", {}),
+                            "rows": prev.get("rows", {}),
                         },
                     )
                 )
@@ -327,6 +347,9 @@ def snapshot_write(
                         "bloom": {
                             f: bloom[f] for f in new_files if f in bloom
                         },
+                        "rows": {
+                            f: rows[f] for f in new_files if f in rows
+                        },
                     },
                 )
             )
@@ -340,6 +363,10 @@ def snapshot_write(
         if bloom:
             manifest["bloom"] = {
                 f: bloom[f] for f in manifest["files"] if f in bloom
+            }
+        if rows:
+            manifest["rows"] = {
+                f: rows[f] for f in manifest["files"] if f in rows
             }
     if staged_id is not None:
         manifest["staged"] = staged_id
@@ -419,6 +446,8 @@ def publish_staged(table_path: str, staged_id: str) -> int:
         manifest["stats"] = target["stats"]
     if target.get("bloom"):
         manifest["bloom"] = target["bloom"]
+    if target.get("rows"):
+        manifest["rows"] = target["rows"]
     _commit_manifest(table_path, new_version, manifest)
     return new_version
 
@@ -1175,6 +1204,8 @@ def rollback_to(table_path: str, version: int) -> int:
         manifest["stats"] = target["stats"]
     if target.get("bloom"):
         manifest["bloom"] = target["bloom"]
+    if target.get("rows"):
+        manifest["rows"] = target["rows"]
     _commit_manifest(table_path, new_version, manifest)
     return new_version
 
@@ -1229,6 +1260,10 @@ def clone_snapshot(
     if src.get("bloom"):
         manifest["bloom"] = {
             remap[f]: b for f, b in src["bloom"].items() if f in remap
+        }
+    if src.get("rows"):
+        manifest["rows"] = {
+            remap[f]: n for f, n in src["rows"].items() if f in remap
         }
     _commit_manifest(dst_table, 0, manifest)
     return 0
@@ -1455,6 +1490,8 @@ def fast_forward_main(table_path: str, name: str) -> int:
         manifest["stats"] = target["stats"]
     if target.get("bloom"):
         manifest["bloom"] = target["bloom"]
+    if target.get("rows"):
+        manifest["rows"] = target["rows"]
     _commit_manifest(table_path, new_version, manifest)
     # continue-then-merge-again: the branch keeps its head, but its
     # fork base advances to the commit main just gained
@@ -1466,24 +1503,23 @@ def snapshot_history(spark: SparkSession, table_path: str) -> DataFrame:
     """Iceberg's ``table.history`` / Delta's ``DESCRIBE HISTORY`` as
     a queryable DataFrame: one row per committed version with its
     mode, file count, row count, and main-visibility — the metadata
-    table operators point dashboards and audits at. Planning data
-    (version, mode, n_files, published) is metadata-only; ``n_rows``
-    triggers one count per version over that version's (pruned) file
-    list, so cost is proportional to the versions you ask about —
-    at scale, select versions first, then count."""
+    table operators point dashboards and audits at. METADATA-ONLY:
+    every commit records per-file row counts in its manifest (one
+    parquet-footer read per file at write time), so ``n_rows`` is a
+    manifest sum — the history of a petabyte table costs zero scan
+    jobs. Versions committed before row counts were recorded (or
+    whose manifests miss a file's count) fall back to one count job
+    over that version's file list, so old logs stay readable."""
     rows = []
     pub = set(published_versions(table_path))
     for v in versions(table_path):
         m = _read_manifest(table_path, v)
-        rows.append(
-            (
-                v,
-                m.get("mode", ""),
-                len(m["files"]),
-                read_snapshot(spark, table_path, v).count(),
-                v in pub,
-            )
-        )
+        file_rows = m.get("rows", {})
+        if all(f in file_rows for f in m["files"]):
+            n_rows = sum(file_rows[f] for f in m["files"])
+        else:
+            n_rows = read_snapshot(spark, table_path, v).count()
+        rows.append((v, m.get("mode", ""), len(m["files"]), n_rows, v in pub))
     return spark.createDataFrame(
         rows,
         "version int, mode string, n_files bigint, n_rows bigint, "

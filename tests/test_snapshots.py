@@ -1245,3 +1245,45 @@ def test_check_constraints_gate_writes(spark, table_path):
     )
     with pytest.raises(snapshots.ConstraintViolationError):
         snapshots.checked_snapshot_write(spark, nullish, table_path, "append")
+
+
+def test_snapshot_history_is_metadata_only(spark, table_path, monkeypatch):
+    """Every commit records per-file row counts (one footer read at
+    write time), so history over freshly written logs must never
+    launch a count job — the property that makes pointing a dashboard
+    at a petabyte table's history safe. Locked by poisoning the scan
+    fallback: any read_snapshot call from snapshot_history fails."""
+    snapshots.snapshot_write(spark, _df(spark, 0, 10), table_path, "overwrite")
+    snapshots.snapshot_write(spark, _df(spark, 10, 15), table_path, "append")
+    snapshots.snapshot_write(
+        spark, _df(spark, 100, 103), table_path, "append", segmented=True
+    )
+    snapshots.rollback_to(table_path, 1)
+
+    def boom(*a, **k):
+        raise AssertionError("snapshot_history fell back to a scan job")
+
+    monkeypatch.setattr(snapshots, "read_snapshot", boom)
+    hist = {
+        r["version"]: (r["n_rows"], r["n_files"])
+        for r in snapshots.snapshot_history(spark, table_path).collect()
+    }
+    assert hist[0][0] == 10
+    assert hist[1][0] == 15
+    assert hist[2][0] == 18  # segmented append carries base + batch
+    assert hist[3][0] == 15  # rollback carries the target's counts
+
+
+def test_snapshot_history_counts_pre_rows_manifests(spark, table_path):
+    """Manifests committed before per-file row counts existed (or
+    hand-edited logs missing one) still produce correct history via
+    the one-count-per-version fallback."""
+    import json as _json
+
+    snapshots.snapshot_write(spark, _df(spark, 0, 10), table_path, "overwrite")
+    mf = snapshots._manifest_file(table_path, 0)
+    m = _json.load(open(mf))
+    del m["rows"]  # simulate a pre-round-6 manifest
+    _json.dump(m, open(mf, "w"))
+    hist = snapshots.snapshot_history(spark, table_path).collect()
+    assert hist[0]["n_rows"] == 10
