@@ -982,6 +982,20 @@ def remove_orphans(
     }
 
 
+def _version_row_count(
+    spark: SparkSession, table_path: str, version: int
+) -> int:
+    """Row count of a committed version from manifest metadata (per-
+    file footer counts recorded at write time); falls back to one
+    count job only for pre-row-count logs. Keeps DML reporting and
+    history metadata-only on tables of any size."""
+    m = _read_manifest(table_path, version)
+    file_rows = m.get("rows", {})
+    if all(f in file_rows for f in m["files"]):
+        return sum(file_rows[f] for f in m["files"])
+    return read_snapshot(spark, table_path, version).count()
+
+
 def delete_where(
     spark: SparkSession, table_path: str, predicate
 ) -> dict:
@@ -1001,6 +1015,8 @@ def delete_where(
     """
     import pyspark.sql.functions as F  # noqa: F401 (Column coercion)
 
+    pub = published_versions(table_path)
+    base_v = pub[-1] if pub else versions(table_path)[-1]
     current = read_snapshot(spark, table_path)
     cond = predicate if not isinstance(predicate, str) else F.expr(predicate)
     # Iceberg/Delta DELETE removes rows where the predicate is TRUE;
@@ -1008,13 +1024,16 @@ def delete_where(
     # predicate over a NULL column) are KEPT. A bare filter(~cond)
     # would drop them, silently deleting rows the user never matched.
     survivors = current.filter(~F.coalesce(cond, F.lit(False)))
-    n_before = current.count()
+    # both counts are manifest sums (footer counts recorded at write
+    # time) — the DELETE's only scan is the survivor rewrite itself
+    n_before = _version_row_count(spark, table_path, base_v)
     version = snapshot_write(spark, survivors, table_path, "overwrite")
     return {
         "op": "delete_where",
         "version": version,
         "rows_before": n_before,
-        "rows_deleted": n_before - read_snapshot(spark, table_path).count(),
+        "rows_deleted": n_before
+        - _version_row_count(spark, table_path, version),
     }
 
 
@@ -1514,11 +1533,7 @@ def snapshot_history(spark: SparkSession, table_path: str) -> DataFrame:
     pub = set(published_versions(table_path))
     for v in versions(table_path):
         m = _read_manifest(table_path, v)
-        file_rows = m.get("rows", {})
-        if all(f in file_rows for f in m["files"]):
-            n_rows = sum(file_rows[f] for f in m["files"])
-        else:
-            n_rows = read_snapshot(spark, table_path, v).count()
+        n_rows = _version_row_count(spark, table_path, v)
         rows.append((v, m.get("mode", ""), len(m["files"]), n_rows, v in pub))
     return spark.createDataFrame(
         rows,
