@@ -86,3 +86,14 @@ def code_map(
 def null_or_empty(col: Column) -> Column:
     """F16 — ``IS NULL OR = ''`` three-valued combo."""
     return col.isNull() | (col == F.lit(""))
+
+
+def finite(col: Column) -> Column:
+    """``col`` with NaN/±Inf turned to NULL — the guard for float
+    measures flowing into ANSI integer casts (``floor(x*100)`` cent
+    sums, decile floors): one corrupted upstream value (a bad unit
+    conversion, a sensor overflow) must surface as an excluded NULL,
+    not an ARITHMETIC_OVERFLOW that kills the whole job. On finite
+    inputs this is the identity, so healthy-data results (and oracle
+    parity) are unchanged."""
+    return F.when(~F.isnan(col) & (F.abs(col) != float("inf")), col)

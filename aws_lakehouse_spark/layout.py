@@ -29,8 +29,9 @@ def zorder_code(
 ) -> Column:
     """Morton code: quantize each column to ``bits`` bits over its
     [lo, hi) range, then interleave the bits round-robin. Values
-    outside the range clamp to the edge bins; nulls go to bin 0.
-    Pure integer expressions — whole-stage codegen, no UDF.
+    outside the range clamp to the edge bins; nulls and NaN go to
+    bin 0, ±Inf clamp like any out-of-range value. Pure integer
+    expressions — whole-stage codegen, no UDF.
 
     ``col_ranges`` values (lo, hi) come from table statistics (one
     profiling pass, see ``quality.profile_numeric``) — the code must
@@ -42,13 +43,19 @@ def zorder_code(
     quantized: list[Column] = []
     for c, (lo, hi) in col_ranges.items():
         span = (hi - lo) or 1.0
-        scaled = ((F.col(c).cast("double") - lo) / span * max_bin).cast("long")
-        quantized.append(
-            F.least(
-                F.lit(max_bin).cast("long"),
-                F.greatest(F.lit(0).cast("long"), F.coalesce(scaled, F.lit(0))),
-            )
+        # clamp in DOUBLE space, BEFORE the long cast: an ANSI
+        # session throws casting NaN/Inf (or any scaled value past
+        # the long range) — one corrupt measure must not kill a
+        # compaction job. nanvl first: NaN is "greater than
+        # everything" in least/greatest, so it would otherwise
+        # clamp to the TOP bin instead of the null bin.
+        scaled_d = F.nanvl(
+            (F.col(c).cast("double") - lo) / span * max_bin, F.lit(0.0)
         )
+        scaled = F.least(
+            F.lit(float(max_bin)), F.greatest(F.lit(0.0), scaled_d)
+        ).cast("long")
+        quantized.append(F.coalesce(scaled, F.lit(0).cast("long")))
     code = F.lit(0).cast("long")
     for b in range(bits):
         for i, q in enumerate(quantized):

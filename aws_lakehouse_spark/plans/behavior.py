@@ -777,9 +777,15 @@ def customer_rfm_segmentation_q(
     "(sink_identity_column) over revenue-ordered buckets.",
 )
 def agg_abc_classification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aws_lakehouse_spark.functions.scalar import finite
+
     li = load_table(spark, sf_dir, "lineitem")
+    # finite(): a NaN/Inf price (corrupt ingest) becomes an excluded
+    # NULL instead of an ANSI long-overflow in floor(); identity on
+    # healthy data, so oracle parity is untouched
     cents = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+        finite(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        + 0.5
     ).cast("bigint")
     pr = (
         li.groupBy("l_partkey")

@@ -1141,10 +1141,14 @@ def agg_string_concat_ordered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_mode_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from aws_lakehouse_spark.functions.scalar import finite
+
     ev = load_table(spark, sf_dir, "events")
+    # finite(): a NaN/Inf measure lands in the NULL decile instead of
+    # overflowing the ANSI int cast; identity on healthy data
     counts = ev.groupBy(
         "event_type",
-        F.floor(F.col("value") / 10).cast("int").alias("value_decile"),
+        F.floor(finite(F.col("value")) / 10).cast("int").alias("value_decile"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w = Window.partitionBy("event_type").orderBy(
         F.desc("n"), F.asc("value_decile")

@@ -237,3 +237,59 @@ def test_query_survives_replayed_batches(name, spark, dup_sf_dir):
     df = REGISTRY[name].fn(spark, dup_sf_dir)
     assert df.columns, name
     assert df.count() >= 0, name
+
+
+# the non-finite boundary (--extreme: NaN/+Inf/-Inf flood the float
+# measures, float arrays go all-NaN — a corrupted export or a bad
+# unit conversion). The sweep crashed these 4 before hardening: ANSI
+# sessions throw ARITHMETIC_OVERFLOW casting non-finite doubles to
+# integer types, hit by the integer-cent floor() in ABC
+# classification, the decile floor in mode-per-group, and the
+# Z-order quantizer (which clamped in LONG space, after the cast
+# already threw). Fix pattern: scalar.finite() nulls non-finite
+# measures before the cast; zorder_code clamps in double space.
+EXTREME_PREVIOUSLY_CRASHING = [
+    "agg_abc_classification",
+    "agg_mode_per_group",
+    "snapshot_optimize_zorder",
+    "layout_zorder_pruned_scan",
+]
+
+
+@pytest.fixture(scope="module")
+def extreme_sf_dir(tmp_path_factory):
+    from empty_sweep import build_truncated_dir
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    return build_truncated_dir(
+        src, 200, extreme=True, out=str(tmp_path_factory.mktemp("sf_extreme"))
+    )
+
+
+@pytest.mark.parametrize("name", EXTREME_PREVIOUSLY_CRASHING)
+def test_query_survives_nonfinite_measures(name, spark, extreme_sf_dir):
+    df = REGISTRY[name].fn(spark, extreme_sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name
+
+
+def test_zorder_code_places_nonfinite_at_edge_bins(spark):
+    """The quantizer's documented contract on corrupt values: NaN and
+    NULL share bin 0, -Inf clamps low, +Inf clamps high — and the
+    Morton code never throws under an ANSI session."""
+    from aws_lakehouse_spark.layout import zorder_code
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (float("-inf"),), (None,), (5.0,)],
+        "x double",
+    )
+    codes = [
+        r["z"]
+        for r in df.select(
+            zorder_code({"x": (0.0, 10.0)}, bits=4).alias("z")
+        ).collect()
+    ]
+    nan_c, pinf_c, ninf_c, null_c, mid_c = codes
+    assert nan_c == null_c == ninf_c == 0
+    assert pinf_c == 15
+    assert 0 < mid_c < 15

@@ -48,6 +48,16 @@ tests/test_empty_inputs.py regression-locks the fixed set.
                                            # bugs) — probes date-spine
                                            # sequence() blowups and
                                            # epoch arithmetic range.
+    python tools/empty_sweep.py --extreme  # NaN/+Inf/-Inf flood the
+                                           # float measures; float
+                                           # arrays go all-NaN (a
+                                           # corrupted export, a bad
+                                           # unit conversion) — probes
+                                           # ANSI casts of non-finite
+                                           # values to ints (integer-
+                                           # cent sums), NaN-poisoned
+                                           # aggregates, numpy kernels
+                                           # on non-finite batches.
 """
 
 from __future__ import annotations
@@ -122,6 +132,43 @@ def _neg_expr(name: str, ty: str) -> str:
     return f'"{name}"'
 
 
+def _extreme_expr(name: str, ty: str) -> str:
+    """Adversarial-float projection: every 4th/4th+1/4th+2 row of a
+    float measure becomes NaN / +Inf / -Inf (a corrupted upstream
+    export, a sensor overflow, a bad unit conversion); float-array
+    embeddings go all-NaN on every 4th row. Keys, temporals, ints
+    and decimals pass through — integer overflow under ANSI
+    semantics THROWING is correct behavior, but one NaN price must
+    not crash a 1000-executor analytics job. Probes ANSI casts of
+    NaN/Inf to integer types (integer-cent sums), NaN-poisoned
+    aggregates, numpy kernels fed non-finite batches, and
+    sort/window comparisons over NaN."""
+    lname, lty = name.lower(), ty.upper()
+    keyish = (
+        lname.endswith("key")
+        or lname.endswith("_id")
+        or lname in ("doc_id", "vec_id")
+    )
+    if keyish or "TIMESTAMP" in lty or "DATE" in lty:
+        return f'"{name}"'
+    if lty.endswith("[]") and ("FLOAT" in lty or "DOUBLE" in lty):
+        elem = ty[:-2]
+        return (
+            f'CASE WHEN row_number() OVER () % 4 = 0 THEN '
+            f'list_transform("{name}", x -> CAST(\'NaN\' AS {elem})) '
+            f'ELSE "{name}" END AS "{name}"'
+        )
+    if lty.startswith(("DOUBLE", "FLOAT", "REAL")):
+        return (
+            f'CASE row_number() OVER () % 4 '
+            f"WHEN 0 THEN CAST('NaN' AS {ty}) "
+            f"WHEN 1 THEN CAST('Infinity' AS {ty}) "
+            f"WHEN 2 THEN CAST('-Infinity' AS {ty}) "
+            f'ELSE "{name}" END AS "{name}"'
+        )
+    return f'"{name}"'
+
+
 def _warp_expr(name: str, ty: str) -> str:
     """Adversarial-clock projection: temporal columns scatter across
     three centuries (row parity decides -100y or +200y — the clock-
@@ -148,6 +195,7 @@ def build_truncated_dir(
     dup: bool = False,
     negatives: bool = False,
     timewarp: bool = False,
+    extreme: bool = False,
     out: str | None = None,
 ) -> str:
     """``rows``-row parquet per table, preserving physical types
@@ -170,6 +218,8 @@ def build_truncated_dir(
         tag = "neg"
     elif timewarp:
         tag = "warp"
+    elif extreme:
+        tag = "extreme"
     else:
         tag = f"rows{rows}"
     if out is None:
@@ -179,7 +229,7 @@ def build_truncated_dir(
     con = duckdb.connect()
     for t in TABLES:
         proj = "*"
-        if nulls or zeros or negatives or timewarp:
+        if nulls or zeros or negatives or timewarp or extreme:
             cols = con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
@@ -195,6 +245,10 @@ def build_truncated_dir(
             elif negatives:
                 proj = ", ".join(
                     _neg_expr(n, ty) for n, ty, *_rest in cols
+                )
+            elif extreme:
+                proj = ", ".join(
+                    _extreme_expr(n, ty) for n, ty, *_rest in cols
                 )
             else:
                 proj = ", ".join(
@@ -232,13 +286,14 @@ def main() -> int:
     dup = "--dup" in sys.argv
     negatives = "--negatives" in sys.argv
     timewarp = "--timewarp" in sys.argv
+    extreme = "--extreme" in sys.argv
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
-    if (nulls or zeros or dup or negatives or timewarp) and not rows:
+    if (nulls or zeros or dup or negatives or timewarp or extreme) and not rows:
         rows = 200
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     empty_dir = build_truncated_dir(
-        src, rows, nulls, zeros, dup, negatives, timewarp
+        src, rows, nulls, zeros, dup, negatives, timewarp, extreme
     )
     spark = (
         SparkSession.builder.master("local[8]")
