@@ -1984,7 +1984,10 @@ def text_dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (
         docs.select(
             "doc_id",
-            (F.substring("source", 4, 10).cast("bigint") < 5).alias(
+            # try_cast: source tags are free text in the wild — a
+            # non-numeric suffix must score as non-target (NULL is
+            # falsy in the count-if), not throw an ANSI cast error
+            (F.substring("source", 4, 10).try_cast("bigint") < 5).alias(
                 "is_target"
             ),
             F.explode(bigram_arr).alias("bigram"),

@@ -293,3 +293,34 @@ def test_zorder_code_places_nonfinite_at_edge_bins(spark):
     assert nan_c == null_c == ninf_c == 0
     assert pinf_c == 15
     assert 0 < mid_c < 15
+
+
+# the hostile-text boundary (--unicode: astral emoji, RTL with
+# combining marks, CJK with zero-width joiners appended to every
+# string column — document sources and ids are arbitrary bytes in
+# the wild). The sweep crashed 1 before hardening: DSIR's target-
+# domain flag cast a source-tag suffix to BIGINT, which ANSI throws
+# on for non-numeric text; now try_cast (NULL = non-target).
+UNICODE_PREVIOUSLY_CRASHING = [
+    "text_dsir_importance",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory):
+    from empty_sweep import build_truncated_dir
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    return build_truncated_dir(
+        src,
+        200,
+        unicode_=True,
+        out=str(tmp_path_factory.mktemp("sf_unicode")),
+    )
+
+
+@pytest.mark.parametrize("name", UNICODE_PREVIOUSLY_CRASHING)
+def test_query_survives_hostile_text(name, spark, unicode_sf_dir):
+    df = REGISTRY[name].fn(spark, unicode_sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name

@@ -58,6 +58,15 @@ tests/test_empty_inputs.py regression-locks the fixed set.
                                            # cent sums), NaN-poisoned
                                            # aggregates, numpy kernels
                                            # on non-finite batches.
+    python tools/empty_sweep.py --unicode  # astral emoji, RTL with
+                                           # combining marks, CJK with
+                                           # zero-width joiners
+                                           # appended to every string
+                                           # column — probes byte-vs-
+                                           # codepoint assumptions in
+                                           # tokenizers/BPE/shingles,
+                                           # regex boundaries, lang-ID
+                                           # n-grams, collation.
 """
 
 from __future__ import annotations
@@ -169,6 +178,28 @@ def _extreme_expr(name: str, ty: str) -> str:
     return f'"{name}"'
 
 
+def _unicode_expr(name: str, ty: str) -> str:
+    """Adversarial-text projection: every string column (keys too —
+    document ids in the wild are arbitrary bytes) gets a unicode-
+    hostile payload appended by row parity — astral-plane emoji +
+    mathematical alphanumerics (code points past the BMP, where
+    UTF-16 length != code-point count), RTL Arabic/Hebrew with
+    combining marks, CJK with zero-width joiners and NBSP. Probes
+    byte-vs-codepoint assumptions in tokenizers/BPE/shingles, regex
+    word boundaries, language-ID n-grams, collation grouping, and
+    fixed-width slicing."""
+    lty = ty.upper()
+    if "VARCHAR" in lty and "[" not in lty:
+        return (
+            f'CASE row_number() OVER () % 4 '
+            f"WHEN 0 THEN \"{name}\" || ' \U0001f99c\U0001d518\U0001d52b\U0001d526' "
+            f"WHEN 1 THEN \"{name}\" || ' العربية עִבְרִית' "
+            f"WHEN 2 THEN \"{name}\" || ' 中文‍ 日本語' "
+            f'ELSE "{name}" END AS "{name}"'
+        )
+    return f'"{name}"'
+
+
 def _warp_expr(name: str, ty: str) -> str:
     """Adversarial-clock projection: temporal columns scatter across
     three centuries (row parity decides -100y or +200y — the clock-
@@ -196,6 +227,7 @@ def build_truncated_dir(
     negatives: bool = False,
     timewarp: bool = False,
     extreme: bool = False,
+    unicode_: bool = False,
     out: str | None = None,
 ) -> str:
     """``rows``-row parquet per table, preserving physical types
@@ -220,6 +252,8 @@ def build_truncated_dir(
         tag = "warp"
     elif extreme:
         tag = "extreme"
+    elif unicode_:
+        tag = "unicode"
     else:
         tag = f"rows{rows}"
     if out is None:
@@ -229,7 +263,7 @@ def build_truncated_dir(
     con = duckdb.connect()
     for t in TABLES:
         proj = "*"
-        if nulls or zeros or negatives or timewarp or extreme:
+        if nulls or zeros or negatives or timewarp or extreme or unicode_:
             cols = con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
@@ -249,6 +283,10 @@ def build_truncated_dir(
             elif extreme:
                 proj = ", ".join(
                     _extreme_expr(n, ty) for n, ty, *_rest in cols
+                )
+            elif unicode_:
+                proj = ", ".join(
+                    _unicode_expr(n, ty) for n, ty, *_rest in cols
                 )
             else:
                 proj = ", ".join(
@@ -287,13 +325,16 @@ def main() -> int:
     negatives = "--negatives" in sys.argv
     timewarp = "--timewarp" in sys.argv
     extreme = "--extreme" in sys.argv
+    unicode_ = "--unicode" in sys.argv
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
-    if (nulls or zeros or dup or negatives or timewarp or extreme) and not rows:
+    if (
+        nulls or zeros or dup or negatives or timewarp or extreme or unicode_
+    ) and not rows:
         rows = 200
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     empty_dir = build_truncated_dir(
-        src, rows, nulls, zeros, dup, negatives, timewarp, extreme
+        src, rows, nulls, zeros, dup, negatives, timewarp, extreme, unicode_
     )
     spark = (
         SparkSession.builder.master("local[8]")
