@@ -132,7 +132,9 @@ def _neg_expr(name: str, ty: str) -> str:
         or lname.endswith("_id")
         or lname in ("doc_id", "vec_id")
     )
-    if keyish or "TIMESTAMP" in lty or "DATE" in lty:
+    if keyish or "TIMESTAMP" in lty or "DATE" in lty or "[" in lty:
+        # "[" — FLOAT[] embeddings match startswith("FLOAT") but
+        # -abs(list) is not a thing; arrays are untouched by design
         return f'"{name}"'
     if lty.startswith(("DECIMAL", "DOUBLE", "FLOAT", "REAL")) or lty in (
         "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT",
