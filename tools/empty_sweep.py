@@ -101,8 +101,11 @@ def _zero_expr(name: str, ty: str) -> str:
     )
     if keyish or "TIMESTAMP" in lty or "DATE" in lty:
         return f'"{name}"'
-    if lty.endswith("[]") and ("FLOAT" in lty or "DOUBLE" in lty):
-        elem = ty[:-2]
+    if "[" in lty and ("FLOAT" in lty or "DOUBLE" in lty):
+        # covers both list (FLOAT[]) and fixed-size (FLOAT[64])
+        # reportings — a bare CAST(0 AS FLOAT[64]) would crash the
+        # builder the way -abs(FLOAT[]) crashed --negatives
+        elem = ty.split("[", 1)[0]
         return (
             f'list_transform("{name}", x -> CAST(0 AS {elem})) '
             f'AS "{name}"'
@@ -162,14 +165,15 @@ def _extreme_expr(name: str, ty: str) -> str:
     )
     if keyish or "TIMESTAMP" in lty or "DATE" in lty:
         return f'"{name}"'
-    if lty.endswith("[]") and ("FLOAT" in lty or "DOUBLE" in lty):
-        elem = ty[:-2]
+    if "[" in lty and ("FLOAT" in lty or "DOUBLE" in lty):
+        # list (FLOAT[]) or fixed-size (FLOAT[64]) reportings
+        elem = ty.split("[", 1)[0]
         return (
             f'CASE WHEN row_number() OVER () % 4 = 0 THEN '
             f'list_transform("{name}", x -> CAST(\'NaN\' AS {elem})) '
             f'ELSE "{name}" END AS "{name}"'
         )
-    if lty.startswith(("DOUBLE", "FLOAT", "REAL")):
+    if "[" not in lty and lty.startswith(("DOUBLE", "FLOAT", "REAL")):
         return (
             f'CASE row_number() OVER () % 4 '
             f"WHEN 0 THEN CAST('NaN' AS {ty}) "
