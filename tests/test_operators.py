@@ -300,3 +300,39 @@ def test_asof_nearest_row_atomic_null_value(spark):
         left, right, ["k"], "t", ["v"], tolerance=50
     ).collect()[0]
     assert row["t_asof"] == 99 and row["v_asof"] is None
+
+
+def test_finite_guard_nulls_nonfinite_only(spark):
+    """scalar.finite(): NaN/+Inf/-Inf become NULL (excluded from any
+    downstream aggregate or integer cast); finite values — including
+    the extremes a clamp might mangle — pass through unchanged."""
+    from aws_lakehouse_spark.functions import scalar as S
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (float("nan"),),
+            (float("inf"),),
+            (float("-inf"),),
+            (0.0,),
+            (-1.5e308,),
+            (1.5e308,),
+            (None,),
+        ],
+        "x double",
+    )
+    got = [r["y"] for r in df.select(S.finite(F.col("x")).alias("y")).collect()]
+    assert got[:3] == [None, None, None]
+    assert got[3:6] == [0.0, -1.5e308, 1.5e308]
+    assert got[6] is None
+    # the motivating crash shape: floor()+cast over the guarded value
+    # must run clean under an ANSI session (unguarded, the NaN/Inf
+    # rows throw ARITHMETIC_OVERFLOW; guarded they are NULLs, and
+    # huge-but-finite values saturate through floor(), not crash)
+    vals = {
+        r["c"]
+        for r in df.select(
+            F.floor(S.finite(F.col("x")) * 100).cast("bigint").alias("c")
+        ).collect()
+    }
+    assert 0 in vals and None in vals
