@@ -145,15 +145,23 @@ def _data_files(table_path: str) -> set[str]:
     }
 
 
-def _file_column_stats(path: str, cols: list[str]) -> dict:
+def _file_footer(path: str):
+    """One parquet footer read for a just-written file. On object
+    storage every ``ParquetFile`` open is a GET round-trip, so the
+    commit path reads each new file's footer ONCE and derives both
+    the column stats and the row count from it."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata
+
+
+def _file_column_stats(path: str, cols: list[str], md=None) -> dict:
     """Per-file min/max for ``cols`` from the parquet FOOTER (row
     group statistics — no data pages read; this is exactly what
     Iceberg stores per data file in its manifests). All-null or
     stats-less columns are omitted, which the pruner treats as
     always-candidate (never wrongly skipped)."""
     import datetime
-
-    import pyarrow.parquet as pq
 
     def safe(v):
         if isinstance(v, (datetime.datetime, datetime.date)):
@@ -162,7 +170,8 @@ def _file_column_stats(path: str, cols: list[str]) -> dict:
             return v.decode("utf-8", "replace")
         return v
 
-    md = pq.ParquetFile(path).metadata
+    if md is None:
+        md = _file_footer(path)
     names = {md.schema.column(i).name: i for i in range(md.num_columns)}
     out: dict = {}
     for col in cols:
@@ -182,13 +191,13 @@ def _file_column_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
-def _file_row_count(path: str) -> int:
+def _file_row_count(path: str, md=None) -> int:
     """Row count from the parquet FOOTER — no data pages read. Every
     commit records this per new file so version-level row counts
     (``snapshot_history``) are a metadata sum, never a scan job."""
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).metadata.num_rows
+    if md is None:
+        md = _file_footer(path)
+    return md.num_rows
 
 
 def snapshot_write(
@@ -296,20 +305,21 @@ def snapshot_write(
         )
     else:
         live = []
-    if stats_cols:
-        for f in new_files:
-            stats[f] = _file_column_stats(
-                os.path.join(table_path, f), list(stats_cols)
-            )
+    for f in new_files:
+        # ONE footer read per just-written file serves both the
+        # column stats and the always-recorded row count (each open
+        # is a GET round-trip on object storage); the row counts keep
+        # snapshot_history metadata-only at any table size
+        path = os.path.join(table_path, f)
+        md = _file_footer(path)
+        if stats_cols:
+            stats[f] = _file_column_stats(path, list(stats_cols), md=md)
+        rows[f] = _file_row_count(path, md=md)
     if bloom_cols:
         for f in new_files:
             bloom[f] = _file_bloom(
                 os.path.join(table_path, f), list(bloom_cols)
             )
-    for f in new_files:
-        # always recorded (one footer read per just-written file):
-        # keeps snapshot_history metadata-only at any table size
-        rows[f] = _file_row_count(os.path.join(table_path, f))
     manifest = {
         "version": version,
         "mode": mode,
