@@ -791,19 +791,25 @@ def _file_bloom(path: str, cols: list[str]) -> dict:
     Iceberg/Puffin-style point-lookup skipping complement to the
     min/max footer stats: min/max prunes RANGE predicates on
     clustered columns; a bloom prunes EQUALITY predicates on any
-    column, clustered or not. Built from one single-column read per
-    column at write time (the same cost Iceberg pays to emit its
-    bloom blobs); distinct values are hashed once each."""
+    column, clustered or not. Built from ONE projected read of all
+    requested columns at write time (one object-storage round-trip,
+    not one per column — the same cost Iceberg pays to emit its
+    bloom blobs); columns absent from the file are skipped, and
+    distinct values are hashed once each."""
     import pyarrow.parquet as pq
 
     out: dict = {}
-    for col in cols:
-        try:
-            t = pq.read_table(path, columns=[col])
-        except Exception:
-            continue
+    try:
+        present = set(pq.ParquetFile(path).schema_arrow.names)
+        want = [c for c in cols if c in present]
+        if not want:
+            return out
+        t = pq.read_table(path, columns=want)
+    except Exception:
+        return out
+    for col in want:
         bits = bytearray(BLOOM_M_BITS // 8)
-        vals = {v for v in t.column(0).to_pylist() if v is not None}
+        vals = {v for v in t.column(col).to_pylist() if v is not None}
         for v in vals:
             for h in _bloom_positions(v):
                 bits[h >> 3] |= 1 << (h & 7)
