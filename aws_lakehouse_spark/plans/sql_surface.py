@@ -404,13 +404,20 @@ def sql_lateral_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Revenue reduces in exact integer cents (the repo-wide convention):
 # a plain double SUM's association order differs run-to-run, and the
 # result also drives ORDER BY, so a boundary flip would break both
-# parity and row order.
+# parity and row order. The cent sum is cast to DOUBLE *before* the
+# /100.0: Spark parses the literal 100.0 as DECIMAL(4,1), so
+# BIGINT / 100.0 is decimal division and the column comes back
+# DECIMAL(…,6) — numerically right but representationally different
+# from DuckDB's double (Decimal('…740000') vs 258584965.74), which
+# fails an exact value-hash. DOUBLE / decimal-literal promotes to
+# double division, bitwise-identical on both engines.
 PIPE_SYNTAX_SQL = """
 FROM orders
 |> JOIN customer ON o_custkey = c_custkey
 |> WHERE o_orderstatus = 'F'
 |> AGGREGATE COUNT(*) AS n_orders,
-             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0
                  AS revenue
    GROUP BY c_mktsegment
 |> ORDER BY revenue DESC, c_mktsegment

@@ -306,20 +306,18 @@ def snapshot_write(
     else:
         live = []
     for f in new_files:
-        # ONE footer read per just-written file serves both the
-        # column stats and the always-recorded row count (each open
-        # is a GET round-trip on object storage); the row counts keep
-        # snapshot_history metadata-only at any table size
+        # ONE footer read per just-written file serves the column
+        # stats, the always-recorded row count, AND the bloom
+        # builder's schema probe (each open is a GET round-trip on
+        # object storage); the row counts keep snapshot_history
+        # metadata-only at any table size
         path = os.path.join(table_path, f)
         md = _file_footer(path)
         if stats_cols:
             stats[f] = _file_column_stats(path, list(stats_cols), md=md)
         rows[f] = _file_row_count(path, md=md)
-    if bloom_cols:
-        for f in new_files:
-            bloom[f] = _file_bloom(
-                os.path.join(table_path, f), list(bloom_cols)
-            )
+        if bloom_cols:
+            bloom[f] = _file_bloom(path, list(bloom_cols), md=md)
     manifest = {
         "version": version,
         "mode": mode,
@@ -786,30 +784,47 @@ def _bloom_positions(value, m: int = BLOOM_M_BITS, k: int = BLOOM_K) -> list[int
     ]
 
 
-def _file_bloom(path: str, cols: list[str]) -> dict:
+def _file_bloom(path: str, cols: list[str], md=None) -> dict:
     """Per-file bloom bitsets (hex-encoded) for ``cols`` — the
     Iceberg/Puffin-style point-lookup skipping complement to the
     min/max footer stats: min/max prunes RANGE predicates on
     clustered columns; a bloom prunes EQUALITY predicates on any
-    column, clustered or not. Built from ONE projected read of all
-    requested columns at write time (one object-storage round-trip,
-    not one per column — the same cost Iceberg pays to emit its
-    bloom blobs); columns absent from the file are skipped, and
-    distinct values are hashed once each."""
+    column, clustered or not. The caller-supplied footer metadata
+    (``md``, the same object the commit path already read for stats
+    and row counts) answers the which-columns-exist probe without a
+    second footer GET; the values come from ONE projected read of
+    all requested columns (one object-storage round-trip, not one
+    per column — the same cost Iceberg pays to emit its bloom
+    blobs), with a per-column fallback so one unreadable column
+    drops only its own bloom, never every column's."""
     import pyarrow.parquet as pq
 
     out: dict = {}
     try:
-        present = set(pq.ParquetFile(path).schema_arrow.names)
+        if md is None:
+            md = _file_footer(path)
+        present = set(md.schema.to_arrow_schema().names)
         want = [c for c in cols if c in present]
         if not want:
             return out
-        t = pq.read_table(path, columns=want)
     except Exception:
         return out
-    for col in want:
+    try:
+        t = pq.read_table(path, columns=want)
+        columns = {c: t.column(c) for c in want}
+    except Exception:
+        # combined read failed (e.g. one undecodable column):
+        # degrade per column instead of dropping every bloom —
+        # a missing bloom only disables pruning for that column
+        columns = {}
+        for c in want:
+            try:
+                columns[c] = pq.read_table(path, columns=[c]).column(c)
+            except Exception:
+                continue
+    for col, arr in columns.items():
         bits = bytearray(BLOOM_M_BITS // 8)
-        vals = {v for v in t.column(col).to_pylist() if v is not None}
+        vals = {v for v in arr.to_pylist() if v is not None}
         for v in vals:
             for h in _bloom_positions(v):
                 bits[h >> 3] |= 1 << (h & 7)
@@ -1032,7 +1047,13 @@ def delete_where(
     import pyspark.sql.functions as F  # noqa: F401 (Column coercion)
 
     pub = published_versions(table_path)
-    base_v = pub[-1] if pub else versions(table_path)[-1]
+    vs = versions(table_path)
+    if not pub and not vs:
+        # preserve the pre-manifest-sum error contract: a table with
+        # no snapshots is a ValueError, not a bare IndexError from
+        # versions()[-1]
+        raise ValueError(f"no snapshots at {table_path}")
+    base_v = pub[-1] if pub else vs[-1]
     current = read_snapshot(spark, table_path)
     cond = predicate if not isinstance(predicate, str) else F.expr(predicate)
     # Iceberg/Delta DELETE removes rows where the predicate is TRUE;

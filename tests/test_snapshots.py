@@ -537,6 +537,14 @@ def test_tags_resolve_and_are_immutable(spark, table_path):
     assert snapshots.resolve_tag(table_path, "baseline") == v0
 
 
+def test_delete_where_no_snapshots_is_value_error(spark, table_path):
+    # error contract: an empty table path raises ValueError('no
+    # snapshots ...'), never a bare IndexError from versions()[-1]
+    # (regression guard for the manifest-sum base_v lookup)
+    with pytest.raises(ValueError, match="no snapshots"):
+        snapshots.delete_where(spark, table_path, "k > 0")
+
+
 def test_tag_validation(spark, table_path):
     with pytest.raises(ValueError, match="no snapshots"):
         snapshots.tag_snapshot(table_path, "x")

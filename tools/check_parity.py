@@ -55,6 +55,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _is_decimal_col(sv: pd.Series) -> bool:
+    """True when an object-dtype column holds decimal.Decimal values.
+
+    Spark DecimalType output arrives in pandas as exactly this shape;
+    the driver's exact value hash sees Decimal('1.740000') and the
+    double 1.74 as different even when numerically identical.
+    """
+    import decimal
+
+    if sv.dtype != object:
+        return False
+    nn = sv.dropna()
+    return len(nn) > 0 and isinstance(nn.iloc[0], decimal.Decimal)
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -69,6 +84,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # Decimal-vs-float is a hard failure BEFORE the float branch can
+        # astype(float) it away: Spark DecimalType (object dtype of
+        # decimal.Decimal) paired with a duck float column is exactly
+        # how sql_pipe_syntax read "verified fixed" for two rounds
+        # while the driver's exact hash kept failing on the padded
+        # Decimal('…740000') representation. Same class as the
+        # int-vs-float guard below.
+        if _is_decimal_col(sv) != _is_decimal_col(dv):
+            dec_side = "spark" if _is_decimal_col(sv) else "duck"
+            problems.append(
+                f"col {c}: decimal-vs-nondecimal divergence "
+                f"({dec_side} side is Decimal; spark={sv.dtype} "
+                f"duck={dv.dtype}) — driver hash would fail; CAST the "
+                "decimal side to DOUBLE"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             # int-on-one-side / float-on-the-other is a hard failure:
             # the driver's strict value hash sees 1 vs 1.0 as a

@@ -1,6 +1,5 @@
 """Judge-side oracle check for queries the driver never sampled."""
 import datetime
-import decimal
 import json
 import math
 import sys
@@ -17,14 +16,18 @@ TABLES = [
 
 
 def norm(v):
+    # Tightened round 7 (r6 verdict item 8): no Decimal->float and no
+    # round(...,6) normalization — both hid exactly the representation
+    # classes the driver's exact value hash grades on (a Spark
+    # DecimalType output read as "pass" here for two rounds while the
+    # driver kept failing sql_pipe_syntax). Decimals stay Decimal
+    # (repr keeps the scale padding); floats compare exact.
     if v is None:
         return None
-    if isinstance(v, decimal.Decimal):
-        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return v
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):

@@ -75,6 +75,15 @@ def next_window(pinned: list[str]) -> list[str]:
     unknown = [n for n in pinned if n not in REGISTRY]
     if unknown:
         raise SystemExit(f"unknown pinned queries: {unknown}")
+    if len(set(pinned)) != len(pinned):
+        dupes = sorted({n for n in pinned if pinned.count(n) > 1})
+        raise SystemExit(f"duplicate pinned queries: {dupes}")
+    if len(pinned) > WINDOW:
+        # more pins than slots would silently overflow the window via
+        # the negative fill slice below — refuse instead
+        raise SystemExit(
+            f"{len(pinned)} pinned queries exceed the {WINDOW}-slot window"
+        )
     ungraded = sorted(n for n in oracle_backed if n not in graded)
     dropped = [n for n in pinned if n not in ungraded]
     if dropped:
@@ -89,7 +98,9 @@ def next_window(pinned: list[str]) -> list[str]:
         }
         raise SystemExit(f"pinned queries excluded from window: {detail}")
     window = list(pinned)
-    window += [n for n in ungraded if n not in window][: WINDOW - len(window)]
+    window += [n for n in ungraded if n not in window][
+        : max(0, WINDOW - len(window))
+    ]
     if len(window) < WINDOW:
         # debt cleared: pad with the stalest green rows for re-verification
         stale = sorted(
