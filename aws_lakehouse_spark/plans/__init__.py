@@ -36,80 +36,77 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
 from aws_lakehouse_spark.registry import REGISTRY
 
 # The driver's correctness gate grades exactly the FIRST 50 entries of
-# the registry dict. Cumulative r1-r5 banked green rows for 247 of the
-# 328 registered queries; 81 oracle-backed queries have never had a
-# driver row (all 81 are judge-green in JUDGE_ORACLE_r5). The ROUND 6
-# window below follows the r5 verdict's explicit prioritization:
-# sql_pipe_syntax FIRST (its r5 row is a stale red — the float-
-# association fix landed pre-gate and re-verified bitwise green; this
-# window turns the contract record green), then the verdict-named
-# user-hot tiers pinned ahead of the alphabetical queue: the 10
-# quality_* data-quality checks, the 7 join_* strategies (as-of
-# tolerance, bloom prefilter, bucketed co-located, dynamic partition
-# pruning, longest-prefix, null-safe, SCD2 point-in-time), and the
-# queue's own first 32 (all 12 agg_* analytics, all 10 events_*
-# behavioral, plus ann_range/customer_*/dedup_*/embed_*/format_*/
-# geo_grid). Previously-green queries follow (rows banked); rows-only
-# specs (oracle=None, e.g. embed_pca_project) stay dead last and never
-# enter the graded window.
+# the registry dict. Cumulative r1-r6 banked green rows for 296 of the
+# 328 registered queries. The ROUND 7 window below closes the coverage
+# contract (r6 verdict items 1-2): sql_pipe_syntax FIRST (its r5/r6
+# rows were red on output TYPE — Spark's decimal division of the
+# integer-cent sum; the revenue column is now CAST to DOUBLE and
+# re-verified bitwise against DuckDB at sf0.01), then ALL 31 remaining
+# never-graded queries (the alphabetical queue tail,
+# geo_haversine_neighbor_join .. udaf_grouped_geomean — every one
+# judge-green in the r6 full-registry parity run), then 18 re-verifies
+# of the stalest r1 greens (agg_count_distinct .. join_fact_dim_equi)
+# padding the window so every slot still checks something. After this
+# round every one of the 328 registry queries has a green driver row
+# at least once. Rows-only specs (oracle=None, e.g. embed_pca_project)
+# never enter the graded window.
 #
-# Registry growth stays FROZEN (r5 verdict item 5) until the debt
-# clears: 81 -> 31 -> 0 over r6-r7. Round 7 mops up the remaining 31
-# (geo_haversine_neighbor_join .. udaf_grouped_geomean, alphabetical).
+# Registry growth stays FROZEN at 328 (r5 verdict item 5) until the
+# debt is zero at r7 close: 81 -> 31 -> 0 over r5-r7.
 # `python tools/rotate_window.py --apply` (run AFTER the driver writes
-# CORRECTNESS_r06.json) computes and rewrites the next window
+# CORRECTNESS_r07.json) computes and rewrites the next window
 # mechanically; update this comment with the round's rationale.
 _PRIORITY = [
     "sql_pipe_syntax",
-    "quality_ab_ttest",
-    "quality_benford_drift",
-    "quality_chisquare_drift",
-    "quality_entropy_profile",
-    "quality_k_anonymity",
-    "quality_ks_drift",
-    "quality_psi_drift",
-    "quality_ratio_delta_method",
-    "quality_referential_integrity",
-    "quality_winsorize",
-    "join_asof_tolerance",
-    "join_bloom_prefilter",
-    "join_bucketed_colocated",
-    "join_dynamic_partition_pruning",
-    "join_longest_prefix",
-    "join_null_safe",
-    "join_scd2_pointintime",
-    "agg_abc_classification",
-    "agg_bitmap_distinct",
-    "agg_correlation_matrix",
-    "agg_countmin_heavy_hitters",
-    "agg_extended_moments",
-    "agg_filtered_kpis",
-    "agg_gini_concentration",
-    "agg_hierarchy_rollup",
-    "agg_hll_intersection",
-    "agg_hll_partial_merge",
-    "agg_market_share_hhi",
-    "agg_price_elasticity",
-    "ann_range_search",
-    "customer_rfm_segmentation",
-    "customer_survival_km",
-    "dedup_cluster_survivor_quality",
-    "dedup_minhash_jaccard_estimate",
-    "embed_drift_monitor",
-    "embed_matryoshka_topk",
-    "events_bounce_rate",
-    "events_burstiness_fano",
-    "events_cohort_retention",
-    "events_cusum_changepoint",
-    "events_ewma_trailing",
-    "events_funnel_steps",
-    "events_interval_merge",
-    "events_stream_stream_join",
-    "events_time_to_convert",
-    "events_top_paths",
-    "format_roundtrip_json",
-    "format_roundtrip_xml",
-    "geo_grid_density",
+    "geo_haversine_neighbor_join",
+    "geo_knn_bounded",
+    "geo_polygon_contains",
+    "incremental_join_maintenance",
+    "incremental_partition_recompute",
+    "layout_zorder_pruned_scan",
+    "market_basket_rules",
+    "media_audio_curation_pipeline",
+    "media_audio_rms_loudness",
+    "media_curation_pipeline",
+    "media_image_neardup",
+    "media_scene_cuts",
+    "order_pareto_frontier",
+    "recsys_item_cosine",
+    "scalar_collation_groupby",
+    "scalar_interval_family",
+    "scalar_map_family",
+    "scalar_mapinarrow_checksum",
+    "scalar_math_family",
+    "set_multiset_ops",
+    "sink_dynamic_partition_overwrite",
+    "sink_identity_column",
+    "source_python_stream_datasource",
+    "source_python_udtf_sentences",
+    "text_blocklist_filter",
+    "text_epoch_allocation",
+    "text_quality_classifier",
+    "text_unicode_nfc",
+    "text_vocab_growth",
+    "text_weighted_sample",
+    "udaf_grouped_geomean",
+    "agg_count_distinct",
+    "agg_count_star",
+    "agg_cube",
+    "agg_group_sum_avg_count",
+    "agg_group_topk",
+    "agg_rollup",
+    "agg_salted_skew",
+    "agg_stats",
+    "agg_unpivot",
+    "dedupe_by_key_window",
+    "derive_column",
+    "distinct_projection",
+    "filter_quality_null_flags",
+    "filter_range_quality",
+    "join_anti",
+    "join_asof",
+    "join_enrich_left",
+    "join_fact_dim_equi",
     # --- index 50 boundary: the graded window ends here ---
 ]
 
