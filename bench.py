@@ -107,10 +107,24 @@ def run() -> dict:
     # carries a trimmed mean (warm trials minus the single worst) —
     # the statistic to trust when stddev rivals the mean.
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "5"))
+    # noisy queries (the checkpointed streaming drains are the worst:
+    # idle-host warm trials sit at ~2.3 s ±14%, but under host load
+    # single trials spread 3.9-10 s) get EXTRA trials until the warm
+    # stddev drops under 30% of the warm mean or the retry budget runs
+    # out — min/trimmed-mean converge with n, so adaptive sampling
+    # shrinks exactly the numbers the round-over-round comparison reads
+    max_extra = int(os.environ.get("SPARK_GRAFT_MAX_EXTRA_TRIALS", "4"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     trimmed: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+
+    def _warm_stats(samples: list[float]) -> tuple[float, float]:
+        warm = samples[1:] or samples
+        mean = sum(warm) / len(warm)
+        sd = (sum((s - mean) ** 2 for s in warm) / len(warm)) ** 0.5
+        return mean, sd
+
     for name, spec in headline.items():
         samples: list[float] = []
         for _ in range(trials):
@@ -118,12 +132,18 @@ def run() -> dict:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+        mean, sd = _warm_stats(samples)
+        extra = 0
+        while mean > 0 and sd / mean > 0.30 and extra < max_extra:
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            mean, sd = _warm_stats(samples)
+            extra += 1
         warm = samples[1:] or samples
-        mean = sum(warm) / len(warm)
         timings[name] = round(min(samples), 3)
-        spreads[name] = round(
-            (sum((s - mean) ** 2 for s in warm) / len(warm)) ** 0.5, 3
-        )
+        spreads[name] = round(sd, 3)
         trim = sorted(warm)[:-1] or warm
         trimmed[name] = round(sum(trim) / len(trim), 3)
         raw[name] = [round(s, 3) for s in samples]
@@ -165,6 +185,16 @@ def run() -> dict:
         # Normalize cross-round comparisons by calib_spark_sec first.
         "calib_cpu_sec": calib,
         "calib_spark_sec": calib_spark,
+        # pre-normalized per-query and total ratios (value /
+        # calib_spark_sec): the number a cross-round comparison should
+        # read FIRST — r6's "regression" was the host running 1.57x
+        # slower at bench time, visible only through the canary
+        "normalized": {
+            n: round(v / calib_spark, 2) for n, v in timings.items()
+        },
+        "headline_normalized": round(
+            sum(timings.values()) / calib_spark, 2
+        ),
     }
     return headline_line, detail
 
