@@ -17,6 +17,16 @@ prune the payload column at the parquet reader (columnar), so
 extraction is ``mapInPandas`` over Arrow record batches —
 per-partition vectorized, bounded memory via
 ``maxRecordsPerBatch``.
+
+Corrupt-payload contract (every extractor below): a payload the
+codec layer rejects — truncated bytes, wrong container magic,
+zlib/chunk corruption, NULL cell, or an unsupported layout such as
+a stereo clip in a mono pipeline — yields a row of NULL feature
+values via :func:`_null_on_corrupt`, never an executor exception.
+A 100 TB corpus WILL contain corrupt objects; one of them must
+cost one NULL row, not a four-retry stage abort that kills the
+job. Healthy payloads are byte-identical to the strict path, so
+every oracle still verifies the real decode.
 """
 
 from __future__ import annotations
@@ -113,6 +123,36 @@ AUDIO_DECODE_SCHEMA = StructType(
 )
 
 
+def _null_on_corrupt(fn):
+    """The corrupt-payload contract for Arrow-batched extractors:
+    a payload the codec layer rejects (``ValueError`` — truncated
+    bytes, wrong container magic, zlib/chunk corruption, or an
+    unsupported layout like a stereo clip in a mono pipeline)
+    decodes to ``None`` instead of raising out of the executor
+    task. At 100 TB one corrupt object in a billion must cost one
+    NULL feature row — never a stage abort after four task retries
+    that takes the whole job with it. Healthy payloads are passed
+    through untouched, so every oracle fixture's output is
+    bit-identical. Only ``ValueError`` (the codec contract,
+    ``llm.codecs``) is absorbed; programming errors still surface."""
+
+    def safe(payload):
+        if payload is None:  # NULL binary cell: nothing to decode
+            return None
+        try:
+            return fn(payload)
+        except ValueError:
+            return None
+
+    return safe
+
+
+def _col(feats: pd.Series, key: str) -> pd.Series:
+    """Column ``key`` from a series of decoded dicts; rows whose
+    decode failed (None) yield NULL."""
+    return feats.map(lambda d, k=key: None if d is None else d[k])
+
+
 def decode_image(payload: bytes) -> dict:
     """REAL image decode. PNG → pure-stdlib decoder (header + zlib
     inflate + filter undo; features from actual pixel bytes). Other
@@ -135,6 +175,10 @@ def decode_image(payload: bytes) -> dict:
         }
     except ImportError:
         raise ValueError("payload is not PNG and PIL is unavailable")
+    except Exception as e:  # pragma: no cover - PIL absent here
+        # normalize PIL's UnidentifiedImageError/OSError zoo to the
+        # codec contract so _null_on_corrupt sees one exception type
+        raise ValueError(f"undecodable image payload: {e}") from e
 
 
 def decode_audio(payload: bytes) -> dict:
@@ -154,14 +198,14 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(decode_image)
+            feats = pdf["content"].map(_null_on_corrupt(decode_image))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": feats.map(lambda d: d["width"]),
-                    "height": feats.map(lambda d: d["height"]),
-                    "channels": feats.map(lambda d: d["channels"]),
-                    "mean_pixel": feats.map(lambda d: d["mean_pixel"]),
+                    "width": _col(feats, "width"),
+                    "height": _col(feats, "height"),
+                    "channels": _col(feats, "channels"),
+                    "mean_pixel": _col(feats, "mean_pixel"),
                 }
             )
 
@@ -174,15 +218,15 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(decode_audio)
+            feats = pdf["content"].map(_null_on_corrupt(decode_audio))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_channels": feats.map(lambda d: d["n_channels"]),
-                    "framerate": feats.map(lambda d: d["framerate"]),
-                    "n_frames": feats.map(lambda d: d["n_frames"]),
-                    "duration_ms": feats.map(lambda d: d["duration_ms"]),
-                    "peak_amplitude": feats.map(lambda d: d["peak_amplitude"]),
+                    "n_channels": _col(feats, "n_channels"),
+                    "framerate": _col(feats, "framerate"),
+                    "n_frames": _col(feats, "n_frames"),
+                    "duration_ms": _col(feats, "duration_ms"),
+                    "peak_amplitude": _col(feats, "peak_amplitude"),
                 }
             )
 
@@ -328,12 +372,14 @@ def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(lambda b: _resize_one(b, max_side))
+            feats = pdf["content"].map(
+                _null_on_corrupt(lambda b: _resize_one(b, max_side))
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     **{
-                        k: feats.map(lambda d, k=k: d[k])
+                        k: _col(feats, k)
                         for k in (
                             "src_width",
                             "src_height",
@@ -405,7 +451,9 @@ def image_dhash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "dhash": pdf["content"].map(lambda b: _dhash_one(bytes(b))),
+                    "dhash": pdf["content"].map(
+                        _null_on_corrupt(lambda b: _dhash_one(bytes(b)))
+                    ),
                 }
             )
 
@@ -479,19 +527,15 @@ def extract_audio_silence(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(analyze)
+            feats = pdf["content"].map(_null_on_corrupt(analyze))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_frames": feats.map(lambda d: d["n_frames"]),
-                    "n_silent": feats.map(lambda d: d["n_silent"]),
-                    "silence_ratio": feats.map(lambda d: d["silence_ratio"]),
-                    "leading_silence_ms": feats.map(
-                        lambda d: d["leading_silence_ms"]
-                    ),
-                    "trailing_silence_ms": feats.map(
-                        lambda d: d["trailing_silence_ms"]
-                    ),
+                    "n_frames": _col(feats, "n_frames"),
+                    "n_silent": _col(feats, "n_silent"),
+                    "silence_ratio": _col(feats, "silence_ratio"),
+                    "leading_silence_ms": _col(feats, "leading_silence_ms"),
+                    "trailing_silence_ms": _col(feats, "trailing_silence_ms"),
                 }
             )
 
@@ -530,10 +574,12 @@ def extract_image_histograms(media: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hs = pdf["content"].map(hist)
+            hs = pdf["content"].map(_null_on_corrupt(hist))
             data = {"media_id": pdf["media_id"]}
             for idx, c in enumerate(cols):
-                data[c] = hs.map(lambda v, idx=idx: v[idx])
+                data[c] = hs.map(
+                    lambda v, idx=idx: None if v is None else v[idx]
+                )
             yield pd.DataFrame(data)
 
     return media.mapInPandas(_extract, IMAGE_HISTOGRAM_SCHEMA)
@@ -590,14 +636,14 @@ def extract_audio_loudness(media: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(analyze)
+            feats = pdf["content"].map(_null_on_corrupt(analyze))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_frames": feats.map(lambda d: d["n_frames"]),
-                    "peak_amp": feats.map(lambda d: d["peak_amp"]),
-                    "rms": feats.map(lambda d: d["rms"]),
-                    "dbfs": feats.map(lambda d: d["dbfs"]),
+                    "n_frames": _col(feats, "n_frames"),
+                    "peak_amp": _col(feats, "peak_amp"),
+                    "rms": _col(feats, "rms"),
+                    "dbfs": _col(feats, "dbfs"),
                 }
             )
 
@@ -634,15 +680,15 @@ def decode_image_profile(media: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(profile)
+            feats = pdf["content"].map(_null_on_corrupt(profile))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": feats.map(lambda d: d["width"]),
-                    "height": feats.map(lambda d: d["height"]),
-                    "n_pixels": feats.map(lambda d: d["n_pixels"]),
-                    "mean_luma": feats.map(lambda d: d["mean_luma"]),
-                    "dhash": feats.map(lambda d: d["dhash"]),
+                    "width": _col(feats, "width"),
+                    "height": _col(feats, "height"),
+                    "n_pixels": _col(feats, "n_pixels"),
+                    "mean_luma": _col(feats, "mean_luma"),
+                    "dhash": _col(feats, "dhash"),
                 }
             )
 
@@ -699,17 +745,15 @@ def decode_audio_profile(media: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["content"].map(profile)
+            feats = pdf["content"].map(_null_on_corrupt(profile))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_frames": feats.map(lambda d: d["n_frames"]),
-                    "silence_ratio": feats.map(
-                        lambda d: d["silence_ratio"]
-                    ),
-                    "peak_amp": feats.map(lambda d: d["peak_amp"]),
-                    "rms": feats.map(lambda d: d["rms"]),
-                    "dbfs": feats.map(lambda d: d["dbfs"]),
+                    "n_frames": _col(feats, "n_frames"),
+                    "silence_ratio": _col(feats, "silence_ratio"),
+                    "peak_amp": _col(feats, "peak_amp"),
+                    "rms": _col(feats, "rms"),
+                    "dbfs": _col(feats, "dbfs"),
                 }
             )
 

@@ -147,6 +147,65 @@ def test_spark_image_decode_real_dimensions(spark):
     assert out[0]["mean_pixel"] == (200 + 100 + 0) / 3
 
 
+def test_spark_extractors_null_corrupt_payloads(spark):
+    """The corrupt-payload contract: one undecodable payload in an
+    Arrow batch yields NULL feature columns for THAT row — never a
+    task exception that aborts the stage (at 100 TB one corrupt
+    object must cost one NULL, not the job). Healthy rows in the
+    same batch stay bit-exact."""
+    import math
+
+    from aws_lakehouse_spark.llm.multimodal import (
+        decode_audio_profile,
+        decode_image_profile,
+        extract_audio_features,
+        extract_image_features,
+        image_dhash,
+        resize_images,
+    )
+
+    good_png = png_encode(32, 20, lambda x, y: (200, 100, 0))
+    # valid magic + IHDR, corrupt zlib stream (a truncated upload)
+    corrupt_png = good_png[:40] + b"\x00" * 10
+    rows = [
+        (0, bytearray(good_png)),
+        (1, bytearray(corrupt_png)),
+        (2, bytearray(b"not an image at all")),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    for fn, good_col in (
+        (extract_image_features, "width"),
+        (decode_image_profile, "dhash"),
+        (image_dhash, "dhash"),
+        (resize_images, "out_width"),
+    ):
+        out = {r["media_id"]: r for r in fn(media).collect()}
+        assert len(out) == 4, fn.__name__
+        assert out[0][good_col] is not None, fn.__name__
+        for bad in (1, 2, 3):
+            assert out[bad][good_col] is None, (fn.__name__, bad)
+    assert out[0]["out_width"] == 32  # resize: healthy row exact
+
+    good_wav = wav_encode(100, 8000, lambda j: (j * 37) % 500 - 250)
+    stereo_wav = wav_encode(50, 8000, lambda j: 10, n_channels=2)
+    arows = [
+        (0, bytearray(good_wav)),
+        (1, bytearray(b"RIFFgarbage")),
+        (2, bytearray(stereo_wav)),  # mono-pipeline layout mismatch
+        (3, None),
+    ]
+    amedia = spark.createDataFrame(arows, "media_id bigint, content binary")
+    out = {r["media_id"]: r for r in extract_audio_features(amedia).collect()}
+    assert out[0]["n_frames"] == 100
+    assert out[1]["n_frames"] is None and out[3]["n_frames"] is None
+    assert out[2]["n_frames"] == 50  # header decode accepts stereo
+    prof = {r["media_id"]: r for r in decode_audio_profile(amedia).collect()}
+    assert prof[0]["rms"] is not None and not math.isnan(prof[0]["rms"])
+    for bad in (1, 2, 3):  # profile path is mono-only: stereo -> NULL
+        assert prof[bad]["rms"] is None
+
+
 def test_png_roundtrip_property():
     """Property: any 8-bit RGB image round-trips through
     encode→decode with an exact pixel sum (hypothesis-style sweep,
@@ -488,44 +547,39 @@ def test_wav_samples_validation_contract():
         wav_samples(buf.getvalue())
 
 
-def test_extract_audio_silence_rejects_bad_payloads(spark):
-    """extract_audio_silence surfaces ValueError (the codec
-    contract) for corrupt or stereo payloads instead of leaking
-    wave.Error/struct.error from executor tasks or silently
-    computing wrong frame counts over interleaved channels."""
-    import pytest as _pytest
-
+def test_extract_audio_silence_nulls_bad_payloads(spark):
+    """extract_audio_silence applies the corrupt-payload contract:
+    corrupt or layout-mismatched (stereo-in-a-mono-pipeline) clips
+    yield NULL feature rows — never a leaked wave.Error/struct.error
+    from executor tasks, never silently-wrong frame counts over
+    interleaved channels, and never a stage abort. The codec layer
+    still raises ValueError when called directly (see the
+    wav_samples tests); the Arrow-batched extractor absorbs exactly
+    that exception type per row."""
     from aws_lakehouse_spark.llm.codecs import wav_encode
     from aws_lakehouse_spark.llm.multimodal import extract_audio_silence
 
     good = wav_encode(80, 8000, lambda i: 0 if i < 40 else 1000)
-    ok = spark.createDataFrame(
-        [(1, good)], "media_id bigint, content binary"
-    )
-    row = extract_audio_silence(ok).collect()[0]
-    assert (row["n_frames"], row["n_silent"]) == (80, 40)
-    assert row["leading_silence_ms"] == 40 * 1000 // 8000
-
-    corrupt = spark.createDataFrame(
-        [(2, b"RIFFgarbage")], "media_id bigint, content binary"
-    )
-    with _pytest.raises(Exception, match="ValueError"):
-        extract_audio_silence(corrupt).collect()
-
-    stereo = spark.createDataFrame(
-        [(3, wav_encode(40, 8000, lambda i: i, n_channels=2))],
+    stereo = wav_encode(40, 8000, lambda i: i, n_channels=2)
+    media = spark.createDataFrame(
+        [(1, good), (2, b"RIFFgarbage"), (3, stereo)],
         "media_id bigint, content binary",
     )
-    with _pytest.raises(Exception, match="mono"):
-        extract_audio_silence(stereo).collect()
+    out = {r["media_id"]: r for r in extract_audio_silence(media).collect()}
+    assert len(out) == 3
+    row = out[1]
+    assert (row["n_frames"], row["n_silent"]) == (80, 40)
+    assert row["leading_silence_ms"] == 40 * 1000 // 8000
+    for bad in (2, 3):
+        assert out[bad]["n_frames"] is None
+        assert out[bad]["silence_ratio"] is None
 
 
 def test_extract_audio_loudness_known_signals(spark):
     """Constant-amplitude clip: RMS equals the amplitude exactly;
-    all-silent clip reports the -120 dBFS floor; stereo rejected."""
+    all-silent clip reports the -120 dBFS floor; stereo -> NULL row
+    (corrupt-payload contract)."""
     import math
-
-    import pytest as _pytest
 
     from aws_lakehouse_spark.llm.codecs import wav_encode
     from aws_lakehouse_spark.llm.multimodal import extract_audio_loudness
@@ -543,9 +597,11 @@ def test_extract_audio_loudness_known_signals(spark):
     assert rows[2]["rms"] == 0.0
     assert rows[2]["dbfs"] == -120.0
 
+    # a stereo clip in the mono loudness pipeline is data variance,
+    # not a code error: corrupt-payload contract -> NULL row
     stereo = spark.createDataFrame(
         [(3, wav_encode(40, 8000, lambda i: 500, n_channels=2))],
         "media_id bigint, content binary",
     )
-    with _pytest.raises(Exception, match="mono"):
-        extract_audio_loudness(stereo).collect()
+    srow = extract_audio_loudness(stereo).collect()[0]
+    assert srow["rms"] is None and srow["peak_amp"] is None
