@@ -324,3 +324,74 @@ def test_query_survives_hostile_text(name, spark, unicode_sf_dir):
     df = REGISTRY[name].fn(spark, unicode_sf_dir)
     assert df.columns, name
     assert df.count() >= 0, name
+
+
+# the frozen-clock boundary (--frozen: every temporal column = the
+# SAME instant — a pipeline stamping load-time instead of event-
+# time). The round-7 sweep found ZERO crashes (the nullif/spine
+# guards from earlier boundaries already cover zero-duration
+# sessions and one-point spines); these representatives pin the
+# riskiest shapes — duration-normalized rates, date spines, EWMA
+# frames, session windows — so a future change can't regress the
+# boundary silently between full sweeps.
+FROZEN_REPRESENTATIVES = [
+    "events_sessionize",
+    "events_time_to_convert",
+    "events_ewma_trailing",
+    "events_gap_fill",
+    "events_burstiness_fano",
+]
+
+
+@pytest.fixture(scope="module")
+def frozen_sf_dir(tmp_path_factory):
+    from empty_sweep import build_truncated_dir
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    return build_truncated_dir(
+        src, 200, frozen=True, out=str(tmp_path_factory.mktemp("sf_frozen"))
+    )
+
+
+@pytest.mark.parametrize("name", FROZEN_REPRESENTATIVES)
+def test_query_survives_frozen_clock(name, spark, frozen_sf_dir):
+    if name not in REGISTRY:
+        pytest.skip(f"{name} not registered")
+    df = REGISTRY[name].fn(spark, frozen_sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name
+
+
+# the hot-key boundary (--hotkey: every foreign/grouping key = 1 —
+# one customer places every order, one user emits every event, one
+# mega-order holds all lineitems; the skew every 100 TB fact table
+# has). The round-7 sweep found ZERO crashes; these representatives
+# pin the riskiest shapes — single-group windows, per-entity
+# collect/pair paths, star joins against one dim row, maximal-star
+# graph kernels.
+HOTKEY_REPRESENTATIVES = [
+    "market_basket_rules",
+    "events_top_paths",
+    "graph_pagerank_topk",
+    "agg_salted_skew",
+    "rank_topk_per_group",
+]
+
+
+@pytest.fixture(scope="module")
+def hotkey_sf_dir(tmp_path_factory):
+    from empty_sweep import build_truncated_dir
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    return build_truncated_dir(
+        src, 200, hotkey=True, out=str(tmp_path_factory.mktemp("sf_hotkey"))
+    )
+
+
+@pytest.mark.parametrize("name", HOTKEY_REPRESENTATIVES)
+def test_query_survives_hot_keys(name, spark, hotkey_sf_dir):
+    if name not in REGISTRY:
+        pytest.skip(f"{name} not registered")
+    df = REGISTRY[name].fn(spark, hotkey_sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0, name

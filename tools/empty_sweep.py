@@ -67,6 +67,29 @@ tests/test_empty_inputs.py regression-locks the fixed set.
                                            # tokenizers/BPE/shingles,
                                            # regex boundaries, lang-ID
                                            # n-grams, collation.
+    python tools/empty_sweep.py --frozen   # every temporal column =
+                                           # the SAME instant (a
+                                           # pipeline stamping load-
+                                           # time instead of event-
+                                           # time) — probes zero-
+                                           # duration sessions (ANSI
+                                           # 0/0 rates), one-point
+                                           # date spines, zero-span
+                                           # normalizations, windows
+                                           # with one distinct ORDER
+                                           # BY key.
+    python tools/empty_sweep.py --hotkey   # every foreign/grouping
+                                           # key = 1 (one customer
+                                           # places every order, one
+                                           # user emits every event,
+                                           # one mega-order holds all
+                                           # lineitems) — the skew
+                                           # shape every 100 TB fact
+                                           # table has. Probes single-
+                                           # group windows, per-entity
+                                           # collect/pair paths, star
+                                           # joins, maximal-star graph
+                                           # kernels.
 """
 
 from __future__ import annotations
@@ -206,6 +229,52 @@ def _unicode_expr(name: str, ty: str) -> str:
     return f'"{name}"'
 
 
+# Foreign-key / grouping-key columns the --hotkey probe floods to a
+# single value (constant 1 — present in every parent table's key
+# range at any truncation). Primary keys stay unique: the shape is
+# ONE hot entity (one customer placing every order, one mega-order
+# holding every lineitem, one user emitting every event, one class
+# holding every embedding) — the skew every 100 TB fact table has.
+HOT_KEYS = frozenset(
+    {
+        "n_regionkey", "c_nationkey", "s_nationkey",
+        "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+        "user_id", "label",
+    }
+)
+
+
+def _hotkey_expr(name: str, ty: str) -> str:
+    """Adversarial-skew projection: every foreign/grouping key in
+    HOT_KEYS becomes the constant 1; everything else passes through.
+    Probes single-group windows and aggregations (ntile/quantile
+    over one partition), per-entity collect/pair paths (one user's
+    session holds EVERY event; one basket holds every item), star
+    joins where one dim row matches the whole fact side, and graph
+    kernels on a maximal star (every edge touches node 1)."""
+    if name.lower() in HOT_KEYS:
+        return f'CAST(1 AS {ty}) AS "{name}"'
+    return f'"{name}"'
+
+
+def _frozen_expr(name: str, ty: str) -> str:
+    """Adversarial-clock projection #2: every temporal column becomes
+    the SAME instant (a pipeline stamping load-time instead of
+    event-time — every event 'happens' at the batch timestamp).
+    Everything else passes through. Probes zero-duration sessions
+    (rate = n / duration -> ANSI 0/0), single-point date spines
+    (sequence(min, max) of length 1), zero-span min-max
+    normalizations, EWMA/burstiness frames collapsing to one bucket,
+    and LAST_VALUE/window ties where ORDER BY has one distinct key."""
+    lty = ty.upper()
+    if "TIMESTAMP" in lty or lty == "DATE":
+        return (
+            f"CAST(TIMESTAMP '2024-06-15 12:00:00' AS {ty}) "
+            f'AS "{name}"'
+        )
+    return f'"{name}"'
+
+
 def _warp_expr(name: str, ty: str) -> str:
     """Adversarial-clock projection: temporal columns scatter across
     three centuries (row parity decides -100y or +200y — the clock-
@@ -234,6 +303,8 @@ def build_truncated_dir(
     timewarp: bool = False,
     extreme: bool = False,
     unicode_: bool = False,
+    frozen: bool = False,
+    hotkey: bool = False,
     out: str | None = None,
 ) -> str:
     """``rows``-row parquet per table, preserving physical types
@@ -260,6 +331,10 @@ def build_truncated_dir(
         tag = "extreme"
     elif unicode_:
         tag = "unicode"
+    elif frozen:
+        tag = "frozen"
+    elif hotkey:
+        tag = "hotkey"
     else:
         tag = f"rows{rows}"
     if out is None:
@@ -269,7 +344,10 @@ def build_truncated_dir(
     con = duckdb.connect()
     for t in TABLES:
         proj = "*"
-        if nulls or zeros or negatives or timewarp or extreme or unicode_:
+        if (
+            nulls or zeros or negatives or timewarp or extreme
+            or unicode_ or frozen or hotkey
+        ):
             cols = con.execute(
                 f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
@@ -293,6 +371,14 @@ def build_truncated_dir(
             elif unicode_:
                 proj = ", ".join(
                     _unicode_expr(n, ty) for n, ty, *_rest in cols
+                )
+            elif frozen:
+                proj = ", ".join(
+                    _frozen_expr(n, ty) for n, ty, *_rest in cols
+                )
+            elif hotkey:
+                proj = ", ".join(
+                    _hotkey_expr(n, ty) for n, ty, *_rest in cols
                 )
             else:
                 proj = ", ".join(
@@ -332,15 +418,19 @@ def main() -> int:
     timewarp = "--timewarp" in sys.argv
     extreme = "--extreme" in sys.argv
     unicode_ = "--unicode" in sys.argv
+    frozen = "--frozen" in sys.argv
+    hotkey = "--hotkey" in sys.argv
     if "--rows" in sys.argv:
         rows = int(sys.argv[sys.argv.index("--rows") + 1])
     if (
-        nulls or zeros or dup or negatives or timewarp or extreme or unicode_
+        nulls or zeros or dup or negatives or timewarp or extreme
+        or unicode_ or frozen or hotkey
     ) and not rows:
         rows = 200
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     empty_dir = build_truncated_dir(
-        src, rows, nulls, zeros, dup, negatives, timewarp, extreme, unicode_
+        src, rows, nulls, zeros, dup, negatives, timewarp, extreme,
+        unicode_, frozen, hotkey,
     )
     spark = (
         SparkSession.builder.master("local[8]")
