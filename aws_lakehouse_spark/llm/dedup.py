@@ -648,10 +648,18 @@ def simhash_hamming_pairs(
     are equi-joins on small int keys — never a cross join.
     """
     band_cols = [f"simhash_b{b}" for b in range(n_bands)]
+    # the fingerprint frame is narrow (1 id + n_bands longs per doc)
+    # but EXPENSIVE to derive (band_bits sign-votes per band over the
+    # token array), and the plan below consumes it 2·n_bands + 2
+    # times (each band branch on both self-join sides, plus the two
+    # verify sides) — unpinned, the 10-consumer fanout re-runs the
+    # vote aggregation ten times per document (the round-7 rescan
+    # audit's worst honest-looking offender). One lazy checkpoint
+    # computes it once; every consumer reads the materialized rows.
     fp = df.select(
         F.col(id_col).alias("doc_id"),
         *simhash_band_cols(F.col(text_col), n_bands, band_bits),
-    )
+    ).localCheckpoint(eager=False)
     bands = None
     for b in range(n_bands):
         one = fp.select(

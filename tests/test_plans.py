@@ -388,6 +388,10 @@ RESCAN_PINNED_MAX_VISIBLE = {
     "text_tfidf_topk": 1,   # the n_docs count scan
     "text_bm25_topk": 1,    # the avgdl stats scan
     "ann_hybrid_rrf": 3,    # stats scan + embeddings corpus + query row
+    # round 7: the SimHash fingerprint frame (narrow, but 64
+    # sign-votes per doc to derive) fed 10 consumers unpinned —
+    # 4 band branches x 2 self-join sides + 2 verify sides
+    "dedup_simhash_pairs": 0,  # everything behind the fp pin
 }
 
 
