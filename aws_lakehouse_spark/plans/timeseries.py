@@ -368,26 +368,29 @@ def agg_hll_intersection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts = ev.filter(
         F.col("event_type").isin("click", "purchase")
     ).select("event_type", "user_id")
+    # the per-cohort sketch frame is TWO rows but a full corpus scan
+    # to derive; unpinned, its two consumers (the a/b sides below)
+    # each re-ran the sketch aggregation — two whole events scans for
+    # a 2-row frame (round-7 rescan audit). One lazy checkpoint.
     sk = cohorts.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
         F.countDistinct("user_id").cast("bigint").alias("exact"),
-    )
+    ).localCheckpoint(eager=False)
     a = sk.filter(F.col("event_type") == "click").select(
         F.col("sk").alias("sk_a"), F.col("exact").alias("exact_click")
     )
     b = sk.filter(F.col("event_type") == "purchase").select(
         F.col("sk").alias("sk_b"), F.col("exact").alias("exact_purchase")
     )
+    # exact |A ∩ B| from ONE keyed pass instead of two distinct scans
+    # joined: cohorts holds exactly the two event types, so a user is
+    # in the overlap iff both types appear under their key — the
+    # map-side-combinable count_distinct(event_type) == 2 test, one
+    # user_id-keyed shuffle over the already-filtered cohort rows
     exact_overlap = (
-        cohorts.filter(F.col("event_type") == "click")
-        .select("user_id")
-        .distinct()
-        .join(
-            cohorts.filter(F.col("event_type") == "purchase")
-            .select("user_id")
-            .distinct(),
-            "user_id",
-        )
+        cohorts.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("__nt"))
+        .filter(F.col("__nt") == 2)
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
     )
     both = a.crossJoin(b).select(
