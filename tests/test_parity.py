@@ -34,6 +34,22 @@ def duck(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir)
+    # no registered query may emit a DecimalType column: Spark's
+    # decimal arithmetic (e.g. BIGINT / a 100.0 literal parsed as
+    # DECIMAL(4,1)) produces scale-padded values that are numerically
+    # equal to the oracle's doubles but fail the driver's exact
+    # representation hash — the class that kept sql_pipe_syntax red
+    # for three rounds. CAST to DOUBLE at the source.
+    from pyspark.sql.types import DecimalType
+
+    dec_cols = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
+    assert not dec_cols, (
+        f"{name}: DecimalType output column(s) {dec_cols} — "
+        "driver hash would fail; CAST to DOUBLE"
+    )
     spark_pdf = sdf.toPandas()
     if spec.oracle is None:
         # rows-only contract: must run and return a well-formed frame
