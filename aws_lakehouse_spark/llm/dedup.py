@@ -729,10 +729,15 @@ def incremental_exact_status(
     corpus side reads a persisted digest index (digest-only parquet),
     making the probe column-pruned to ~50 B/row.
     """
+    # the digest frame is narrow (id + 32-hex digest) but derives by
+    # hashing the FAT text column; unpinned it re-derives three times
+    # (directly, and twice through batch_min's two broadcast uses) —
+    # three reads of the batch's text at ingest scale. One lazy
+    # checkpoint bounds the batch to ONE text scan.
     b = batch.select(
         F.col(id_col).alias("doc_id"),
         content_digest(F.col(text_col)).alias("digest"),
-    )
+    ).localCheckpoint(eager=False)
     batch_min = b.groupBy("digest").agg(F.min("doc_id").alias("__keep"))
     hits = (
         corpus.select(content_digest(F.col(text_col)).alias("digest"))
@@ -940,7 +945,7 @@ def incremental_exact_status_bloom(
     b = batch.select(
         F.col(id_col).alias("doc_id"),
         content_digest(F.col(text_col)).alias("digest"),
-    )
+    ).localCheckpoint(eager=False)  # ONE text hash pass (see exact variant)
     batch_min = (
         b.groupBy("digest")
         .agg(F.min("doc_id").alias("__keep"))
