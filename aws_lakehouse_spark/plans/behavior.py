@@ -613,13 +613,24 @@ def sink_identity_column_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # the distinct user-week frame costs a full fact scan plus a
+    # shuffle to derive and feeds two consumers (the cohort reduction
+    # and the activity join); cohort feeds two more (the join and the
+    # size rollup) — unpinned, the fact scan re-ran three times
+    # (round-7 rescan audit; the daily-retention variant's frame was
+    # pinned in round 5, this weekly one was missed). Both pins are
+    # user-sized narrow frames.
     uw = ev.select(
         "user_id",
         F.date_trunc("week", F.col("ts").cast("timestamp"))
         .cast("date")
         .alias("week"),
-    ).distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    ).distinct().localCheckpoint(eager=False)
+    cohort = (
+        uw.groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+        .localCheckpoint(eager=False)
+    )
     act = (
         uw.join(cohort, "user_id")
         .groupBy(
