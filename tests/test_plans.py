@@ -392,6 +392,14 @@ RESCAN_PINNED_MAX_VISIBLE = {
     # sign-votes per doc to derive) fed 10 consumers unpinned —
     # 4 band branches x 2 self-join sides + 2 verify sides
     "dedup_simhash_pairs": 0,  # everything behind the fp pin
+    # round 7: digest frames hash the FAT text column once, not per
+    # consumer; the corpus probe stays a single streamed scan
+    "dedup_incremental_exact": 1,   # the corpus scan
+    "dedup_incremental_bloom": 1,   # the corpus scan
+    # round 7: the weekly cohort triangle's user-week + cohort pins
+    "events_cohort_retention": 0,
+    # round 7: the 2-row per-cohort sketch frame + one-pass overlap
+    "agg_hll_intersection": 2,  # sketch scan + overlap scan
 }
 
 
