@@ -778,12 +778,14 @@ def incremental_lsh_matches(
     genuinely new; first_match = min matching corpus id otherwise.
 
     Scale shape: the corpus band index is one narrow scan-side
-    projection (in production it is precomputed and persisted — the
-    probe then reads only the band columns); batch bands are
-    broadcast into it, so the corpus is never exchanged. Candidates
-    (≪ |corpus|) flow through broadcast joins; corpus shingle sets
-    are recomputed ONLY for candidate docs via a broadcast semi
-    filter, never corpus-wide.
+    projection, scanned ONCE — the candidate frame is pinned, so its
+    two consumers don't each re-run the corpus scan (in production
+    the index is precomputed and persisted — the probe then reads
+    only the band columns); batch bands are broadcast into it, so
+    the corpus is never exchanged. Candidates (≪ |corpus|) flow
+    through broadcast joins; corpus shingle sets are recomputed ONLY
+    for candidate docs via a broadcast semi filter, never
+    corpus-wide.
     """
     band_rows = lsh_band_rows_sql(text_col, shingle_k, num_hashes, band_size)
 
@@ -793,11 +795,18 @@ def incremental_lsh_matches(
             F.explode(F.expr(band_rows)).alias("band"),
         ).select(out_id, "band.band_id", "band.band_hash")
 
+    # the candidate frame is SMALL (band collisions ≪ |corpus|) but
+    # its derivation embeds the full corpus band scan; unpinned, its
+    # two consumers (the corpus-shingle semi filter and the verify
+    # join) re-run that scan — two passes over the 100 TB corpus for
+    # one ingest probe. One lazy checkpoint bounds the corpus band
+    # index to a single scan.
     cand = (
         _bands(corpus, "corpus_id")
         .join(F.broadcast(_bands(batch, "doc_id")), ["band_id", "band_hash"])
         .select("doc_id", "corpus_id")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sh_batch = batch.select(
         F.col(id_col).alias("doc_id"),

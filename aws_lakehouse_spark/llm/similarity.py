@@ -353,7 +353,13 @@ def ivf_centroids(
     groupBy(centroid, pos). Returns (centroid_id, cent_vec).
 
     The centroid table is n_centroids rows at any corpus scale — it is
-    the one structure that is ALWAYS broadcastable."""
+    the one structure that is ALWAYS broadcastable. It is returned
+    PINNED (lazy checkpoint): its derivation embeds 1 + 2·iterations
+    corpus scans, and every consumer (inverted-list assignment, query
+    probe routing) would otherwise re-run them all — the k-rows-from-
+    a-petabyte shape where a pin is pure win. Per-iteration pins also
+    keep the Lloyd loop's plan depth constant instead of linear in
+    iterations."""
     c = corpus.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cent_vec"),
@@ -368,6 +374,7 @@ def ivf_centroids(
             .alias("centroid_id"),
             "cent_vec",
         )
+        .localCheckpoint(eager=False)
     )
     for _ in range(refine_iterations):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
@@ -393,6 +400,7 @@ def ivf_centroids(
                     "cent_vec"
                 ),
             )
+            .localCheckpoint(eager=False)
         )
     return cents
 

@@ -400,6 +400,15 @@ RESCAN_PINNED_MAX_VISIBLE = {
     "events_cohort_retention": 0,
     # round 7: the 2-row per-cohort sketch frame + one-pass overlap
     "agg_hll_intersection": 2,  # sketch scan + overlap scan
+    # round 7: the 16-row IVF centroid frame (1 + 2·iterations corpus
+    # scans deep) pins inside ivf_centroids; unpinned, the list
+    # assignment and the query probe each re-derived it (9 visible
+    # corpus scans). Remaining 3: corpus vectors + list assign + query
+    "ann_ivf_topk": 3,
+    # round 7: the candidate frame (band collisions, ≪ corpus) pins so
+    # its two consumers share ONE corpus band scan. Remaining 3:
+    # corpus shingle verify scan + batch band/probe scans
+    "dedup_incremental_minhash": 3,
 }
 
 
