@@ -426,6 +426,32 @@ def test_pinned_fanout_scan_budget(name, max_scans, spark, sf_dir):
     assert n <= max_scans, (name, n, max_scans)
 
 
+def test_ivf_centroid_plan_depth_constant_in_iterations(spark, sf_dir):
+    """The Lloyd refinement loop pins each iteration's 16-row centroid
+    frame; without the pin, iteration k's plan embeds iteration k-1's
+    whole derivation, so visible corpus scans grow linearly with
+    iterations (and every downstream consumer re-runs them all). The
+    pinned frame must keep the FINAL centroid plan's visible scan
+    count constant as iterations grow."""
+    from aws_lakehouse_spark.llm.similarity import ivf_centroids
+
+    from aws_lakehouse_spark.sources.readers import scan_parquet
+
+    emb = scan_parquet(spark, f"{sf_dir}/embeddings.parquet").filter(
+        "embedding is not null"
+    )
+
+    def scans(iters: int) -> int:
+        df = ivf_centroids(emb, refine_iterations=iters)
+        simple = spark._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        return simple.count("Scan parquet")
+
+    one, three = scans(1), scans(3)
+    assert one == three, (one, three)
+
+
 def test_pregel_default_pin_is_checkpoint_not_cache(spark):
     """Round-5 measurement guard: the kernels' DEFAULT adjacency pin
     must be the raw-row checkpoint, not a cached relation — the
