@@ -777,15 +777,16 @@ def incremental_lsh_matches(
     doc — n_corpus_matches = 0 / first_match NULL when the doc is
     genuinely new; first_match = min matching corpus id otherwise.
 
-    Scale shape: the corpus band index is one narrow scan-side
-    projection, scanned ONCE — the candidate frame is pinned, so its
-    two consumers don't each re-run the corpus scan (in production
-    the index is precomputed and persisted — the probe then reads
-    only the band columns); batch bands are broadcast into it, so
-    the corpus is never exchanged. Candidates (≪ |corpus|) flow
-    through broadcast joins; corpus shingle sets are recomputed ONLY
-    for candidate docs via a broadcast semi filter, never
-    corpus-wide.
+    Scale shape: exactly two corpus passes, each run once — the band
+    index (one narrow scan-side projection; in production it is
+    precomputed and persisted, so the probe reads only the band
+    columns) and the verify scan. The candidate frame embeds the
+    band scan in its derivation, so it has exactly ONE consumer: it
+    broadcasts whole into the corpus verify scan, where shingles are
+    computed in the post-join projection — only for the candidate
+    rows the broadcast join keeps, never corpus-wide. Batch bands
+    broadcast into the band index, so the corpus is never exchanged;
+    all remaining joins are broadcast on batch-derived sides.
     """
     band_rows = lsh_band_rows_sql(text_col, shingle_k, num_hashes, band_size)
 
@@ -796,33 +797,37 @@ def incremental_lsh_matches(
         ).select(out_id, "band.band_id", "band.band_hash")
 
     # the candidate frame is SMALL (band collisions ≪ |corpus|) but
-    # its derivation embeds the full corpus band scan; unpinned, its
-    # two consumers (the corpus-shingle semi filter and the verify
-    # join) re-run that scan — two passes over the 100 TB corpus for
-    # one ingest probe. One lazy checkpoint bounds the corpus band
-    # index to a single scan.
+    # its derivation embeds the full corpus band scan, so it must be
+    # consumed exactly ONCE — a second consumer re-runs that scan
+    # (two passes over the 100 TB corpus for one ingest probe), and a
+    # lazy-checkpoint pin measured 1.2× at sf0.1 (the job-boundary
+    # cost of materializing before the verify stage can start).
+    # Instead the whole candidate frame broadcasts into the corpus
+    # verify scan directly: shingles are computed in the post-join
+    # projection, i.e. only for rows the broadcast join keeps, and
+    # only this one consumer ever evaluates cand.
     cand = (
         _bands(corpus, "corpus_id")
         .join(F.broadcast(_bands(batch, "doc_id")), ["band_id", "band_hash"])
         .select("doc_id", "corpus_id")
         .distinct()
-        .localCheckpoint(eager=False)
     )
     sh_batch = batch.select(
         F.col(id_col).alias("doc_id"),
         shingles_col(F.col(text_col), shingle_k).alias("sh_b"),
     )
-    sh_corpus_cand = corpus.join(
-        F.broadcast(cand.select(F.col("corpus_id").alias(id_col)).distinct()),
-        id_col,
-        "leftsemi",
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(text_col).alias("__ctext")
+    )
+    pairs = c.join(
+        F.broadcast(cand), c["__cid"] == cand["corpus_id"]
     ).select(
-        F.col(id_col).alias("corpus_id"),
-        shingles_col(F.col(text_col), shingle_k).alias("sh_c"),
+        "doc_id",
+        "corpus_id",
+        shingles_col(F.col("__ctext"), shingle_k).alias("sh_c"),
     )
     verified = (
-        cand.join(F.broadcast(sh_batch), "doc_id")
-        .join(sh_corpus_cand, "corpus_id")
+        pairs.join(F.broadcast(sh_batch), "doc_id")
         .filter(
             F.size(F.array_intersect("sh_b", "sh_c"))
             / F.size(F.array_union("sh_b", "sh_c"))

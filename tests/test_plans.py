@@ -405,10 +405,16 @@ RESCAN_PINNED_MAX_VISIBLE = {
     # assignment and the query probe each re-derived it (9 visible
     # corpus scans). Remaining 3: corpus vectors + list assign + query
     "ann_ivf_topk": 3,
-    # round 7: the candidate frame (band collisions, ≪ corpus) pins so
-    # its two consumers share ONE corpus band scan. Remaining 3:
-    # corpus shingle verify scan + batch band/probe scans
-    "dedup_incremental_minhash": 3,
+    # round 7: the candidate frame (band collisions, ≪ corpus — its
+    # derivation embeds the full corpus band scan) has exactly ONE
+    # consumer: it broadcasts whole into the corpus verify join, so
+    # the band scan runs once. All 5 visible scans are distinct
+    # single-pass reads: corpus bands + corpus verify + batch bands +
+    # batch shingles + the pruned doc_id probe. (A checkpoint pin
+    # also reached one band scan but measured 1.2x at sf0.1 — the
+    # job-boundary cost; the one-consumer shape is 1.04x vs unpinned
+    # with half the corpus I/O.)
+    "dedup_incremental_minhash": 5,
 }
 
 
