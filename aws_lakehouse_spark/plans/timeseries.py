@@ -368,19 +368,31 @@ def agg_hll_intersection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts = ev.filter(
         F.col("event_type").isin("click", "purchase")
     ).select("event_type", "user_id")
-    # the per-cohort sketch frame is TWO rows but a full corpus scan
-    # to derive; unpinned, its two consumers (the a/b sides below)
-    # each re-ran the sketch aggregation — two whole events scans for
-    # a 2-row frame (round-7 rescan audit). One lazy checkpoint.
-    sk = cohorts.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
-        F.countDistinct("user_id").cast("bigint").alias("exact"),
-    ).localCheckpoint(eager=False)
-    a = sk.filter(F.col("event_type") == "click").select(
-        F.col("sk").alias("sk_a"), F.col("exact").alias("exact_click")
-    )
-    b = sk.filter(F.col("event_type") == "purchase").select(
-        F.col("sk").alias("sk_b"), F.col("exact").alias("exact_purchase")
+    # BOTH cohort sketches come from ONE global aggregation over one
+    # events scan — aggregates skip NULL inputs, so the when() guards
+    # route each row into its own sketch only. This is the
+    # one-consumer shape: an earlier grouped 2-row sketch frame fed
+    # two filter branches, re-running the corpus scan per consumer
+    # (round-7 rescan audit), and a lazy-checkpoint pin fixed the
+    # scans but measured 1.25x at sf0.1 (job-boundary stall on a
+    # 2-row frame). One row out, no pin, no branch fan-out.
+    click = F.when(F.col("event_type") == "click", F.col("user_id"))
+    purchase = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    both = cohorts.agg(
+        F.hll_sketch_agg(click, F.lit(14)).alias("sk_a"),
+        F.hll_sketch_agg(purchase, F.lit(14)).alias("sk_b"),
+        F.countDistinct(click).cast("bigint").alias("exact_click"),
+        F.countDistinct(purchase).cast("bigint").alias("exact_purchase"),
+    ).select(
+        "exact_click",
+        "exact_purchase",
+        (
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(
+                F.hll_union("sk_a", "sk_b")
+            )
+        ).alias("__est"),
     )
     # exact |A ∩ B| from ONE keyed pass instead of two distinct scans
     # joined: cohorts holds exactly the two event types, so a user is
@@ -392,17 +404,6 @@ def agg_hll_intersection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("event_type").alias("__nt"))
         .filter(F.col("__nt") == 2)
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
-    )
-    both = a.crossJoin(b).select(
-        "exact_click",
-        "exact_purchase",
-        (
-            F.hll_sketch_estimate("sk_a")
-            + F.hll_sketch_estimate("sk_b")
-            - F.hll_sketch_estimate(
-                F.hll_union("sk_a", "sk_b")
-            )
-        ).alias("__est"),
     )
     return both.crossJoin(F.broadcast(exact_overlap)).select(
         "exact_click",
