@@ -613,43 +613,41 @@ def sink_identity_column_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # the distinct user-week frame costs a full fact scan plus a
-    # shuffle to derive and feeds two consumers (the cohort reduction
-    # and the activity join); cohort feeds two more (the join and the
-    # size rollup) — unpinned, the fact scan re-ran three times
-    # (round-7 rescan audit; the daily-retention variant's frame was
-    # pinned in round 5, this weekly one was missed). Both pins are
-    # user-sized narrow frames.
+    # fully fused, ONE fact scan, no pins: the cohort week is a
+    # min-over-user WINDOW on the distinct user-week frame (no
+    # groupBy+join-back — the window reuses the frame in place), and
+    # the cohort size is the triangle's own week_offset-0 cell (every
+    # user is active in their min week by definition), read back with
+    # a cohort-keyed window over the tiny aggregated frame. The
+    # earlier groupBy+join shape re-ran the fact scan per consumer
+    # unpinned (round-7 rescan audit) and measured 1.09-1.16x at
+    # sf0.1 with checkpoint pins (job-boundary stalls on narrow
+    # frames); this shape needs neither.
     uw = ev.select(
         "user_id",
         F.date_trunc("week", F.col("ts").cast("timestamp"))
         .cast("date")
         .alias("week"),
-    ).distinct().localCheckpoint(eager=False)
-    cohort = (
-        uw.groupBy("user_id")
-        .agg(F.min("week").alias("cohort_week"))
-        .localCheckpoint(eager=False)
+    ).distinct()
+    withc = uw.withColumn(
+        "cohort_week",
+        F.min("week").over(Window.partitionBy("user_id")),
     )
-    act = (
-        uw.join(cohort, "user_id")
-        .groupBy(
-            "cohort_week",
-            F.floor(F.datediff("week", "cohort_week") / 7)
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_active"))
-    )
-    sizes = cohort.groupBy("cohort_week").agg(
-        F.count("*").alias("cohort_size")
-    )
-    return act.join(F.broadcast(sizes), "cohort_week").select(
+    act = withc.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("week", "cohort_week") / 7)
+        .cast("long")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_week"))
+    return act.select(
         "cohort_week",
         "week_offset",
         "n_active",
         F.round(
-            F.col("n_active").cast("double") / F.col("cohort_size"), 4
+            F.col("n_active").cast("double") / cohort_size, 4
         ).alias("retention"),
     )
 

@@ -396,8 +396,12 @@ RESCAN_PINNED_MAX_VISIBLE = {
     # consumer; the corpus probe stays a single streamed scan
     "dedup_incremental_exact": 1,   # the corpus scan
     "dedup_incremental_bloom": 1,   # the corpus scan
-    # round 7: the weekly cohort triangle's user-week + cohort pins
-    "events_cohort_retention": 0,
+    # round 7: the weekly cohort triangle fused to ONE visible fact
+    # scan — cohort week is a min-over-user window on the distinct
+    # user-week frame (no groupBy+join-back, no pins), cohort size is
+    # the triangle's own offset-0 cell (measured 0.78x of the
+    # join-back shape at sf0.1; the pinned variant measured 1.09x)
+    "events_cohort_retention": 1,
     # round 7: both cohort sketches fused into ONE global aggregation
     # (when()-guarded inputs; aggregates skip NULLs) + one-pass
     # overlap — no 2-row intermediate frame, no pin (the pin measured
