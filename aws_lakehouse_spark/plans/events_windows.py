@@ -273,21 +273,23 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioning serves the groupBys and the join.",
 )
 def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
     d = F.to_date("ts")
-    # first-seen derives from the distinct (user, day) frame — pin it
-    # once and events is scanned once, not twice
-    act = (
-        e.select("user_id", d.alias("d"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    # first-seen is a min-over-user WINDOW on the distinct (user, day)
+    # frame — the window reuses the frame in place, so there is no
+    # groupBy+join-back, no second fact scan, and no pin (the r5
+    # checkpoint pin this replaces; the weekly-triangle fusion of the
+    # same shape measured 0.78x of the join-back at sf0.1)
+    act = e.select("user_id", d.alias("d")).distinct()
+    d0 = F.min("d").over(Window.partitionBy("user_id"))
     return (
-        act.join(first, "user_id")
-        .groupBy(
-            F.datediff(F.col("d"), F.col("d0")).cast("int").alias("day_offset")
+        act.select(
+            "user_id",
+            F.datediff(F.col("d"), d0).cast("int").alias("day_offset"),
         )
+        .groupBy("day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("day_offset")
     )

@@ -382,7 +382,9 @@ RESCAN_PINNED_MAX_VISIBLE = {
     "ann_recall_eval": 2,        # exact + approx corpus passes ARE
     #                              the comparison being evaluated
     "graph_degree_distribution": 0,
-    "events_retention": 0,
+    # round 7: fused — first-seen day is a min-over-user window on the
+    # distinct frame (no join-back, no pin; 0.77x of the pinned shape)
+    "events_retention": 1,
     "events_rolling_wau": 0,
     "text_vocab_topk": 0,
     "text_tfidf_topk": 1,   # the n_docs count scan
