@@ -723,25 +723,30 @@ def events_burst_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_rolling_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # two consumers (the day list, the contribution explode) — pin
-    # the distinct (day, user) frame so events is scanned once
-    day_user = (
-        ev.select(F.to_date("ts").alias("d"), "user_id")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    days = day_user.select("d").distinct()
+    # single consumer, no pin: a target day is "observed in the data"
+    # iff some contribution reaches it at offset 0 (that contribution
+    # IS the day's own (day, user) row), so the observed-day clamp
+    # folds into the same aggregation as the distinct count — no
+    # separate day list, no join-back (the r5 shape pinned the
+    # distinct frame to feed both; the clamp marker makes the second
+    # consumer unnecessary)
+    day_user = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
     contrib = day_user.select(
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
         "d",
         "user_id",
-    ).select(F.date_add(F.col("d"), F.col("o")).alias("target_d"), "user_id")
+    ).select(
+        F.date_add(F.col("d"), F.col("o")).alias("target_d"),
+        (F.col("o") == 0).cast("int").alias("is_anchor"),
+        "user_id",
+    )
     return (
-        contrib.join(
-            F.broadcast(days.withColumnRenamed("d", "target_d")), "target_d"
+        contrib.groupBy("target_d")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("wau"),
+            F.max("is_anchor").alias("__observed"),
         )
-        .groupBy("target_d")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .filter(F.col("__observed") == 1)
         .select(
             F.date_format("target_d", "yyyy-MM-dd").alias("day"), "wau"
         )

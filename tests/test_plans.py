@@ -385,7 +385,10 @@ RESCAN_PINNED_MAX_VISIBLE = {
     # round 7: fused — first-seen day is a min-over-user window on the
     # distinct frame (no join-back, no pin; 0.77x of the pinned shape)
     "events_retention": 1,
-    "events_rolling_wau": 0,
+    # round 7: fused — the observed-day clamp rides the contribution
+    # explode as an offset-0 marker (no day-list join-back, no pin;
+    # 0.84x of the pinned shape at sf0.1)
+    "events_rolling_wau": 1,
     "text_vocab_topk": 0,
     "text_tfidf_topk": 1,   # the n_docs count scan
     "text_bm25_topk": 1,    # the avgdl stats scan
