@@ -68,50 +68,55 @@ from aws_lakehouse_spark.registry import register
 )
 def events_funnel_steps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # each step frame feeds BOTH the next step's join and its own
-    # funnel count — checkpoint the user-sized frames so the events
-    # scans don't compound down the chain (unpinned, step k re-embeds
-    # steps 1..k-1: 1+2+3 = 6 scans; pinned: one pushed-down
-    # event_type scan per step)
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-        .localCheckpoint(eager=False)
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-        .localCheckpoint(eager=False)
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    steps = (
-        v.agg(F.count("*").alias("users")).select(
-            F.lit(1).alias("step_no"), F.lit("view").alias("step"), "users"
+    # the whole step chain in ONE user-partitioned pass (same fusion
+    # as events_funnel, which measured the pinned per-stage chain at
+    # 1.76x of this shape by interleaved A/B at sf0.1): each step's
+    # first-qualifying timestamp is a min-over-user window whose
+    # predicate reads the previous step's window column — a per-user
+    # constant, so "strictly after step k-1" is row-local. No
+    # per-stage scans, no join-backs, no pins; the windows and the
+    # per-user collapse share one hash partitioning.
+    wu = Window.partitionBy("user_id")
+    t = F.col("ts")
+    d = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "tv", F.min(F.when(F.col("event_type") == "view", t)).over(wu)
         )
-        .unionByName(
-            c.agg(F.count("*").alias("users")).select(
-                F.lit(2).alias("step_no"),
-                F.lit("view>click").alias("step"),
-                "users",
-            )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (t > F.col("tv")), t
+                )
+            ).over(wu),
         )
-        .unionByName(
-            p.agg(F.count("*").alias("users")).select(
-                F.lit(3).alias("step_no"),
-                F.lit("view>click>purchase").alias("step"),
-                "users",
-            )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (t > F.col("tc")),
+                    t,
+                )
+            ).over(wu),
         )
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.min("tv").alias("tv"),
+        F.min("tc").alias("tc"),
+        F.min("tp").alias("tp"),
+    )
+    counts = per_user.agg(
+        F.count("tv").alias("nv"),
+        F.count("tc").alias("nc"),
+        F.count("tp").alias("np"),
+    )
+    steps = counts.select(
+        F.expr(
+            "stack(3, 1, 'view', nv, 2, 'view>click', nc,"
+            " 3, 'view>click>purchase', np)"
+        ).alias("step_no", "step", "users")
     )
     w = Window.partitionBy()
     return steps.select(

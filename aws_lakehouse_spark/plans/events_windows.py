@@ -213,41 +213,57 @@ def events_dedup_within_time_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stage counts are single-row aggregates unioned at the end.",
 )
 def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
-    # each stage frame feeds the next stage's join AND its own count;
-    # unpinned, stage k re-embeds stages 1..k-1 and the events scans
-    # compound 1+2+3 — pin the user-sized frames (one scan per stage)
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("fv"))
-        .localCheckpoint(eager=False)
-    )
-    c = (
-        e.join(v, "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("fv")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("fc"))
-        .localCheckpoint(eager=False)
-    )
-    p = (
-        e.join(c, "user_id")
-        .filter(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("fc"))
+    # the whole chain in ONE user-partitioned pass: each stage's
+    # first-qualifying timestamp is a min-over-user window whose
+    # predicate reads the PREVIOUS stage's window column (a per-user
+    # constant, so "strictly after stage k-1" is row-local) — no
+    # per-stage scans, no join-backs, no pins. The three windows and
+    # the per-user collapse share one hash partitioning; the earlier
+    # pinned-chain shape (one pushed-down scan + checkpoint per
+    # stage) measured 1.76x of this by interleaved A/B at sf0.1.
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    d = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "fv", F.min(F.when(F.col("event_type") == "view", t)).over(w)
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("fp"))
-    )
-
-    def stage(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(label).alias("stage"), "n_users"
+        .withColumn(
+            "fc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (t > F.col("fv")), t
+                )
+            ).over(w),
         )
-
-    return (
-        stage(v, "1_view")
-        .unionByName(stage(c, "2_click"))
-        .unionByName(stage(p, "3_purchase"))
+        .withColumn(
+            "fp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (t > F.col("fc")),
+                    t,
+                )
+            ).over(w),
+        )
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.min("fv").alias("fv"),
+        F.min("fc").alias("fc"),
+        F.min("fp").alias("fp"),
+    )
+    counts = per_user.agg(
+        F.count("fv").alias("v"),
+        F.count("fc").alias("c"),
+        F.count("fp").alias("p"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', v, '2_click', c, '3_purchase', p)"
+        ).alias("stage", "n_users")
     )
 
 
