@@ -1065,18 +1065,20 @@ def agg_market_share_hhi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("rev")
         )
-        # two consumers (nation totals, share join) — checkpoint the
-        # supplier-cardinality frame so lineitem is scanned once
-        .localCheckpoint(eager=False)
     )
-    tot = sup.groupBy("nation").agg(
-        F.sum("rev").alias("t"),
-        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    from pyspark.sql import Window
+
+    # nation totals as WINDOW aggregates over the supplier-cardinality
+    # frame — the frame has ONE consumer, so no pin and no join-back
+    # (the previous groupBy+join shape checkpointed it to stop the
+    # lineitem scan running twice)
+    wn = Window.partitionBy("nation")
+    sup = sup.withColumn("t", F.sum("rev").over(wn)).withColumn(
+        "n_suppliers", F.count(F.lit(1)).over(wn).cast("bigint")
     )
     share = F.col("rev").cast("double") / F.col("t").cast("double")
     return (
-        sup.join(tot, "nation")
-        .groupBy("nation", "n_suppliers")
+        sup.groupBy("nation", "n_suppliers")
         .agg(
             F.round(
                 F.aggregate(

@@ -613,26 +613,28 @@ def ts_seasonal_decompose_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_anomaly_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    # s feeds the median AND the join; j feeds the MAD AND the final
-    # filter — unpinned, the orders scan compounds 4x. Both frames
-    # are (priority x day)-sized; pin each once.
-    s = (
-        orders.groupBy(
-            F.col("o_orderpriority").alias("priority"),
-            F.to_date("o_orderdate").alias("day"),
-        )
-        .agg(F.sum("o_totalprice").alias("x"))
-        .localCheckpoint(eager=False)
-    )
-    med = s.groupBy("priority").agg(
-        F.expr("percentile(x, 0.5)").alias("med")
-    )
-    j = s.join(F.broadcast(med), "priority").localCheckpoint(eager=False)
-    mad = j.groupBy("priority").agg(
-        F.expr("percentile(abs(x - med), 0.5)").alias("mad")
+    # the two robust-statistic passes are WINDOW aggregates over the
+    # priority partition of the one (priority x day) frame: the
+    # median lands on every row as a per-priority constant, the MAD
+    # (median of |x - med|, inherently a second pass) stacks on top
+    # of it, and the outlier filter is then row-local. No
+    # groupBy+join-backs, no pins (the previous shape pinned two
+    # frames to stop the orders scan compounding 4x; unbounded-frame
+    # windows evaluate the aggregate once per partition, so this is
+    # one scan and one exchange end to end).
+    s = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum("o_totalprice").alias("x"))
+    wp = Window.partitionBy("priority")
+    j = s.withColumn(
+        "med", F.expr("percentile(x, 0.5)").over(wp)
+    ).withColumn(
+        "mad",
+        F.expr("percentile(abs(x - med), 0.5)").over(wp),
     )
     return (
-        j.join(F.broadcast(mad), "priority")
+        j
         .filter(
             F.abs(F.col("x") - F.col("med"))
             > 2.5 * 1.4826 * F.col("mad")

@@ -371,12 +371,19 @@ RESCAN_PINNED_MAX_VISIBLE = {
     "events_funnel": 1,          # the purchase-stage scan
     "events_funnel_steps": 1,
     "events_growth_accounting": 0,
-    "ts_anomaly_mad": 0,
+    # round 7: fused — median and MAD are priority-partitioned window
+    # aggregates on the one daily frame (no join-backs, no pins;
+    # 0.66x of the pinned shape at sf0.1)
+    "ts_anomaly_mad": 1,
     "ts_gap_fill": 0,
     "quality_chisquare_drift": 0,
     "quality_ks_drift": 0,
     "text_jsd_langs": 0,
-    "agg_market_share_hhi": 0,
+    # round 7: fused — nation totals are window aggregates on the
+    # supplier-cardinality frame (no join-back, no pin; 0.88x of the
+    # pinned shape at sf0.1). 3 = lineitem + the two broadcast dims,
+    # each scanned once (the pin previously hid all three)
+    "agg_market_share_hhi": 3,
     "agg_histogram_equidepth": 1,  # the final bucketing scan
     "quality_entropy_profile": 0,
     "ann_recall_eval": 2,        # exact + approx corpus passes ARE
