@@ -341,21 +341,26 @@ def _entropy_duck(table: str, col: str) -> str:
     "both engines regardless of partitioning.",
 )
 def quality_entropy_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     def entropy(df: DataFrame, tname: str, col: str) -> DataFrame:
-        # two consumers (the total and the fold) — checkpoint the
-        # category-cardinality frame once so each column costs ONE
-        # table scan, not two (plan audit caught 6 scans for 3 cols)
-        counts = (
-            df.groupBy(F.col(col).alias("v"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint(eager=False)
+        # the grand total is a single-partition window over the TINY
+        # category-cardinality frame (bounded by the column's distinct
+        # count), so the frame has ONE consumer — no pin, no
+        # broadcast join-back (the earlier checkpointed total pass
+        # was the plan-audit fix for 6 scans over 3 cols; the window
+        # keeps the one-scan-per-column property without the pin)
+        counts = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
         )
-        total = counts.agg(F.sum("c").alias("t"))
+        counts = counts.withColumn(
+            "t", F.sum("c").over(Window.partitionBy())
+        )
         term = (F.col("c").cast("double") / F.col("t")) * F.log2(
             F.col("c").cast("double") / F.col("t")
         )
         return (
-            counts.crossJoin(F.broadcast(total))
+            counts
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
                 F.round(

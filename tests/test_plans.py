@@ -385,7 +385,11 @@ RESCAN_PINNED_MAX_VISIBLE = {
     # each scanned once (the pin previously hid all three)
     "agg_market_share_hhi": 3,
     "agg_histogram_equidepth": 1,  # the final bucketing scan
-    "quality_entropy_profile": 0,
+    # round 7: fused — the grand total is a single-partition window
+    # over the tiny category frame (no pin, no broadcast join-back;
+    # 0.74x of the pinned shape at sf0.1). 3 = one scan per profiled
+    # column, previously hidden behind the pins
+    "quality_entropy_profile": 3,
     "ann_recall_eval": 2,        # exact + approx corpus passes ARE
     #                              the comparison being evaluated
     "graph_degree_distribution": 0,
