@@ -1174,18 +1174,34 @@ def window_range_interval_frame_q(
     "converter count.",
 )
 def events_time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("fv"))
+    # one user-partitioned pass (the funnel fusion): the first view is
+    # a min-over-user window, the first later purchase a second window
+    # whose predicate reads the first — no per-type scans, no join
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    d = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "event_type", "ts")
+        .withColumn(
+            "fv", F.min(F.when(F.col("event_type") == "view", t)).over(w)
+        )
+        .withColumn(
+            "fp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (t > F.col("fv")),
+                    t,
+                )
+            ).over(w),
+        )
     )
     p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("fv"))
-        .groupBy("user_id", "fv")
-        .agg(F.min("ts").alias("fp"))
+        d.groupBy("user_id")
+        .agg(F.min("fv").alias("fv"), F.min("fp").alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
     lat = p.select(
         F.to_date("fv").cast("timestamp").alias("cohort_day"),

@@ -122,19 +122,23 @@ def quality_ab_ttest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
-    )
-    a = g.filter(F.col("event_type") == "click").select(
-        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
-    )
-    b = g.filter(F.col("event_type") == "view").select(
-        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    # both cohorts' moments from ONE global aggregation (aggregates
+    # skip NULLs, so the when() guards route each row to its own
+    # moment set) — the earlier 2-row grouped frame fed two filter
+    # branches, re-running the fact scan per cohort; this makes the
+    # docstring's "no second pass over the data" literally true
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    view = F.when(F.col("event_type") == "view", F.col("value"))
+    both = ev.agg(
+        F.count(click).cast("bigint").alias("n1"),
+        F.avg(click).alias("m1"),
+        F.var_samp(click).alias("v1"),
+        F.count(view).cast("bigint").alias("n2"),
+        F.avg(view).alias("m2"),
+        F.var_samp(view).alias("v2"),
     )
     se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
-    return a.crossJoin(b).select(
+    return both.select(
         "n1",
         "n2",
         F.round("m1", 6).alias("mean_click"),

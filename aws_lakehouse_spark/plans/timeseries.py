@@ -502,9 +502,14 @@ def window_ntile_deciles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_autocorrelation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # the daily frame is NARROW (day, x — bytes per row, calendar-
+    # bounded) but a full fact scan to derive, and its calendar-lag
+    # self-join consumes it twice; a narrow-frame pin is the measured
+    # win (row-lag windows would be wrong here — a missing day must
+    # NOT slide lag-k onto the k-th previous row)
     daily = orders.groupBy(
         F.to_date("o_orderdate").alias("day")
-    ).agg(F.sum("o_totalprice").alias("x"))
+    ).agg(F.sum("o_totalprice").alias("x")).localCheckpoint(eager=False)
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     shifted = daily.select(
         F.col("day").alias("lday"), F.col("x").alias("xl")

@@ -371,6 +371,16 @@ RESCAN_PINNED_MAX_VISIBLE = {
     "events_funnel": 1,          # the purchase-stage scan
     "events_funnel_steps": 1,
     "events_growth_accounting": 0,
+    # round 7: fused — both cohorts' moments in one when()-guarded
+    # global aggregate (0.63x of the two-filter shape at sf0.1)
+    "quality_ab_ttest": 1,
+    # round 7: fused — first view / first later purchase as stacked
+    # min-over-user windows (0.80x of the join shape at sf0.1)
+    "events_time_to_convert": 1,
+    # round 7: the calendar-lag self-join's NARROW daily frame
+    # (day, x) pins — row-lag windows would be wrong across missing
+    # days; the pin halves the fact I/O (wall-neutral at sf0.1)
+    "ts_autocorrelation": 0,
     # round 7: fused — median and MAD are priority-partitioned window
     # aggregates on the one daily frame (no join-backs, no pins;
     # 0.66x of the pinned shape at sf0.1)
