@@ -255,9 +255,13 @@ def events_cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(F.count(F.lit(1)).cast("double").alias("x"))
-    mu = hourly.groupBy("event_type").agg(F.avg("x").alias("mu"))
+    # the per-type mean is a window over the same hourly frame (one
+    # consumer, no join-back, no second fact scan) — the ordered
+    # prefix windows below reuse the same event_type partitioning
     w = Window.partitionBy("event_type").orderBy("hr")
-    pre = hourly.join(F.broadcast(mu), "event_type").withColumn(
+    pre = hourly.withColumn(
+        "mu", F.avg("x").over(Window.partitionBy("event_type"))
+    ).withColumn(
         "prefix",
         F.sum(F.col("x") - F.col("mu") - _CUSUM_SLACK).over(w),
     )

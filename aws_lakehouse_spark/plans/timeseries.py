@@ -101,6 +101,10 @@ def window_rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_ewma_trailing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # the hourly frame is NARROW (type, bucket, x — bytes per row,
+    # calendar-bounded) but a full fact scan to derive; its banded
+    # interval self-join consumes it twice, so the narrow-frame pin
+    # halves the fact I/O (the measured-cheap pin regime)
     buckets = (
         events.groupBy(
             "event_type",
@@ -116,6 +120,7 @@ def events_ewma_trailing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1000000.0)
             ).alias("x")
         )
+        .localCheckpoint(eager=False)
     )
     b1, b2 = buckets.alias("b1"), buckets.alias("b2")
     hours = (

@@ -377,6 +377,12 @@ RESCAN_PINNED_MAX_VISIBLE = {
     # round 7: fused — first view / first later purchase as stacked
     # min-over-user windows (0.80x of the join shape at sf0.1)
     "events_time_to_convert": 1,
+    # round 7: the banded interval self-join's NARROW hourly frame
+    # (type, bucket, x) pins — halves the fact I/O (0.89x at sf0.1)
+    "events_ewma_trailing": 0,
+    # round 7: fused — the per-type mean is a window over the hourly
+    # frame (no join-back; 0.79x at sf0.1)
+    "events_cusum_changepoint": 1,
     # round 7: the calendar-lag self-join's NARROW daily frame
     # (day, x) pins — row-lag windows would be wrong across missing
     # days; the pin halves the fact I/O (wall-neutral at sf0.1)
