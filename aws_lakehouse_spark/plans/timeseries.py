@@ -808,7 +808,10 @@ def ts_theil_sen_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
         ).alias("y")
-    )
+    ).localCheckpoint(eager=False)
+    # the pairwise-slope self-join consumes the NARROW monthly frame
+    # (priority, midx, y — bytes per row, calendar-bounded) twice;
+    # the narrow-frame pin halves the fact I/O
     a, b = monthly.alias("a"), monthly.alias("b")
     slopes = a.join(
         b,
