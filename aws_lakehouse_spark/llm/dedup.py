@@ -806,11 +806,18 @@ def incremental_lsh_matches(
     # verify scan directly: shingles are computed in the post-join
     # projection, i.e. only for rows the broadcast join keeps, and
     # only this one consumer ever evaluates cand.
+    # one row per MATCHED CORPUS DOC, not per pair: collect_set both
+    # dedups band collisions (subsuming the old .distinct(), so this
+    # is still ONE shuffle on the candidate frame) and groups each
+    # corpus doc's colliding batch ids, so the corpus shingle set
+    # below is computed once per matched corpus doc and replicated by
+    # the explode — a corpus doc colliding with many batch docs no
+    # longer re-shingles per pair (r7 advice: collision-skew guard)
     cand = (
         _bands(corpus, "corpus_id")
         .join(F.broadcast(_bands(batch, "doc_id")), ["band_id", "band_hash"])
-        .select("doc_id", "corpus_id")
-        .distinct()
+        .groupBy("corpus_id")
+        .agg(F.collect_set("doc_id").alias("doc_ids"))
     )
     sh_batch = batch.select(
         F.col(id_col).alias("doc_id"),
@@ -822,7 +829,7 @@ def incremental_lsh_matches(
     pairs = c.join(
         F.broadcast(cand), c["__cid"] == cand["corpus_id"]
     ).select(
-        "doc_id",
+        F.explode("doc_ids").alias("doc_id"),
         "corpus_id",
         shingles_col(F.col("__ctext"), shingle_k).alias("sh_c"),
     )

@@ -36,77 +36,80 @@ from aws_lakehouse_spark.plans import (  # noqa: F401
 from aws_lakehouse_spark.registry import REGISTRY
 
 # The driver's correctness gate grades exactly the FIRST 50 entries of
-# the registry dict. Cumulative r1-r6 banked green rows for 296 of the
-# 328 registered queries. The ROUND 7 window below closes the coverage
-# contract (r6 verdict items 1-2): sql_pipe_syntax FIRST (its r5/r6
-# rows were red on output TYPE — Spark's decimal division of the
-# integer-cent sum; the revenue column is now CAST to DOUBLE and
-# re-verified bitwise against DuckDB at sf0.01), then ALL 31 remaining
-# never-graded queries (the alphabetical queue tail,
-# geo_haversine_neighbor_join .. udaf_grouped_geomean — every one
-# judge-green in the r6 full-registry parity run), then 18 re-verifies
-# of the stalest r1 greens (agg_count_distinct .. join_fact_dim_equi)
-# padding the window so every slot still checks something. After this
-# round every one of the 328 registry queries has a green driver row
-# at least once. Rows-only specs (oracle=None, e.g. embed_pca_project)
-# never enter the graded window.
+# the registry dict. Coverage debt closed at r7 (every registry query
+# driver-green at least once), so from ROUND 8 on the window enforces
+# the STANDING RULE from the r7 verdict: a query whose plan changed
+# after its last green grade re-enters the next window as a re-verify
+# pin (`tools/rotate_window.py --changed` derives the list from the
+# git diff against each query's last-grade driver commit, through the
+# ast import-graph taint map). The ROUND 8 window: 18 pins whose
+# physical plans the r7 window-fusion/pin batch rewrote AFTER their
+# last grade (events_funnel_steps .. ts_seasonal_decompose — all 18
+# judge-verified at sf0.01 post-rewrite, now getting driver truth),
+# 11 media_* pins touched by the r7 corrupt-payload NULL contract
+# that lack an r7 row, then embed_pca_project (newly oracle-backed:
+# projection onto the frozen literal fixture basis retires the
+# registry's last rows-only entry — r7 verdict item 2; with its r8
+# row the registry reaches 328/328 driver-hash-certified), then 20
+# stalest r1 re-verifies padding the window. The --changed backlog
+# beyond these (r1/r2 grades stale against six rounds of shared-
+# module churn) drains stalest-first over coming rounds.
 #
-# Registry growth stays FROZEN at 328 (r5 verdict item 5) until the
-# debt is zero at r7 close: 81 -> 31 -> 0 over r5-r7.
-# `python tools/rotate_window.py --apply` (run AFTER the driver writes
-# CORRECTNESS_r07.json) computes and rewrites the next window
+# Registry FROZEN at 328 since r5.
+# `python tools/rotate_window.py --changed --apply` (run AFTER the
+# driver writes CORRECTNESS_r08.json) computes the next window
 # mechanically; update this comment with the round's rationale.
 _PRIORITY = [
-    "sql_pipe_syntax",
-    "geo_haversine_neighbor_join",
-    "geo_knn_bounded",
-    "geo_polygon_contains",
-    "incremental_join_maintenance",
-    "incremental_partition_recompute",
-    "layout_zorder_pruned_scan",
-    "market_basket_rules",
-    "media_audio_curation_pipeline",
-    "media_audio_rms_loudness",
-    "media_curation_pipeline",
-    "media_image_neardup",
-    "media_scene_cuts",
-    "order_pareto_frontier",
-    "recsys_item_cosine",
-    "scalar_collation_groupby",
-    "scalar_interval_family",
-    "scalar_map_family",
-    "scalar_mapinarrow_checksum",
-    "scalar_math_family",
-    "set_multiset_ops",
-    "sink_dynamic_partition_overwrite",
-    "sink_identity_column",
-    "source_python_stream_datasource",
-    "source_python_udtf_sentences",
-    "text_blocklist_filter",
-    "text_epoch_allocation",
-    "text_quality_classifier",
-    "text_unicode_nfc",
-    "text_vocab_growth",
-    "text_weighted_sample",
-    "udaf_grouped_geomean",
-    "agg_count_distinct",
-    "agg_count_star",
-    "agg_cube",
-    "agg_group_sum_avg_count",
-    "agg_group_topk",
-    "agg_rollup",
-    "agg_salted_skew",
-    "agg_stats",
-    "agg_unpivot",
-    "dedupe_by_key_window",
-    "derive_column",
-    "distinct_projection",
-    "filter_quality_null_flags",
-    "filter_range_quality",
-    "join_anti",
-    "join_asof",
-    "join_enrich_left",
-    "join_fact_dim_equi",
+    "events_funnel_steps",
+    "events_funnel",
+    "ts_anomaly_mad",
+    "quality_entropy_profile",
+    "events_cohort_retention",
+    "events_retention",
+    "agg_market_share_hhi",
+    "agg_hll_intersection",
+    "events_rolling_wau",
+    "ts_autocorrelation",
+    "events_ewma_trailing",
+    "events_cusum_changepoint",
+    "quality_ab_ttest",
+    "events_time_to_convert",
+    "ts_theil_sen_slope",
+    "ann_ivf_topk",
+    "dedup_incremental_minhash",
+    "ts_seasonal_decompose",
+    "media_audio_chunks",
+    "media_audio_decode",
+    "media_audio_silence",
+    "media_extract_features",
+    "media_frame_sample",
+    "media_image_decode",
+    "media_image_dhash",
+    "media_image_histogram",
+    "media_image_resize",
+    "media_metadata",
+    "media_resize_plan",
+    "embed_pca_project",
+    "join_fact_dim_zone",
+    "join_range",
+    "join_range_banded",
+    "join_salted_skew",
+    "join_semi",
+    "limit_topk",
+    "order_by_desc",
+    "project_rename_cast",
+    "rank_topk_per_group",
+    "scalar_array_family",
+    "scalar_calendar_dim_parts",
+    "scalar_cast_types",
+    "scalar_date_family",
+    "scalar_derived_metrics",
+    "scalar_isin_arith_normalize",
+    "scalar_regex_extract",
+    "scalar_regex_replace",
+    "scalar_rlike_match",
+    "scalar_string_family",
+    "scalar_substring_split_trim",
     # --- index 50 boundary: the graded window ends here ---
 ]
 

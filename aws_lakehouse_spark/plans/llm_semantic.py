@@ -279,41 +279,72 @@ def embed_pca_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_literal_oracle() -> str:
+    """DuckDB oracle for the frozen-basis projection: the same
+    (x − μ)·wⱼ elementwise-then-list_sum arithmetic the Spark side
+    folds with zip_with/aggregate, against the identical float64
+    literals (%.17e round-trips exactly, and the e-notation makes
+    DuckDB parse them as DOUBLE, never DECIMAL — the sql_pipe_syntax
+    representation lesson)."""
+    from aws_lakehouse_spark.llm.pca_fixture import (
+        PCA_MEAN,
+        PCA_W1,
+        PCA_W2,
+    )
+
+    def lst(vals: list[float]) -> str:
+        return "[" + ", ".join(f"{v:.17e}" for v in vals) + "]"
+
+    return f"""
+    WITH basis AS (
+        SELECT CAST({lst(PCA_MEAN)} AS DOUBLE[]) AS mu,
+               CAST({lst(PCA_W1)} AS DOUBLE[]) AS w1,
+               CAST({lst(PCA_W2)} AS DOUBLE[]) AS w2
+    )
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               (x, i) -> (x - mu[i]) * w1[i])), 6) AS pc1,
+           ROUND(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               (x, i) -> (x - mu[i]) * w2[i])), 6) AS pc2
+    FROM embeddings, basis
+    ORDER BY vec_id
+    """
+
+
 @register(
     "embed_pca_project",
-    oracle=None,  # eigendecomposition is not SQL-expressible; the
-    # covariance reduction feeding it IS oracle-gated above, and
-    # tests/test_pca.py proves the projections equal a sequential
-    # numpy PCA (sign-fixed) to 1e-6
+    oracle=_pca_literal_oracle(),
     category="llm semantic (PCA)",
     doc="PCA projection of every embedding onto the top-2 principal "
-    "components (llm/pca.py): covariance from the single-scan "
-    "distributed reduction, driver-side eigh on the 64 x 64 matrix "
-    "(sign-fixed for reproducibility), then a second single scan "
-    "computes (x - mu) . w_j per component with built-in "
-    "zip_with/aggregate expressions against literal component "
-    "vectors — both passes JVM-side, corpus never shuffled. The "
-    "standard pre-step before clustering/visualization and the "
-    "whitening half of SemDeDup-style pipelines.",
+    "components of the FROZEN fixture basis (llm/pca_fixture.py: the "
+    "sign-fixed eigenvectors the engine's own covariance_matrix + "
+    "principal_components pipeline produced once from the sf0.01 "
+    "fixture, inlined as literals so the oracle is plain arithmetic "
+    "— r7 verdict item 2, retiring the registry's one rows-only "
+    "entry). The projection pass is the production path unchanged: "
+    "one scan, built-in zip_with/aggregate (x - mu) . w_j folds "
+    "against literal component vectors, fully JVM-side, corpus never "
+    "shuffled. The LIVE eigendecomposition stays certified by "
+    "embed_pca_covariance's oracle (the d x d reduction) plus "
+    "tests/test_pca.py's numpy cross-check of the end-to-end eigh "
+    "path.",
 )
 def embed_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aws_lakehouse_spark.llm.pca import (
-        covariance_matrix,
-        principal_components,
-        project,
+    import numpy as np
+
+    from aws_lakehouse_spark.llm.pca import project
+    from aws_lakehouse_spark.llm.pca_fixture import (
+        PCA_MEAN,
+        PCA_W1,
+        PCA_W2,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.isEmpty():
-        # same degradation as embed_pca_covariance: no rows, no PCs
-        return spark.createDataFrame(
-            [], "vec_id bigint, label int, pc1 double, pc2 double"
-        )
-    _, mean, cov = covariance_matrix(emb, "embedding", 64)
-    _, comps = principal_components(cov, k=2)
-    return project(emb, mean, comps).select(
-        "vec_id", "label", "pc1", "pc2"
-    ).orderBy("vec_id")
+    return project(
+        emb, np.array(PCA_MEAN), np.array([PCA_W1, PCA_W2])
+    ).select("vec_id", "label", "pc1", "pc2").orderBy("vec_id")
 
 
 @register(

@@ -80,8 +80,13 @@ def quality_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_ab_ttest",
     oracle="""
     WITH g AS (
+        -- COUNT(value), not COUNT(*): n must count the same
+        -- observations the mean/variance aggregate (NULL values are
+        -- skipped by AVG/var_samp, so a NULL-valued event row is not
+        -- an observation) — and it matches the engine's
+        -- F.count(when(...)) which likewise skips NULLs (r7 advice)
         SELECT event_type,
-               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(value) AS BIGINT) AS n,
                AVG(value) AS m,
                var_samp(value) AS v
         FROM events

@@ -368,7 +368,9 @@ def test_pregel_adjacency_partitioning_survives_pinning(spark):
 RESCAN_PINNED_MAX_VISIBLE = {
     "graph_triangle_count": 0,   # everything behind the edge pin
     "graph_adamic_adar": 0,
-    "events_funnel": 1,          # the purchase-stage scan
+    # round 7: fused — one events scan feeds the per-user stage
+    # window chain (no per-stage scans since the funnel fusion)
+    "events_funnel": 1,
     "events_funnel_steps": 1,
     "events_growth_accounting": 0,
     # round 7: fused — both cohorts' moments in one when()-guarded

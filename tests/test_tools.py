@@ -12,7 +12,13 @@ sys.path.insert(
 )
 
 from check_parity import compare  # noqa: E402
-from rotate_window import WINDOW, graded_by_round, next_window  # noqa: E402
+from rotate_window import (  # noqa: E402
+    WINDOW,
+    graded_by_round,
+    graded_latest,
+    next_window,
+    taint_files,
+)
 
 from aws_lakehouse_spark.plans import REGISTRY  # noqa: E402
 
@@ -35,17 +41,34 @@ def test_next_window_is_full_and_never_graded_first():
 
 
 def test_next_window_pins_lead_the_window():
-    graded = graded_by_round()
+    # pins lead regardless of grading status: since round 8, an
+    # already-graded pin is a RE-VERIFY slot (the r7 advice — a
+    # rewritten query must be re-gradable by the driver), so any
+    # oracle-backed names are pinnable
+    names = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+    pins = [names[-1], names[0]]
+    window = next_window(pins)
+    assert window[:2] == pins
+
+
+def test_next_window_regrades_already_graded_pins():
+    graded = graded_latest()
+    already = sorted(n for n in graded if REGISTRY.get(n) is not None)
+    if not already:
+        pytest.skip("no graded queries yet")
+    pins = already[:3]
+    window = next_window(pins)
+    assert window[: len(pins)] == pins
+    # and never-graded debt still fills BEFORE stale re-verifies
     ungraded = sorted(
         n
         for n, s in REGISTRY.items()
         if s.oracle is not None and n not in graded
     )
-    if len(ungraded) < 2:
-        pytest.skip("grading debt cleared; no pinnable names")
-    pins = [ungraded[-1], ungraded[0]]
-    window = next_window(pins)
-    assert window[:2] == pins
+    expect_next = [n for n in ungraded if n not in pins][
+        : WINDOW - len(pins)
+    ]
+    assert window[len(pins) : len(pins) + len(expect_next)] == expect_next
 
 
 def test_compare_flags_decimal_vs_double():
@@ -111,16 +134,32 @@ def test_next_window_rejects_duplicate_and_overflow_pins():
             next_window(too_many)
 
 
-def test_next_window_rejects_unknown_and_ineligible_pins():
+def test_next_window_rejects_unknown_and_rows_only_pins(monkeypatch):
     with pytest.raises(SystemExit, match="unknown"):
         next_window(["no_such_query"])
-    graded = graded_by_round()
-    already = next(
-        (n for n in graded if REGISTRY.get(n) is not None), None
-    )
-    if already is None:
-        pytest.skip("no graded queries yet")
-    # a pinned name that cannot enter the window must REFUSE loudly,
-    # not silently rotate a different window (round-5 advice)
+    # a rows-only pin must REFUSE loudly, not silently rotate a
+    # different window (round-5 advice): the driver's weaker
+    # rows-only check can't certify what a pin claims. The registry
+    # has no rows-only specs left (r8 retired embed_pca_project's),
+    # so fabricate one for the guard.
+    import dataclasses
+
+    any_spec = next(iter(REGISTRY.values()))
+    fake = dataclasses.replace(any_spec, name="fake_rows_only", oracle=None)
+    monkeypatch.setitem(REGISTRY, "fake_rows_only", fake)
     with pytest.raises(SystemExit, match="excluded"):
-        next_window([already])
+        next_window(["fake_rows_only"])
+
+
+def test_taint_files_follows_package_imports():
+    # the --changed standing rule (r7 verdict item 1) keys off the
+    # ast import closure: a builder's taint must contain its own
+    # module AND the package modules it reaches transitively
+    spec = REGISTRY["dedup_incremental_minhash"]
+    taint = taint_files(spec.fn.__module__)
+    assert any(p.endswith("plans/llm_dedup.py") for p in taint), taint
+    # the plans module wraps llm/dedup.py — the r7 fusion batch
+    # changed exactly that file, which is what must trigger a re-pin
+    assert any(p.endswith("llm/dedup.py") for p in taint), taint
+    # and tainting never escapes the package
+    assert all(p.startswith("aws_lakehouse_spark") for p in taint)

@@ -2,27 +2,48 @@
 """Compute (and optionally apply) the next driver correctness window.
 
 The driver grades exactly the FIRST 50 registry entries each round
-(`CORRECTNESS_r{N}.json`), so paying down the never-graded backlog is
-pure ordering work in ``aws_lakehouse_spark/plans/__init__.py``'s
+(`CORRECTNESS_r{N}.json`), so choosing what gets (re-)graded is pure
+ordering work in ``aws_lakehouse_spark/plans/__init__.py``'s
 ``_PRIORITY`` list. This tool makes each rotation mechanical:
 
-    python tools/rotate_window.py            # print the next window
-    python tools/rotate_window.py --apply    # rewrite _PRIORITY in place
+    python tools/rotate_window.py                  # print the next window
+    python tools/rotate_window.py name ...         # pin names to the front
+    python tools/rotate_window.py --changed        # pin queries whose code
+                                                   # changed since their last
+                                                   # green driver grade
+    python tools/rotate_window.py --apply ...      # rewrite _PRIORITY
 
-Selection contract (matches the round-5 rotation):
+Selection contract (round-8 revision):
 
 - a query is GRADED once any ``CORRECTNESS_r*.json`` row for it is
-  fully green (rows + schema + hash);
-- candidates are the oracle-backed registry queries never graded,
-  taken in ALPHABETICAL order (the queue order documented in the
-  ``_PRIORITY`` comment since round 5) — pass names as positional
-  args to pin specific queries to the window front first;
-- rows-only specs (oracle=None) are excluded: the driver's weaker
-  rows-only check doesn't clear grading debt, so a window slot on
-  one is wasted;
-- if fewer than 50 ungraded remain, the window is padded with the
-  LONGEST-AGO-graded queries (earliest round first, alphabetical
-  within a round) so every slot still re-verifies something.
+  fully green (rows + schema + hash); its LAST green round is the
+  round whose code state that grade certifies;
+- pinned queries lead the window, in the order given. Pins may be
+  already-graded — a re-graded query is a RE-VERIFY slot, which is the
+  whole point once coverage debt is cleared (round-7 advice: the old
+  refusal made it impossible for the driver to ever re-certify a
+  rewritten query);
+- rows-only specs (oracle=None) are still refused as pins: the
+  driver's weaker rows-only check doesn't certify anything a pin
+  should claim;
+- after pins, never-graded oracle-backed queries fill remaining slots
+  in alphabetical order (the queue order documented since round 5);
+- any space left is padded with the LONGEST-AGO-re-verified queries
+  (earliest LAST-green round first, alphabetical within a round) so
+  every slot still re-verifies something.
+
+``--changed`` is the standing rule from the round-7 verdict: **a
+plan-shape change re-enters the next window automatically.** For each
+graded query it computes the set of package source files its builder
+transitively imports (ast-level import graph rooted at the builder's
+module), then asks git whether any of those files changed — committed
+or uncommitted — since the driver commit of the query's last green
+round (``round N: verdict/...``). Changed → pinned, stalest grade
+first. File-level tainting over-approximates plan-shape change, which
+is the safe direction: a wasted re-verify slot costs one window entry;
+a silently-stale grade cost round 7 an advisory. If more queries
+changed than fit (window minus never-graded debt), the overflow is
+printed as DEFERRED so the next rotation carries it.
 
 ``--apply`` rewrites only the literal list between ``_PRIORITY = [``
 and the ``index 50 boundary`` marker, leaving the surrounding
@@ -32,22 +53,43 @@ WHY a window was chosen; a tool shouldn't pretend to know that).
 
 from __future__ import annotations
 
+import ast
 import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-INIT_PATH = os.path.join(REPO, "aws_lakehouse_spark", "plans", "__init__.py")
+PKG = "aws_lakehouse_spark"
+INIT_PATH = os.path.join(REPO, PKG, "plans", "__init__.py")
 WINDOW = 50
 
 
 def graded_by_round() -> dict[str, int]:
-    """query -> earliest round with a fully green driver row."""
+    """query -> EARLIEST round with a fully green driver row."""
     earliest: dict[str, int] = {}
+    for name, rnd in _green_rows():
+        earliest.setdefault(name, rnd)
+    return earliest
+
+
+def graded_latest() -> dict[str, int]:
+    """query -> LATEST round with a fully green driver row.
+
+    This is the round whose code state the standing grade certifies —
+    staleness padding and ``--changed`` tainting both key off it.
+    """
+    latest: dict[str, int] = {}
+    for name, rnd in _green_rows():
+        latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _green_rows():
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r0*(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -63,14 +105,126 @@ def graded_by_round() -> dict[str, int]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                earliest.setdefault(name, rnd)
-    return earliest
+                yield name, rnd
+
+
+# --- the standing rule: plan-shape change => next-window pin ---------
+
+
+def round_commits() -> dict[int, str]:
+    """round number -> the driver's grading commit for that round."""
+    out: dict[int, str] = {}
+    log = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+): verdict", subject)
+        if m:
+            # log is newest-first; keep the newest commit per round
+            out.setdefault(int(m.group(1)), sha)
+    return out
+
+
+def _module_files() -> dict[str, str]:
+    """package module name -> repo-relative file path."""
+    out: dict[str, str] = {}
+    pkg_root = os.path.join(REPO, PKG)
+    for path in glob.glob(os.path.join(pkg_root, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, REPO)
+        mod = rel[: -len(".py")].replace(os.sep, ".")
+        if mod.endswith(".__init__"):
+            mod = mod[: -len(".__init__")]
+        out[mod] = rel
+    return out
+
+
+def _imports_of(path: str) -> set[str]:
+    """Package-internal module names imported by a source file."""
+    try:
+        tree = ast.parse(open(os.path.join(REPO, path)).read())
+    except SyntaxError:  # pragma: no cover - package must parse
+        return set()
+    mods: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(PKG):
+                    mods.add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.module and node.module.startswith(PKG):
+                mods.add(node.module)
+                # `from pkg.sub import name` may import a MODULE name
+                for alias in node.names:
+                    mods.add(f"{node.module}.{alias.name}")
+    return mods
+
+
+def taint_files(entry_module: str) -> set[str]:
+    """Repo-relative source files reachable from ``entry_module``
+    through package-internal imports (including the entry itself)."""
+    files = _module_files()
+    seen: set[str] = set()
+    frontier = [entry_module]
+    while frontier:
+        mod = frontier.pop()
+        path = files.get(mod)
+        if path is None or path in seen:
+            continue
+        seen.add(path)
+        frontier.extend(m for m in _imports_of(path) if m in files)
+    return seen
+
+
+def _changed_since(sha: str) -> set[str]:
+    """Repo-relative package files changed (committed or not) since sha."""
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", sha, "--", PKG],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return {line.strip() for line in diff.splitlines() if line.strip()}
+
+
+def changed_pins() -> list[str]:
+    """Graded queries whose taint set changed since their last grade,
+    stalest last-green round first (alphabetical within a round)."""
+    from aws_lakehouse_spark.plans import REGISTRY
+
+    latest = graded_latest()
+    commits = round_commits()
+    changed_cache: dict[int, set[str]] = {}
+    pins: list[tuple[int, str]] = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None or name not in latest:
+            continue
+        rnd = latest[name]
+        sha = commits.get(rnd)
+        if sha is None:
+            continue
+        if rnd not in changed_cache:
+            changed_cache[rnd] = _changed_since(sha)
+        if not changed_cache[rnd]:
+            continue
+        entry = spec.fn.__module__
+        if taint_files(entry) & changed_cache[rnd]:
+            pins.append((rnd, name))
+    return [name for _, name in sorted(pins)]
+
+
+# --- window assembly -------------------------------------------------
 
 
 def next_window(pinned: list[str]) -> list[str]:
     from aws_lakehouse_spark.plans import REGISTRY
 
-    graded = graded_by_round()
+    latest = graded_latest()
     oracle_backed = [n for n, s in REGISTRY.items() if s.oracle is not None]
     unknown = [n for n in pinned if n not in REGISTRY]
     if unknown:
@@ -84,28 +238,23 @@ def next_window(pinned: list[str]) -> list[str]:
         raise SystemExit(
             f"{len(pinned)} pinned queries exceed the {WINDOW}-slot window"
         )
-    ungraded = sorted(n for n in oracle_backed if n not in graded)
-    dropped = [n for n in pinned if n not in ungraded]
-    if dropped:
-        # a pinned name that is already graded or rows-only would be
-        # silently omitted — the operator explicitly asked for it, so
-        # refuse rather than quietly rotate a different window
-        detail = {
-            n: "rows-only (oracle=None)"
-            if REGISTRY[n].oracle is None
-            else f"already graded green in r{graded[n]}"
-            for n in dropped
-        }
-        raise SystemExit(f"pinned queries excluded from window: {detail}")
+    rows_only = [n for n in pinned if REGISTRY[n].oracle is None]
+    if rows_only:
+        # the driver's rows-only check can't certify what a pin claims
+        raise SystemExit(
+            f"pinned queries excluded from window: "
+            f"{ {n: 'rows-only (oracle=None)' for n in rows_only} }"
+        )
+    ungraded = sorted(n for n in oracle_backed if n not in latest)
     window = list(pinned)
     window += [n for n in ungraded if n not in window][
         : max(0, WINDOW - len(window))
     ]
     if len(window) < WINDOW:
-        # debt cleared: pad with the stalest green rows for re-verification
+        # pad with the stalest standing grades for re-verification
         stale = sorted(
             (n for n in oracle_backed if n not in window),
-            key=lambda n: (graded.get(n, 0), n),
+            key=lambda n: (latest.get(n, 0), n),
         )
         window += stale[: WINDOW - len(window)]
     return window
@@ -126,23 +275,29 @@ def apply_window(window: list[str]) -> None:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--apply"]
-    window = next_window(args)
-    graded = graded_by_round()
-    n_ungraded_left = len(
-        [
-            n
-            for n in window
-            if n not in graded
-        ]
-    )
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    bad = flags - {"--apply", "--changed"}
+    if bad:
+        raise SystemExit(f"unknown flags: {sorted(bad)}")
+    pinned = [a for a in sys.argv[1:] if not a.startswith("--")]
+    latest = graded_latest()
+    if "--changed" in flags:
+        auto = changed_pins()
+        n_ungraded_total = _n_ungraded()
+        cap = max(0, WINDOW - len(pinned) - n_ungraded_total)
+        deferred = auto[cap:]
+        for name in deferred:
+            print(f"DEFERRED (window full): {name}")
+        pinned += [n for n in auto[:cap] if n not in pinned]
+    window = next_window(pinned)
+    n_ungraded_in = len([n for n in window if n not in latest])
     for name in window:
-        tag = "" if name not in graded else f"  (re-verify, r{graded[name]})"
+        tag = "" if name not in latest else f"  (re-verify, r{latest[name]})"
         print(f"{name}{tag}")
     print(
-        f"\n{len(window)} queries; {n_ungraded_left} never-graded in window"
+        f"\n{len(window)} queries; {n_ungraded_in} never-graded in window"
     )
-    if "--apply" in sys.argv[1:]:
+    if "--apply" in flags:
         apply_window(window)
         # sanity: the rewritten module must import and still expose
         # the window as its first entries
@@ -155,6 +310,17 @@ def main() -> int:
         assert got == window, "reorder mismatch after apply"
         print("re-import check: window confirmed as the first entries")
     return 0
+
+
+def _n_ungraded() -> int:
+    from aws_lakehouse_spark.plans import REGISTRY
+
+    latest = graded_latest()
+    return sum(
+        1
+        for n, s in REGISTRY.items()
+        if s.oracle is not None and n not in latest
+    )
 
 
 if __name__ == "__main__":
