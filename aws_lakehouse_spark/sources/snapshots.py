@@ -10,7 +10,12 @@ network for ``--packages`` resolution — so this module implements
 the table-format *idea* from first principles, the way Delta's log
 works: a table is a directory of immutable parquet files plus an
 ordered log of manifests, where manifest N lists the files live at
-version N.
+version N. On a cluster where the Delta runtime IS usable, the core
+surface (``snapshot_write`` / ``read_snapshot`` / ``merge_into`` /
+``rewrite_data_files``) delegates to the real format per table — see
+``sources/format_backend.py``; the manifest log remains both the
+offline implementation and the home of the extensions (WAP, branches,
+segments, stats/bloom manifest pruning).
 
 - writes go through ``snapshot_write``: new part files land in the
   directory (parquet append — filenames are already UUID-unique),
@@ -62,6 +67,17 @@ class SnapshotConflictError(RuntimeError):
 
 def _log_path(table_path: str) -> str:
     return os.path.join(table_path, LOG_DIR)
+
+
+def _backend(spark: SparkSession, table_path: str) -> str:
+    """Per-table backend routing: 'delta' when the real format serves
+    this table (jars + extension present, or the table was born
+    Delta — see ``sources/format_backend.py``), else 'manifest'. In
+    the jar-less sandbox this is always 'manifest', so routing is a
+    no-op by construction."""
+    from aws_lakehouse_spark.sources import format_backend as _fmt
+
+    return _fmt.backend_for(spark, table_path)
 
 
 def _manifest_file(table_path: str, version: int) -> str:
@@ -200,6 +216,27 @@ def _file_row_count(path: str, md=None) -> int:
     return md.num_rows
 
 
+def _complete_rows(table_path: str, manifest: dict) -> dict[str, int]:
+    """Per-file row counts covering EVERY file in ``manifest`` —
+    recorded counts where the commit wrote them, one parquet-footer
+    read per missing file otherwise (pre-row-count legacy logs). The
+    lazy backfill that keeps DML reporting and ``snapshot_history``
+    metadata-only on tables of any age: a footer read is a bounded
+    GET, never a scan job, and every metadata commit that passes
+    through here (publish / rollback / clone / fast-forward / append
+    base) persists the completed map so the backfill is paid at most
+    once per legacy file."""
+    rows = manifest.get("rows", {})
+    return {
+        f: (
+            rows[f]
+            if f in rows
+            else _file_row_count(os.path.join(table_path, f))
+        )
+        for f in manifest["files"]
+    }
+
+
 def snapshot_write(
     spark: SparkSession,
     df: DataFrame,
@@ -260,6 +297,27 @@ def snapshot_write(
         raise ValueError(f"snapshot_write mode must be append/overwrite, got {mode!r}")
     if staged_id is not None and branch is not None:
         raise ValueError("staged_id and branch are mutually exclusive")
+    if _backend(spark, table_path) == "delta":
+        # delegate the core surface to the real format (r7 verdict
+        # item 4); the manifest log's extensions have no Delta
+        # translation, so asking for them on a Delta table is an
+        # error, never a silent semantic drop
+        from aws_lakehouse_spark.sources import format_backend as _fmt
+
+        extras = {
+            "stats_cols": stats_cols,
+            "bloom_cols": bloom_cols,
+            "staged_id": staged_id,
+            "branch": branch,
+            "segmented": segmented or None,
+        }
+        bad = sorted(k for k, v in extras.items() if v)
+        if bad:
+            raise ValueError(
+                f"snapshot_write option(s) {bad} are manifest-log "
+                "extensions; not supported on a Delta-backed table"
+            )
+        return _fmt.delta_write(spark, df, table_path, mode)
     if branch is not None:
         resolve_branch(table_path, branch)  # must exist; raises otherwise
     os.makedirs(_log_path(table_path), exist_ok=True)
@@ -299,7 +357,9 @@ def snapshot_write(
         live = prev["files"]
         stats.update(prev.get("stats", {}))
         bloom.update(prev.get("bloom", {}))
-        rows.update(prev.get("rows", {}))
+        # completed (footer-backfilled) so an append onto a legacy
+        # pre-row-count base commits a fully-counted manifest
+        rows.update(_complete_rows(table_path, prev))
         prev_segments = _read_manifest_raw(table_path, base_v).get(
             "segments"
         )
@@ -339,7 +399,10 @@ def snapshot_write(
                             "files": list(prev["files"]),
                             "stats": prev.get("stats", {}),
                             "bloom": prev.get("bloom", {}),
-                            "rows": prev.get("rows", {}),
+                            # rows was completed from prev above
+                            "rows": {
+                                f: rows[f] for f in prev["files"]
+                            },
                         },
                     )
                 )
@@ -454,8 +517,10 @@ def publish_staged(table_path: str, staged_id: str) -> int:
         manifest["stats"] = target["stats"]
     if target.get("bloom"):
         manifest["bloom"] = target["bloom"]
-    if target.get("rows"):
-        manifest["rows"] = target["rows"]
+    # always complete: publishing a legacy staged snapshot backfills
+    # its per-file counts from footers, so the published commit (and
+    # everything downstream) is metadata-only countable
+    manifest["rows"] = _complete_rows(table_path, target)
     _commit_manifest(table_path, new_version, manifest)
     return new_version
 
@@ -487,6 +552,10 @@ def read_snapshot(
     published, though an explicit ``version`` can audit them).
     Column pruning and filter pushdown apply per-file as with any
     parquet scan."""
+    if _backend(spark, table_path) == "delta":
+        from aws_lakehouse_spark.sources import format_backend as _fmt
+
+        return _fmt.delta_read(spark, table_path, version)
     if version is None:
         v = _current_published_version(table_path)
     else:
@@ -738,7 +807,13 @@ def rewrite_data_files(
     carries through, same policy as :func:`optimize_zorder`; unlike
     Z-ordering this preserves no clustering — it is the cheap
     rewrite you run hourly, with OPTIMIZE ZORDER the periodic one.
-    Returns {files_before, files_after, version}."""
+    Returns {files_before, files_after, version}. Delta-backed
+    tables run the real ``OPTIMIZE`` (Delta sizes output files
+    itself, so ``target_files`` does not apply there)."""
+    if _backend(spark, table_path) == "delta":
+        from aws_lakehouse_spark.sources import format_backend as _fmt
+
+        return _fmt.delta_rewrite_data_files(spark, table_path)
     cur_v = _current_published_version(table_path)
     cur_m = _read_manifest(table_path, cur_v)
     stats_cols = sorted(
@@ -1016,15 +1091,17 @@ def remove_orphans(
 def _version_row_count(
     spark: SparkSession, table_path: str, version: int
 ) -> int:
-    """Row count of a committed version from manifest metadata (per-
-    file footer counts recorded at write time); falls back to one
-    count job only for pre-row-count logs. Keeps DML reporting and
-    history metadata-only on tables of any size."""
+    """Row count of a committed version from manifest metadata: per-
+    file footer counts recorded at write time, lazily backfilled from
+    the files' own parquet footers for pre-row-count legacy logs
+    (:func:`_complete_rows`). NEVER a scan job — ``spark`` is unused
+    and kept only for call-site compatibility (and so the no-scan
+    contract is testable by passing ``spark=None``). Keeps DML
+    reporting and history metadata-only on tables of any size or
+    age."""
+    del spark  # metadata-only by contract
     m = _read_manifest(table_path, version)
-    file_rows = m.get("rows", {})
-    if all(f in file_rows for f in m["files"]):
-        return sum(file_rows[f] for f in m["files"])
-    return read_snapshot(spark, table_path, version).count()
+    return sum(_complete_rows(table_path, m).values())
 
 
 def delete_where(
@@ -1161,8 +1238,34 @@ def merge_into(
     shape); the duplicate-key guard is a count-aggregate on the
     source keyed the same way, so it reuses the join's partitioning.
     Copy-on-write commit like :func:`delete_where`.
+
+    On a Delta-backed table (``sources/format_backend.py``) the
+    default surface — update-all / insert-all / optional matched
+    delete — delegates to the real ``DeltaTable.merge`` (target
+    aliased ``t``, source ``s``, so a Delta-side delete condition
+    uses Delta's own alias convention); custom
+    ``when_matched_update`` assignments are manifest-only (their
+    ``__src_`` reference convention has no faithful translation).
     """
     import pyspark.sql.functions as F
+
+    if _backend(spark, table_path) == "delta":
+        from aws_lakehouse_spark.sources import format_backend as _fmt
+
+        if when_matched_update is not None:
+            raise ValueError(
+                "custom when_matched_update assignments are a "
+                "manifest-log extension; use the update-all default "
+                "on Delta-backed tables"
+            )
+        return _fmt.delta_merge(
+            spark,
+            table_path,
+            source,
+            on,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+        )
 
     target = read_snapshot(spark, table_path)
     t_cols = target.columns
@@ -1260,8 +1363,8 @@ def rollback_to(table_path: str, version: int) -> int:
         manifest["stats"] = target["stats"]
     if target.get("bloom"):
         manifest["bloom"] = target["bloom"]
-    if target.get("rows"):
-        manifest["rows"] = target["rows"]
+    # restoring a legacy version backfills its counts from footers
+    manifest["rows"] = _complete_rows(table_path, target)
     _commit_manifest(table_path, new_version, manifest)
     return new_version
 
@@ -1317,10 +1420,10 @@ def clone_snapshot(
         manifest["bloom"] = {
             remap[f]: b for f, b in src["bloom"].items() if f in remap
         }
-    if src.get("rows"):
-        manifest["rows"] = {
-            remap[f]: n for f, n in src["rows"].items() if f in remap
-        }
+    # completed against the SOURCE (absolute refs resolve there), then
+    # remapped: a clone of a legacy table is fully counted from birth
+    src_rows = _complete_rows(src_table, src)
+    manifest["rows"] = {remap[f]: src_rows[f] for f in src["files"]}
     _commit_manifest(dst_table, 0, manifest)
     return 0
 
@@ -1546,8 +1649,8 @@ def fast_forward_main(table_path: str, name: str) -> int:
         manifest["stats"] = target["stats"]
     if target.get("bloom"):
         manifest["bloom"] = target["bloom"]
-    if target.get("rows"):
-        manifest["rows"] = target["rows"]
+    # fast-forwarding a legacy branch head backfills its counts
+    manifest["rows"] = _complete_rows(table_path, target)
     _commit_manifest(table_path, new_version, manifest)
     # continue-then-merge-again: the branch keeps its head, but its
     # fork base advances to the commit main just gained
@@ -1563,9 +1666,10 @@ def snapshot_history(spark: SparkSession, table_path: str) -> DataFrame:
     every commit records per-file row counts in its manifest (one
     parquet-footer read per file at write time), so ``n_rows`` is a
     manifest sum — the history of a petabyte table costs zero scan
-    jobs. Versions committed before row counts were recorded (or
-    whose manifests miss a file's count) fall back to one count job
-    over that version's file list, so old logs stay readable."""
+    jobs. Versions committed before row counts were recorded backfill
+    each missing file's count from its parquet footer (a bounded
+    metadata read, still zero scan jobs), so old logs stay readable
+    AND metadata-only."""
     rows = []
     pub = set(published_versions(table_path))
     for v in versions(table_path):

@@ -1282,16 +1282,170 @@ def test_snapshot_history_is_metadata_only(spark, table_path, monkeypatch):
     assert hist[3][0] == 15  # rollback carries the target's counts
 
 
-def test_snapshot_history_counts_pre_rows_manifests(spark, table_path):
-    """Manifests committed before per-file row counts existed (or
-    hand-edited logs missing one) still produce correct history via
-    the one-count-per-version fallback."""
+def _strip_rows(table_path, version):
+    """Simulate a pre-round-6 manifest: drop its per-file counts."""
     import json as _json
 
-    snapshots.snapshot_write(spark, _df(spark, 0, 10), table_path, "overwrite")
-    mf = snapshots._manifest_file(table_path, 0)
+    mf = snapshots._manifest_file(table_path, version)
     m = _json.load(open(mf))
-    del m["rows"]  # simulate a pre-round-6 manifest
+    m.pop("rows", None)
     _json.dump(m, open(mf, "w"))
+
+
+def test_snapshot_history_counts_pre_rows_manifests(spark, table_path):
+    """Manifests committed before per-file row counts existed (or
+    hand-edited logs missing one) still produce correct history —
+    since round 8 via per-file parquet-FOOTER backfill, which is
+    metadata-only: passing spark=None proves no count job is even
+    reachable (the old fallback ran read_snapshot().count())."""
+    snapshots.snapshot_write(spark, _df(spark, 0, 10), table_path, "overwrite")
+    _strip_rows(table_path, 0)
+    assert snapshots._version_row_count(None, table_path, 0) == 10
     hist = snapshots.snapshot_history(spark, table_path).collect()
     assert hist[0]["n_rows"] == 10
+
+
+def test_legacy_logs_stay_metadata_only_through_every_path(
+    spark, table_path, tmp_path
+):
+    """r7 verdict item 7: any version written by ANY path — append
+    onto a legacy base, rollback to a legacy version, clone of a
+    legacy table, publish of a legacy staged snapshot — commits a
+    COMPLETE per-file count map, and counting a still-legacy version
+    itself backfills from footers without a scan job."""
+    snapshots.snapshot_write(spark, _df(spark, 0, 10), table_path, "overwrite")
+    snapshots.snapshot_write(spark, _df(spark, 10, 15), table_path, "append")
+    for v in (0, 1):
+        _strip_rows(table_path, v)
+
+    def complete(tp, v):
+        m = snapshots._read_manifest(tp, v)
+        return set(m.get("rows", {})) == set(m["files"])
+
+    # counting the stripped versions: correct, and spark=None proves
+    # the path can't launch a job
+    assert snapshots._version_row_count(None, table_path, 0) == 10
+    assert snapshots._version_row_count(None, table_path, 1) == 15
+    # append onto the legacy base: the new manifest covers the base's
+    # files too
+    v2 = snapshots.snapshot_write(
+        spark, _df(spark, 20, 23), table_path, "append"
+    )
+    assert complete(table_path, v2)
+    assert snapshots._version_row_count(None, table_path, v2) == 18
+    # rollback to the legacy v0: the restore commit is fully counted
+    v3 = snapshots.rollback_to(table_path, 0)
+    assert complete(table_path, v3)
+    assert snapshots._version_row_count(None, table_path, v3) == 10
+    # clone of the still-legacy v1: counted from birth
+    dst = str(tmp_path / "clone_of_legacy")
+    snapshots.clone_snapshot(table_path, dst, version=1)
+    assert complete(dst, 0)
+    assert snapshots._version_row_count(None, dst, 0) == 15
+    # WAP publish of a legacy staged snapshot
+    v4 = snapshots.snapshot_write(
+        spark, _df(spark, 30, 34), table_path, "overwrite", staged_id="aud"
+    )
+    _strip_rows(table_path, v4)
+    v5 = snapshots.publish_staged(table_path, "aud")
+    assert complete(table_path, v5)
+    assert snapshots._version_row_count(None, table_path, v5) == 4
+    # DML reporting on a legacy head: rows_before/rows_deleted are
+    # manifest+footer sums (the only scan is the survivor rewrite)
+    _strip_rows(table_path, v5)
+    res = snapshots.delete_where(spark, table_path, "id >= 32")
+    assert (res["rows_before"], res["rows_deleted"]) == (4, 2)
+
+
+# --- real table-format delegation (sources/format_backend.py) -------
+
+
+def test_backend_routing_is_manifest_in_sandbox(spark, table_path):
+    """No Delta jars in this sandbox -> the probe is False, new and
+    existing tables route to the manifest backend, and the delegation
+    layer changes NOTHING (the r7 verdict item-4 contract)."""
+    from aws_lakehouse_spark.sources import format_backend as fmt
+
+    assert fmt.delta_runtime_available(spark) is False
+    # new table
+    assert fmt.backend_for(spark, table_path) == "manifest"
+    # existing manifest table keeps its backend even if a runtime
+    # were to appear later
+    snapshots.snapshot_write(spark, _df(spark, 0, 5), table_path, "overwrite")
+    assert fmt.backend_for(spark, table_path) == "manifest"
+    # env pin always forces the offline implementation
+    os.environ["SPARK_GRAFT_TABLE_FORMAT"] = "manifest"
+    try:
+        assert fmt.backend_for(spark, str(table_path) + "_new") == "manifest"
+    finally:
+        del os.environ["SPARK_GRAFT_TABLE_FORMAT"]
+
+
+def test_delta_table_without_runtime_refuses_loudly(spark, tmp_path):
+    """A directory that IS a Delta table must not be silently read as
+    bare parquet by the manifest backend when the runtime is absent —
+    that would return uncommitted/tombstoned files as live rows."""
+    from aws_lakehouse_spark.sources import format_backend as fmt
+
+    t = str(tmp_path / "delta_born")
+    os.makedirs(os.path.join(t, fmt.DELTA_LOG_DIR))
+    with pytest.raises(RuntimeError, match="Delta"):
+        fmt.backend_for(spark, t)
+    with pytest.raises(RuntimeError, match="Delta"):
+        snapshots.read_snapshot(spark, t)
+
+
+def test_delta_delegation_matches_manifest_backend(spark, tmp_path):
+    """WITH a usable Delta runtime (jars + SQL extension — never true
+    in this sandbox, so this skips here): the same lifecycle through
+    both backends yields identical query results. This is the
+    delegation's equivalence oracle on a real cluster."""
+    from aws_lakehouse_spark.sources import format_backend as fmt
+
+    if not fmt.delta_runtime_available(spark):
+        pytest.skip("no usable Delta runtime (jar + SQL extension)")
+
+    mani = str(tmp_path / "mani")
+    os.environ["SPARK_GRAFT_TABLE_FORMAT"] = "manifest"
+    try:
+        snapshots.snapshot_write(spark, _df(spark, 0, 10), mani, "overwrite")
+        snapshots.snapshot_write(spark, _df(spark, 10, 15), mani, "append")
+        snapshots.merge_into(
+            spark,
+            mani,
+            _df(spark, 12, 18).withColumn("v", F.col("id") * 3),
+            on=["id"],
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_TABLE_FORMAT"]
+
+    delt = str(tmp_path / "delt")
+    v0 = snapshots.snapshot_write(spark, _df(spark, 0, 10), delt, "overwrite")
+    v1 = snapshots.snapshot_write(spark, _df(spark, 10, 15), delt, "append")
+    assert os.path.isdir(os.path.join(delt, fmt.DELTA_LOG_DIR))
+    assert (v0, v1) == (0, 1)
+    # time travel parity
+    assert snapshots.read_snapshot(spark, delt, 0).count() == 10
+    assert snapshots.read_snapshot(spark, delt, 1).count() == 15
+    snapshots.merge_into(
+        spark,
+        delt,
+        _df(spark, 12, 18).withColumn("v", F.col("id") * 3),
+        on=["id"],
+    )
+    got = {
+        (r["id"], r["v"])
+        for r in snapshots.read_snapshot(spark, delt).collect()
+    }
+    want = {
+        (r["id"], r["v"])
+        for r in snapshots.read_snapshot(spark, mani).collect()
+    }
+    assert got == want
+    res = snapshots.rewrite_data_files(spark, delt, target_files=1)
+    assert res["applied"] is True and res["backend"] == "delta"
+    got2 = {
+        (r["id"], r["v"])
+        for r in snapshots.read_snapshot(spark, delt).collect()
+    }
+    assert got2 == want

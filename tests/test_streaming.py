@@ -549,15 +549,23 @@ def test_transform_with_state_v2_profile(spark, sf_dir, tmp_path):
     MapState compose per key and persist across micro-batches —
     final per-user profile equals the batch aggregate.
 
-    Skips where google.protobuf is unavailable (the v2 state-server
-    protocol needs it; this sandbox cannot pip install) — see
-    running_profile_per_key's environment note."""
+    The v2 state-server protocol needs google.protobuf, which has no
+    wheel in this sandbox; streaming/protoshim.py routes the import
+    through the host's vendored pure-Python runtime (driver AND
+    workers). Skips only where neither an installed protobuf nor a
+    vendored copy exists — see running_profile_per_key's environment
+    note."""
     import pytest as _pytest
 
-    _pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState state-server protocol needs protobuf",
+    from aws_lakehouse_spark.streaming.protoshim import (
+        enable_protobuf_shim,
     )
+
+    if not enable_protobuf_shim(spark):
+        _pytest.skip(
+            "no protobuf runtime (installed or host-vendored) for the "
+            "transformWithState state-server protocol"
+        )
     from aws_lakehouse_spark.streaming.stateful import (
         running_profile_per_key,
     )
