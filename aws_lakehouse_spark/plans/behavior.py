@@ -26,6 +26,7 @@ from aws_lakehouse_spark.registry import register
 
 @register(
     "events_funnel_steps",
+    bench=True,  # r7 verdict item 5: heaviest non-bench queries join the watched set
     oracle="""
     WITH v AS (
         SELECT user_id, MIN(ts) AS t_view

@@ -2459,6 +2459,7 @@ def incremental_join_maintenance_q(
 
 @register(
     "snapshot_optimize_zorder",
+    bench=True,  # r7 verdict item 5: heaviest non-bench queries join the watched set
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,

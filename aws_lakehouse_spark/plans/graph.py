@@ -154,6 +154,7 @@ def graph_degree_distribution_q(
 
 @register(
     "graph_triangle_count",
+    bench=True,  # r7 verdict item 5: heaviest non-bench queries join the watched set
     oracle=f"""
     WITH {_EDGES_SQL},
     e2 AS (SELECT src, dst FROM edges WHERE w >= 2),

@@ -109,6 +109,7 @@ NGRAM_DF_CAP = 20
 
 @register(
     "dedup_ngram_jaccard",
+    bench=True,  # r7 verdict item 5: heaviest non-bench queries join the watched set
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, {DUCK_SHINGLES} AS shingles

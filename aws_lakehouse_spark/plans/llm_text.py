@@ -326,6 +326,7 @@ def text_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_tfidf_topk",
+    bench=True,  # r7 verdict item 5: heaviest non-bench queries join the watched set
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents

@@ -98,6 +98,24 @@ def run() -> dict:
         calib_spark = min(calib_spark, time.perf_counter() - t0)
     calib_spark = round(calib_spark, 4)
 
+    # third canary, ENGINE-shaped (parquet scan + hash-agg shuffle +
+    # collect): r8 measured a regime where calib_spark IMPROVED 18%
+    # while the identical committed query set ran ~25% slower — I/O
+    # and shuffle live outside pure codegen, so a probe that includes
+    # them tracks the dimension the other two miss. Fixed shape over
+    # the bench's own lineitem table (comparable only at equal sf);
+    # recorded for cross-round analysis — the gate itself
+    # self-normalizes by the median per-query ratio (see
+    # _normalized_gate).
+    calib_engine = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+            "l_returnflag", "l_linestatus"
+        ).agg({"l_extendedprice": "sum", "l_quantity": "avg"}).collect()
+        calib_engine = min(calib_engine, time.perf_counter() - t0)
+    calib_engine = round(calib_engine, 4)
+
     # n>=5 trials per query: with n=2 a ±50% swing is unreadable
     # (round-2 lesson); best-of-n stays the headline number (first
     # run pays codegen compile, spikes are host-load noise), stddev
@@ -185,6 +203,7 @@ def run() -> dict:
         # Normalize cross-round comparisons by calib_spark_sec first.
         "calib_cpu_sec": calib,
         "calib_spark_sec": calib_spark,
+        "calib_engine_sec": calib_engine,
         # pre-normalized per-query and total ratios (value /
         # calib_spark_sec): the number a cross-round comparison should
         # read FIRST — r6's "regression" was the host running 1.57x
@@ -196,7 +215,69 @@ def run() -> dict:
             sum(timings.values()) / calib_spark, 2
         ),
     }
+    detail["normalized_gate"] = _normalized_gate(detail)
     return headline_line, detail
+
+
+def _normalized_gate(detail: dict) -> dict:
+    """Round-over-round comparison in CANARY-NORMALIZED units (r7
+    verdict item 8): wall seconds on this shared host drift 1.2-2x
+    with external load (r6's published numbers were 1.57x
+    load-inflated), so the gate reads value/calib_spark_sec ratios
+    against the committed accepted-round baseline
+    (``BENCH_NORMALIZED_BASELINE.json``) instead of seconds.
+
+    The canary tracks CPU-regime drift but not every environment
+    dimension: measured r8, a host whose calib_spark IMPROVED 18%
+    ran the identical committed query set ~25% slower in wall time
+    (I/O / scheduler regime the pure-codegen canary can't see), so
+    raw ratio-vs-baseline flagged phantom regressions across the
+    board (median ratio 1.46, zero outliers). A CODE regression is a
+    per-query effect; an ENVIRONMENT shift moves the whole
+    distribution. The gate therefore self-normalizes by the MEDIAN
+    ratio over the common set: a query regresses when its ratio
+    exceeds 1.5x the median AND it grew by more than 1.0 canary unit
+    (the absolute floor keeps sub-canary queries' jitter out).
+    ``median_ratio`` itself is reported — when it leaves [0.75,
+    1.33] the whole regime moved (host OR a global engine change):
+    investigate, and refresh the baseline deliberately if it's the
+    host. The result rides in the sidecar."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_NORMALIZED_BASELINE.json",
+    )
+    if not os.path.exists(path):
+        return {"pass": True, "reason": "no committed baseline"}
+    base = json.load(open(path))
+    base_norm = base.get("normalized", {})
+    now_norm = detail["normalized"]
+    common = sorted(n for n in now_norm if base_norm.get(n))
+    if not common:
+        return {"pass": True, "reason": "no common queries with baseline"}
+    ratios = {n: round(now_norm[n] / base_norm[n], 2) for n in common}
+    srt = sorted(ratios.values())
+    mid = len(srt) // 2
+    median_ratio = (
+        srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+    )
+    regressions = {
+        n: r
+        for n, r in ratios.items()
+        if r > 1.5 * median_ratio and (now_norm[n] - base_norm[n]) > 1.0
+    }
+    base_total = sum(base_norm[n] for n in common)
+    now_total = sum(now_norm[n] for n in common)
+    total_ratio = round(now_total / base_total, 3) if base_total else 1.0
+    return {
+        "baseline_round": base.get("round"),
+        "common_queries": len(common),
+        "median_ratio": round(median_ratio, 3),
+        "regime_shift": not (0.75 <= median_ratio <= 1.33),
+        "total_ratio": total_ratio,
+        "per_query_ratio": ratios,
+        "regressions": regressions,
+        "pass": not regressions,
+    }
 
 
 if __name__ == "__main__":
@@ -207,4 +288,17 @@ if __name__ == "__main__":
     with open(sidecar, "w") as fh:
         json.dump(detail, fh, indent=1)
     print(f"detail (stddev / trimmed means / samples / canaries): {sidecar}")
+    gate = detail.get("normalized_gate", {})
+    print(
+        "normalized gate vs r%s baseline: %s (median_ratio=%s%s, "
+        "total_ratio=%s, regressions=%s)"
+        % (
+            gate.get("baseline_round"),
+            "PASS" if gate.get("pass") else "FAIL",
+            gate.get("median_ratio"),
+            " REGIME-SHIFT" if gate.get("regime_shift") else "",
+            gate.get("total_ratio"),
+            sorted(gate.get("regressions", {})),
+        )
+    )
     print(json.dumps(headline_line))
