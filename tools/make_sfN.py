@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Scale-extrapolate the driver's star schema one decade up (sf1).
+
+The driver provides sf0.001/0.01/0.1 (TESTDATA.md, read-only); the r7
+verdict's item 3 asks for a parity sweep ONE decade above the bench
+scale to re-probe scale-sensitive arithmetic (the r5 sf0.1 sweep
+caught a GK-sketch rank flip and double-SUM drift the gate scale
+hid). This tool manufactures sf1 by TILING sf0.1 ten times with
+consistent key offsets, matching the driver's own scaling law
+(verified empirically across the three provided scales):
+
+- every entity key space is dense 0..N-1 and grows 10x per decade
+  (orders 150k -> 1.5M, customers 15k -> 150k, users 1.5k -> 15k,
+  docs 5k -> 50k, vectors 2k -> 20k, ...) — replica i shifts each
+  key by i * cardinality, so foreign keys stay consistent within a
+  replica and the combined key space stays dense;
+- region/nation are FIXED dimensions (5/25 rows at every sf) and are
+  copied through;
+- temporal windows are FIXED (events: Jan 2024; orders: 1995-2001):
+  scaling adds rows inside the same window, never widens it;
+- text/embedding payloads are duplicated verbatim — a corpus where
+  every document has 9 exact clones is the --dup boundary at scale,
+  a legitimate (and adversarial) dedup stress;
+- physical parquet types are preserved exactly (asserted against the
+  source schema after writing): timestamps stay TIMESTAMP(MICROS,
+  NTZ), embeddings stay list<float>, int32 columns stay int32.
+
+Parity correctness does not depend on the tiling being the driver's
+exact distribution: Spark and DuckDB read the SAME files, so any
+divergence the sweep finds is an engine-semantics bug, not a data
+artifact. Output lands in ``.localdata/sf1`` (gitignored).
+
+    python tools/make_sfN.py [--mult 10] [--src /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# key column -> cardinality at the SOURCE scale (offset unit); every
+# table shifts each of its key-family columns by i * unit, so FK
+# relationships hold within each replica
+KEY_UNITS_SF01 = {
+    "o_orderkey": 150_000,
+    "l_orderkey": 150_000,
+    "o_custkey": 15_000,
+    "c_custkey": 15_000,
+    "p_partkey": 20_000,
+    "l_partkey": 20_000,
+    "s_suppkey": 1_000,
+    "l_suppkey": 1_000,
+    "event_id": 100_000,
+    "user_id": 1_500,
+    "doc_id": 5_000,
+    "vec_id": 2_000,
+}
+
+COPY_THROUGH = ("region", "nation")
+SCALED = (
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def scale_table(
+    con: duckdb.DuckDBPyConnection,
+    src: str,
+    out: str,
+    table: str,
+    mult: int,
+) -> None:
+    cols = con.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')"
+    ).fetchall()
+    select = []
+    for name, dtype, *_ in cols:
+        unit = KEY_UNITS_SF01.get(name)
+        if unit is not None:
+            # CAST back so BIGINT/INTEGER widths survive the addition
+            select.append(
+                f"CAST({name} + r.i * {unit} AS {dtype}) AS {name}"
+            )
+        else:
+            select.append(name)
+    sql = (
+        f"COPY (SELECT {', '.join(select)} "
+        f"FROM read_parquet('{src}/{table}.parquet'), "
+        f"range(0, {mult}) r(i) ORDER BY r.i) "
+        f"TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(sql)
+
+
+def verify_schema(src: str, out: str, table: str) -> None:
+    a = pq.read_schema(f"{src}/{table}.parquet")
+    b = pq.read_schema(f"{out}/{table}.parquet")
+    for field in a:
+        got = b.field(field.name).type
+        assert str(got) == str(field.type), (
+            f"{table}.{field.name}: {got} != {field.type}"
+        )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, ".localdata", "sf1")
+    )
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    con = duckdb.connect()
+    for t in COPY_THROUGH:
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{args.src}/{t}.parquet')) "
+            f"TO '{args.out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        verify_schema(args.src, args.out, t)
+        print(f"{t}: copied through")
+    for t in SCALED:
+        scale_table(con, args.src, args.out, t, args.mult)
+        verify_schema(args.src, args.out, t)
+        n_src = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{args.src}/{t}.parquet')"
+        ).fetchone()[0]
+        n_out = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{args.out}/{t}.parquet')"
+        ).fetchone()[0]
+        assert n_out == n_src * args.mult, (t, n_src, n_out)
+        print(f"{t}: {n_src} -> {n_out}")
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
