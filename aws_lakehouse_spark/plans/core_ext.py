@@ -1670,7 +1670,7 @@ def snapshot_stats_pruned_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     category="2.9 maintenance (M5 file statistics)",
     doc="Iceberg/Puffin-style per-file BLOOM skipping: the snapshot "
-    "commit records a 16 Kbit bloom bitset of o_custkey per data "
+    "commit records an NDV-sized bloom bitset of o_custkey per data "
     "file; a point lookup (`o_custkey = 97`) then plans ONLY the "
     "bloom-candidate files (in-query assert: strictly fewer than "
     "the live total) with the exact equality residual on surviving "
@@ -2520,9 +2520,13 @@ def snapshot_optimize_zorder_q(
         "o_totalprice": (50000.0, 150000.0),
     }
     before, total_before = plan_pruned_files_multi(table, preds)
-    if total_before < 2 or not before:
-        # too few rows for a multi-file layout, or the fixed probe
-        # box misses the data: there is no pruning to improve
+    if total_before < 2 or len(before) <= 1:
+        # too few rows for a multi-file layout, the fixed probe box
+        # misses the data, or the ingest layout ALREADY answers the
+        # probe from one file (possible when the probe columns are
+        # correlated with the ingest clustering — seen on tiled sf1
+        # data in the r8 decade-up sweep): strict improvement is
+        # impossible, so there is no pruning to certify
         return spark.createDataFrame(
             [], "o_orderstatus string, n_orders bigint, total_price double"
         )

@@ -842,7 +842,7 @@ def rewrite_data_files(
     }
 
 
-BLOOM_M_BITS = 16384  # bloom bitset width per (file, column)
+BLOOM_M_BITS = 16384  # MINIMUM bloom width; _file_bloom sizes by NDV
 BLOOM_K = 3  # hash functions
 
 
@@ -898,10 +898,22 @@ def _file_bloom(path: str, cols: list[str], md=None) -> dict:
             except Exception:
                 continue
     for col, arr in columns.items():
-        bits = bytearray(BLOOM_M_BITS // 8)
         vals = {v for v in arr.to_pylist() if v is not None}
+        # ADAPTIVE sizing (Iceberg sizes its bloom blobs by NDV too):
+        # with k=3 hashes, ~10 bits/key gives ~1.7% false positives.
+        # The old fixed 16 Kbit bitset saturated one decade above the
+        # bench scale (18.7k keys/file -> kn/m = 3.4 -> ~90% FP ->
+        # every file a candidate, zero pruning; caught by the r8 sf1
+        # parity sweep). Power-of-two widths, floored at 16 Kbit so
+        # small files' blobs are byte-identical to the old format;
+        # the probe derives the width from the stored blob, so old
+        # manifests stay readable.
+        m = BLOOM_M_BITS
+        while m < 10 * len(vals):
+            m *= 2
+        bits = bytearray(m // 8)
         for v in vals:
-            for h in _bloom_positions(v):
+            for h in _bloom_positions(v, m=m):
                 bits[h >> 3] |= 1 << (h & 7)
         out[col] = bits.hex()
     return out
@@ -909,8 +921,11 @@ def _file_bloom(path: str, cols: list[str], md=None) -> dict:
 
 def _bloom_maybe_contains(hex_bits: str, value) -> bool:
     bits = bytes.fromhex(hex_bits)
+    # width travels with the blob (adaptive sizing): probe with the
+    # same modulus the writer used
     return all(
-        bits[h >> 3] & (1 << (h & 7)) for h in _bloom_positions(value)
+        bits[h >> 3] & (1 << (h & 7))
+        for h in _bloom_positions(value, m=len(bits) * 8)
     )
 
 

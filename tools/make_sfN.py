@@ -61,6 +61,24 @@ KEY_UNITS_SF01 = {
     "vec_id": 2_000,
 }
 
+# FOREIGN keys get a hash-SCATTERED replica index instead of the
+# row's own: a straight i*unit shift for every key makes ALL key
+# columns correlate through the replica index (custkey 20 only ever
+# co-occurs with orderkeys < 150k), which the driver's generator —
+# FK draws uniform over the full key space — does not exhibit. The
+# first r8 sf1 sweep showed the artifact: an ingest layout clustered
+# on o_orderkey was accidentally ALSO clustered on o_custkey, making
+# the Z-order demo's unclustered-baseline premise false. Any valid
+# key in ANY replica is a valid FK target, so scattering by a hash
+# of the row's primary key decorrelates without breaking
+# referential integrity. column -> seed expression.
+SCATTERED_FKS = {
+    "o_custkey": "o_orderkey",
+    "l_partkey": "l_orderkey * 16 + l_linenumber",
+    "l_suppkey": "l_orderkey * 16 + l_linenumber + 7",
+    "user_id": "event_id",
+}
+
 COPY_THROUGH = ("region", "nation")
 SCALED = (
     "customer",
@@ -87,13 +105,18 @@ def scale_table(
     select = []
     for name, dtype, *_ in cols:
         unit = KEY_UNITS_SF01.get(name)
-        if unit is not None:
-            # CAST back so BIGINT/INTEGER widths survive the addition
-            select.append(
-                f"CAST({name} + r.i * {unit} AS {dtype}) AS {name}"
-            )
-        else:
+        if unit is None:
             select.append(name)
+            continue
+        seed = SCATTERED_FKS.get(name)
+        if seed is not None and mult > 1:
+            replica = f"((r.i + hash({seed})) % {mult})"
+        else:
+            replica = "r.i"
+        # CAST back so BIGINT/INTEGER widths survive the addition
+        select.append(
+            f"CAST({name} + {replica} * {unit} AS {dtype}) AS {name}"
+        )
     sql = (
         f"COPY (SELECT {', '.join(select)} "
         f"FROM read_parquet('{src}/{table}.parquet'), "
