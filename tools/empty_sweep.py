@@ -439,8 +439,24 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # positional names restrict the sweep (r8: the --hotkey probe at
+    # sf1 scale is only tractable for the skew machinery itself —
+    # pair-generating queries are intentionally quadratic on a
+    # single hot key, and the 200-row default already covers them)
+    only = {
+        a
+        for a in sys.argv[1:]
+        if not a.startswith("--")
+        and a != str(rows)
+    }
+    registry = load_all()
+    unknown = only - set(registry)
+    if unknown:
+        raise SystemExit(f"unknown queries: {sorted(unknown)}")
     ok, fails = 0, []
-    for name, spec in load_all().items():
+    for name, spec in registry.items():
+        if only and name not in only:
+            continue
         try:
             n = spec.fn(spark, empty_dir).count()
             ok += 1
