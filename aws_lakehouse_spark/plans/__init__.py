@@ -59,6 +59,10 @@ from aws_lakehouse_spark.registry import REGISTRY
 # `python tools/rotate_window.py --changed --apply` (run AFTER the
 # driver writes CORRECTNESS_r08.json) computes the next window
 # mechanically; update this comment with the round's rationale.
+# Known r9 pin candidates already: snapshot_bloom_pruned_scan and
+# snapshot_optimize_zorder changed AFTER this window was applied
+# (the sf1 sweep's NDV-bloom fix + premise guard, both sf0.01- and
+# sf1-parity-verified in-round) — --changed will pick them up.
 _PRIORITY = [
     "events_funnel_steps",
     "events_funnel",
