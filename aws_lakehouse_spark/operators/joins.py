@@ -255,6 +255,7 @@ def range_join_banded(
     lb = left.withColumn(
         "__band", F.floor(F.col(left_point) / band_width).cast("long")
     )
+    lb = _widen_if_underparallel(lb)
     rb = right.withColumn(
         "__band",
         F.explode(
@@ -270,6 +271,27 @@ def range_join_banded(
     if extra_condition is not None:
         cond = cond & extra_condition
     return lb.join(rb, "__band").filter(cond).drop("__band")
+
+
+def _widen_if_underparallel(df: DataFrame) -> DataFrame:
+    """Round-robin the frame out to the cluster's default parallelism
+    — ONLY when its current partitioning is narrower. A banded join
+    whose small side broadcasts executes entirely inside the big
+    side's scan tasks, and its OUTPUT can be orders of magnitude
+    larger than its input (every point matches every interval in its
+    candidate window), so a scan that fits in a handful of splits — a
+    single small parquet file on a test host — serializes the
+    explosion onto those few cores (measured r8 at sf1: a 2.4G-match
+    band join ran on the 8 splits of one 40 MB file, 119 s; widened
+    to 32, 36 s). At production scale the scan already has thousands
+    of tasks, the condition is false, and NO shuffle is added — an
+    unconditional repartition here would be a full-fact-table
+    exchange at 100 TB."""
+    spark = df.sparkSession
+    default = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < default:
+        return df.repartition(default)
+    return df
 
 
 def interval_overlap_join_banded(
@@ -303,6 +325,7 @@ def interval_overlap_join_banded(
             )
         ),
     )
+    ab = _widen_if_underparallel(ab)
     bb = b.withColumn(
         "__band",
         F.explode(
