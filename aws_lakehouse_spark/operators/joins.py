@@ -255,7 +255,7 @@ def range_join_banded(
     lb = left.withColumn(
         "__band", F.floor(F.col(left_point) / band_width).cast("long")
     )
-    lb = _widen_if_underparallel(lb)
+    lb = widen_if_underparallel(lb)
     rb = right.withColumn(
         "__band",
         F.explode(
@@ -273,7 +273,7 @@ def range_join_banded(
     return lb.join(rb, "__band").filter(cond).drop("__band")
 
 
-def _widen_if_underparallel(df: DataFrame) -> DataFrame:
+def widen_if_underparallel(df: DataFrame) -> DataFrame:
     """Round-robin the frame out to the cluster's default parallelism
     — ONLY when its current partitioning is narrower. A banded join
     whose small side broadcasts executes entirely inside the big
@@ -325,7 +325,7 @@ def interval_overlap_join_banded(
             )
         ),
     )
-    ab = _widen_if_underparallel(ab)
+    ab = widen_if_underparallel(ab)
     bb = b.withColumn(
         "__band",
         F.explode(

@@ -70,7 +70,12 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "functions, no UDF, no shuffle.",
 )
 def dedup_minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # shingle+hash is CPU-heavy per row; a corpus that fits one
+    # parquet split would serialize it (measured r8 at sf1: 61 s on
+    # 1 task -> 9.6 s widened). No-op at production file counts.
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", *minhash_signature(shingles_col(F.col("text"), 3), 4)
     )

@@ -142,8 +142,11 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.llm.dedup import shingles_col
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # per-row shingle hashing serializes on a one-split corpus scan
+    # (r8 sf1: 15 s on 1 task -> 1.6 s widened); no-op at production file counts
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.md5(F.col("text")).alias("doc_fp"),
@@ -1020,7 +1023,12 @@ WINNOW_W = 4  # winnowing window (selects one min-hash per window)
     "checks. Lexicographic md5 minima are engine-agnostic.",
 )
 def text_winnow_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # the k-gram hash + sliding-min chain is the package's heaviest
+    # scan-side expression; one-split corpora serialize it (r8 sf1:
+    # 38.5 s on 1 task -> 4.6 s widened); no-op at production file counts
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     # one fused expression: grams are hashed once, bound through a
     # single-element transform lambda (same trick as the LSH bands)
     wins = (
