@@ -656,7 +656,15 @@ def simhash_hamming_pairs(
     # vote aggregation ten times per document (the round-7 rescan
     # audit's worst honest-looking offender). One lazy checkpoint
     # computes it once; every consumer reads the materialized rows.
-    fp = df.select(
+    # widen BEFORE the vote aggregation: the checkpoint materializes
+    # with the upstream partitioning, so a one-split corpus scan
+    # would serialize the package's second-heaviest scan-side kernel
+    # onto one core AND leave every consumer reading one partition
+    # (r8 sf1 probe: 189 s -> 35 s widened); no-op at production
+    # file counts (see widen_if_underparallel)
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    fp = widen_if_underparallel(df).select(
         F.col(id_col).alias("doc_id"),
         *simhash_band_cols(F.col(text_col), n_bands, band_bits),
     ).localCheckpoint(eager=False)

@@ -264,7 +264,12 @@ def _simhash_oracle() -> str:
     "pass per band. Pure array expressions, one scan, no shuffle.",
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # the per-band vote aggregation serializes on a one-split corpus
+    # scan (same class as the minhash/winnow kernels); no-op at
+    # production file counts
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         *simhash_band_cols(F.col("text"), SIMHASH_BANDS, SIMHASH_BAND_BITS),
