@@ -2520,47 +2520,44 @@ def snapshot_optimize_zorder_q(
         "o_totalprice": (50000.0, 150000.0),
     }
     before, total_before = plan_pruned_files_multi(table, preds)
-    if total_before < 2 or len(before) <= 1:
-        # too few rows for a multi-file layout, the fixed probe box
-        # misses the data, or the ingest layout ALREADY answers the
-        # probe from one file (possible when the probe columns are
-        # correlated with the ingest clustering — seen on tiled sf1
-        # data in the r8 decade-up sweep): strict improvement is
-        # impossible, so there is no pruning to certify
-        return spark.createDataFrame(
-            [], "o_orderstatus string, n_orders bigint, total_price double"
+    # strict improvement is certifiable only when the ingest layout
+    # leaves >1 file overlapping the probe box; on layouts where the
+    # probe is already answered from <=1 file (tiny tables, or probe
+    # columns correlated with the ingest clustering — seen on tiled
+    # sf1 data in the r8 decade-up sweep) the OPTIMIZE + assert is
+    # skipped but the pruned-scan AGGREGATE is still computed: it
+    # equals the oracle for ANY valid file layout (r8 advice —
+    # engine must not diverge from its oracle by construction)
+    certifiable = total_before >= 2 and len(before) > 1
+    if certifiable:
+        # one profiling pass supplies the Z-ranges (table statistics)
+        rng = orders.agg(
+            F.min("o_custkey"), F.max("o_custkey"),
+            F.min("o_totalprice"), F.max("o_totalprice"),
+        ).collect()[0]
+        if rng[0] is None:  # pragma: no cover — empty source implies
+            # total_before == 0, so certifiable is already False
+            certifiable = False
+    if certifiable:
+        optimize_zorder(
+            spark,
+            table,
+            {
+                "o_custkey": (float(rng[0]), float(rng[1]) + 1.0),
+                "o_totalprice": (float(rng[2]), float(rng[3]) + 1.0),
+            },
+            n_files=8,
         )
-
-    # one profiling pass supplies the Z-ranges (table statistics)
-    rng = orders.agg(
-        F.min("o_custkey"), F.max("o_custkey"),
-        F.min("o_totalprice"), F.max("o_totalprice"),
-    ).collect()[0]
-    if rng[0] is None:
-        # empty source: no ranges to Z-order by; the scenario's
-        # result is an empty summary, not a float(None) crash
-        return spark.createDataFrame(
-            [], "o_orderstatus string, n_orders bigint, total_price double"
-        )
-    optimize_zorder(
-        spark,
-        table,
-        {
-            "o_custkey": (float(rng[0]), float(rng[1]) + 1.0),
-            "o_totalprice": (float(rng[2]), float(rng[3]) + 1.0),
-        },
-        n_files=8,
-    )
-    after, total_after = plan_pruned_files_multi(table, preds)
-    if not (
-        len(after) / total_after < len(before) / total_before
-        and len(after) < total_after
-    ):
-        raise AssertionError(
-            f"OPTIMIZE ZORDER must strictly improve 2-D pruning: "
-            f"before {len(before)}/{total_before}, "
-            f"after {len(after)}/{total_after}"
-        )
+        after, total_after = plan_pruned_files_multi(table, preds)
+        if not (
+            len(after) / total_after < len(before) / total_before
+            and len(after) < total_after
+        ):
+            raise AssertionError(
+                f"OPTIMIZE ZORDER must strictly improve 2-D pruning: "
+                f"before {len(before)}/{total_before}, "
+                f"after {len(after)}/{total_after}"
+            )
     pruned = read_snapshot_pruned_multi(spark, table, preds)
     return (
         pruned.groupBy("o_orderstatus")

@@ -125,6 +125,36 @@ def test_query_survives_one_row_tables(name, spark, one_row_sf_dir):
     assert df.count() >= 0, name
 
 
+def test_zorder_degenerate_layout_still_matches_oracle(
+    spark, tmp_path
+):
+    """When the ingest layout already answers the probe box from <=1
+    file, strict pruning improvement is uncertifiable — but the query
+    must STILL return the pruned-scan aggregate (== oracle), not an
+    empty frame (r9 advice: the r8 degenerate branch diverged from
+    the oracle by construction whenever the box was one-file)."""
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    # one order, INSIDE the probe box (custkey 20-60, price 50k-150k):
+    # the old branch returned [], the oracle one group
+    con.execute(
+        f"COPY (SELECT * REPLACE (CAST(30 AS BIGINT) AS o_custkey, "
+        f"CAST(100000.0 AS DOUBLE) AS o_totalprice) FROM "
+        f"read_parquet('{src}/orders.parquet') LIMIT 1) "
+        f"TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)"
+    )
+    spec = REGISTRY["snapshot_optimize_zorder"]
+    got = spec.fn(spark, str(tmp_path)).collect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = con.sql(spec.oracle).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 1  # the non-degenerate answer, not []
+
+
 # the null-heavy boundary (every column NULL except each table's
 # first id column — a bad upstream extract): the sweep crashed these
 # 5 before hardening — null embeddings reaching np.stack / float()
