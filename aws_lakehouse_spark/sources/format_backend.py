@@ -139,8 +139,25 @@ def delta_merge(
     delete when ``when_matched_delete`` holds), unmatched source rows
     insert-all. Custom per-column assignment expressions stay on the
     manifest backend (their ``__src_`` reference convention has no
-    faithful Delta translation)."""
-    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in on)
+    faithful Delta translation).
+
+    Semantics alignment with the manifest backend (r9 advice): the
+    match condition is PLAIN equality, not null-safe ``<=>`` — a NULL
+    merge key matches nothing on either backend (ANSI MERGE
+    semantics; the manifest join uses ``on=on`` equality), so the
+    same call gives the same result per backend. Delete conditions on
+    the Delta path use Delta's own ``t.``/``s.`` alias convention; a
+    manifest-style ``__src_<col>`` reference is rejected loudly
+    rather than silently failing to resolve."""
+    if when_matched_delete is not None and "__src_" in str(
+        when_matched_delete
+    ):
+        raise ValueError(
+            "when_matched_delete references manifest-style __src_ "
+            "columns; on a Delta-backed table write the condition "
+            "with Delta's aliases (target 't.', source 's.')"
+        )
+    cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in on)
     builder = _delta_table(spark, table_path).alias("t").merge(
         source.alias("s"), cond
     )

@@ -300,8 +300,8 @@ def snapshot_write(
     if _backend(spark, table_path) == "delta":
         # delegate the core surface to the real format (r7 verdict
         # item 4); the manifest log's extensions have no Delta
-        # translation, so asking for them on a Delta table is an
-        # error, never a silent semantic drop
+        # translation, so asking for them on a table that already IS
+        # Delta is an error, never a silent semantic drop
         from aws_lakehouse_spark.sources import format_backend as _fmt
 
         extras = {
@@ -312,12 +312,21 @@ def snapshot_write(
             "segmented": segmented or None,
         }
         bad = sorted(k for k, v in extras.items() if v)
-        if bad:
+        if not bad:
+            return _fmt.delta_write(spark, df, table_path, mode)
+        if os.path.isdir(os.path.join(table_path, _fmt.DELTA_LOG_DIR)):
             raise ValueError(
                 f"snapshot_write option(s) {bad} are manifest-log "
                 "extensions; not supported on a Delta-backed table"
             )
-        return _fmt.delta_write(spark, df, table_path, mode)
+        # a BRAND-NEW table asking for manifest-only extensions is
+        # born on the manifest backend — the only one that implements
+        # them. Routing it to Delta would make the engine's own
+        # stats/bloom/WAP/branch queries raise precisely on the
+        # Delta-capable clusters format_backend exists for (r9
+        # advice). backend_for keeps reading it as manifest from the
+        # first commit on (birth format sticks), so every later read
+        # and write of this table stays consistent.
     if branch is not None:
         resolve_branch(table_path, branch)  # must exist; raises otherwise
     os.makedirs(_log_path(table_path), exist_ok=True)

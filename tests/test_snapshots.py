@@ -1449,3 +1449,77 @@ def test_delta_delegation_matches_manifest_backend(spark, tmp_path):
         for r in snapshots.read_snapshot(spark, delt).collect()
     }
     assert got2 == want
+
+
+def test_new_table_with_manifest_extensions_skips_delta_routing(
+    spark, tmp_path, monkeypatch
+):
+    """On a Delta-CAPABLE cluster, a brand-new table asking for
+    manifest-only extensions (stats/bloom/WAP/branch/segments) must be
+    born on the manifest backend rather than raise — otherwise the
+    engine's own registry queries (snapshot_stats_pruned_scan,
+    snapshot_bloom_pruned_scan, snapshot_optimize_zorder all write
+    fresh tables with stats_cols) break precisely in the environment
+    format_backend.py was built for (r9 advice). A table that already
+    HAS a _delta_log keeps the loud ValueError."""
+    from aws_lakehouse_spark.sources import format_backend as fmt
+
+    monkeypatch.setattr(fmt, "delta_runtime_available", lambda s: True)
+
+    t = str(tmp_path / "fresh")
+    v0 = snapshots.snapshot_write(
+        spark, _df(spark, 0, 10), t, "overwrite", stats_cols=["id"]
+    )
+    assert v0 == 0
+    # born manifest: birth format sticks for every later read/write
+    assert fmt.backend_for(spark, t) == "manifest"
+    assert snapshots.read_snapshot(spark, t).count() == 10
+    planned, total = snapshots.plan_pruned_files(t, "id", 3, 3)
+    assert total >= 1
+
+    # existing Delta tables still reject manifest-only extensions
+    delt = str(tmp_path / "born_delta")
+    os.makedirs(os.path.join(delt, fmt.DELTA_LOG_DIR))
+    with pytest.raises(ValueError, match="manifest-log"):
+        snapshots.snapshot_write(
+            spark, _df(spark, 0, 5), delt, "overwrite", stats_cols=["id"]
+        )
+
+
+def test_registry_snapshot_queries_run_under_delta_capable_runtime(
+    spark, sf_dir, monkeypatch
+):
+    """The three registry queries that write fresh tables with
+    stats_cols must run end-to-end when backend_for would prefer
+    Delta for new tables (mocked runtime; the stats_cols fallback
+    keeps every table in these queries manifest-born, so no real
+    Delta write is ever attempted)."""
+    from aws_lakehouse_spark.registry import load_all
+    from aws_lakehouse_spark.sources import format_backend as fmt
+
+    monkeypatch.setattr(fmt, "delta_runtime_available", lambda s: True)
+    reg = load_all()
+    for name in (
+        "snapshot_stats_pruned_scan",
+        "snapshot_bloom_pruned_scan",
+        "snapshot_optimize_zorder",
+    ):
+        df = reg[name].fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_delta_merge_rejects_manifest_style_delete_condition(spark, tmp_path):
+    """The manifest merge references source columns as __src_<col>;
+    Delta uses t./s. aliases. A manifest-style condition on the delta
+    path must fail loudly (before any Delta call) instead of failing
+    to resolve downstream or silently diverging (r9 advice)."""
+    from aws_lakehouse_spark.sources import format_backend as fmt
+
+    with pytest.raises(ValueError, match="__src_"):
+        fmt.delta_merge(
+            spark,
+            str(tmp_path / "t"),
+            _df(spark, 0, 3),
+            on=["id"],
+            when_matched_delete="__src_op = 'D'",
+        )
