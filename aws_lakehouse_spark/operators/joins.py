@@ -17,6 +17,7 @@ Engine policy for scale:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -273,9 +274,33 @@ def range_join_banded(
     return lb.join(rb, "__band").filter(cond).drop("__band")
 
 
+# logical-plan nodes that introduce (or rewrite into) an exchange:
+# a frame containing one is partitioned by spark.sql.shuffle.partitions
+# downstream, not by its leaf scan's split count
+_SHUFFLING_NODES = re.compile(
+    r"(?m)^[\s:+\-]*(Join|Aggregate|Window|Deduplicate|Repartition|"
+    r"RebalancePartitions|Sort|GlobalLimit|Intersect|Except|CoGroup)\b"
+)
+
+
+def _plan_shuffles(df: DataFrame) -> bool:
+    """True when ``df``'s ANALYZED logical plan contains a
+    shuffle-inducing node (or when the plan can't be inspected —
+    treat as wide; never add a speculative exchange). Inspection
+    stays on the logical plan: finalizing the physical plan (as
+    ``df.rdd`` does) can, under AQE, eagerly execute upstream
+    shuffle stages at plan-build time that the real job then
+    recomputes (r9 advice)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    return bool(_SHUFFLING_NODES.search(plan))
+
+
 def widen_if_underparallel(df: DataFrame) -> DataFrame:
     """Round-robin the frame out to the cluster's default parallelism
-    — ONLY when its current partitioning is narrower. A banded join
+    — ONLY when its leaf scan plans fewer splits. A banded join
     whose small side broadcasts executes entirely inside the big
     side's scan tasks, and its OUTPUT can be orders of magnitude
     larger than its input (every point matches every interval in its
@@ -286,12 +311,22 @@ def widen_if_underparallel(df: DataFrame) -> DataFrame:
     to 32, 36 s). At production scale the scan already has thousands
     of tasks, the condition is false, and NO shuffle is added — an
     unconditional repartition here would be a full-fact-table
-    exchange at 100 TB."""
-    spark = df.sparkSession
-    default = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < default:
-        return df.repartition(default)
-    return df
+    exchange at 100 TB.
+
+    The narrowness probe never touches ``df.rdd`` (which finalizes
+    the physical plan and, under AQE, can eagerly execute upstream
+    stages): frames whose logical plan already shuffles are left
+    alone — their runtime partitioning is ``spark.sql.shuffle
+    .partitions``, not the scan's split count — and scan-shaped
+    frames are estimated from driver-side file metadata
+    (``layout.widen_if_narrow``). Callers should pass source-near
+    frames (scan + narrow projections/explodes), as the engine's
+    banded-join and dedup call sites do."""
+    if _plan_shuffles(df):
+        return df
+    from aws_lakehouse_spark.layout import widen_if_narrow
+
+    return widen_if_narrow(df)
 
 
 def interval_overlap_join_banded(

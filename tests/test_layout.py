@@ -106,3 +106,41 @@ def test_widen_if_narrow_no_rdd_materialization(spark, tmp_path):
     mem = spark.createDataFrame([(i,) for i in range(10)], "id bigint")
     assert _estimated_scan_partitions(mem) is None
     assert widen_if_narrow(mem) is mem  # unknown → never a shuffle
+
+
+def test_widen_if_underparallel_skips_post_shuffle_frames(
+    spark, tmp_path
+):
+    """The banded-join widener must (a) never probe df.rdd — that
+    finalizes the physical plan and can eagerly run upstream stages
+    under AQE — and (b) leave post-shuffle frames alone: their
+    runtime partitioning is spark.sql.shuffle.partitions, not the
+    scan's split count (r9 advice)."""
+    import pyspark.sql.functions as F
+
+    from aws_lakehouse_spark.operators.joins import (
+        _plan_shuffles,
+        widen_if_underparallel,
+    )
+
+    path = str(tmp_path / "one_file")
+    spark.range(0, 1000).coalesce(1).write.mode("overwrite").parquet(path)
+    scan = spark.read.parquet(path)
+    # scan + narrow ops (the call-site shape): widened
+    exploded = scan.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(2)))
+    )
+    assert not _plan_shuffles(exploded)
+    wide = widen_if_underparallel(exploded)
+    target = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target  # test-side probe only
+    assert wide.count() == 3000
+
+    # shuffle-bearing frames: untouched, identity (no added exchange)
+    agged = scan.groupBy((F.col("id") % 7).alias("g")).count()
+    joined = scan.join(
+        scan.select(F.col("id").alias("k")), F.col("id") == F.col("k")
+    )
+    for frame in (agged, joined, scan.orderBy("id")):
+        assert _plan_shuffles(frame)
+        assert widen_if_underparallel(frame) is frame
