@@ -16,10 +16,18 @@ within a major version, and protobuf itself ships the
 ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` escape hatch for
 exactly this skew. The shim therefore:
 
-1. prepends the vendored dir to ``sys.path`` and ``PYTHONPATH`` (the
-   env var so a JVM launched AFTER the call hands it to its Python
-   workers);
-2. sets the version-check flag in ``os.environ`` (same inheritance);
+1. stages an ISOLATED directory containing only a ``google/protobuf``
+   link into the vendored tree and prepends THAT to ``sys.path`` and
+   ``PYTHONPATH`` — never the appengine dir itself, which vendors
+   many other importables (``google.appengine``/``auth``/``oauth2``/
+   ``pyglib`` plus top-level modules) that would shadow site-packages
+   in the driver, every worker, and any later-spawned subprocess
+   (r9 advice); the env var is set so a JVM launched AFTER the call
+   hands the path to its Python workers;
+2. sets the version-check flag in ``os.environ`` — this one must be
+   process-wide: the DRIVER's own gencode import reads it, so scoping
+   it to SparkContext.environment alone would shim workers but leave
+   the driver's import failing;
 3. when a live session is passed, mirrors both into
    ``SparkContext.environment`` — pyspark copies that dict into every
    PythonFunction's ``envVars``, which is how workers of an
@@ -36,7 +44,9 @@ from __future__ import annotations
 
 import importlib
 import os
+import shutil
 import sys
+import tempfile
 
 # Known host locations of a vendored pure-Python protobuf runtime
 # (checked in order; each must contain google/protobuf/__init__.py).
@@ -45,6 +55,9 @@ VENDORED_PROTOBUF_DIRS = (
 )
 
 _FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+
+# vendored dir -> staged isolated dir (one staging per process)
+_STAGED: dict[str, str] = {}
 
 
 def _importable() -> bool:
@@ -55,42 +68,69 @@ def _importable() -> bool:
         return False
 
 
+def _stage_isolated(vendored: str) -> str | None:
+    """Build a path entry whose ONLY importable content is
+    ``google.protobuf``, linked (or copied) out of the vendored tree.
+    The staged ``google/`` carries no ``__init__.py``, so it is a
+    namespace package that MERGES with any ``google.*`` already in
+    site-packages instead of replacing it."""
+    prior = _STAGED.get(vendored)
+    if prior and os.path.isdir(os.path.join(prior, "google", "protobuf")):
+        return prior
+    src = os.path.join(vendored, "google", "protobuf")
+    stage = tempfile.mkdtemp(prefix="protoshim_")
+    gdir = os.path.join(stage, "google")
+    os.makedirs(gdir)
+    dst = os.path.join(gdir, "protobuf")
+    try:
+        os.symlink(src, dst)
+    except OSError:
+        try:  # symlink-less filesystems: fall back to a copy
+            shutil.copytree(src, dst)
+        except OSError:  # pragma: no cover - unreadable vendored tree
+            shutil.rmtree(stage, ignore_errors=True)
+            return None
+    _STAGED[vendored] = stage
+    return stage
+
+
 def enable_protobuf_shim(spark=None) -> bool:
     """Best-effort: make ``google.protobuf`` importable here and in
     Spark Python workers. Returns True when the runtime is usable
     after the call (whether natively installed or shimmed)."""
     native = _importable()
-    vendored = None
+    staged = None
     if not native:
         for cand in VENDORED_PROTOBUF_DIRS:
             if os.path.isfile(
                 os.path.join(cand, "google", "protobuf", "__init__.py")
             ):
-                vendored = cand
+                staged = _stage_isolated(cand)
                 break
-        if vendored is None:
+        if staged is None:
             return False
-        if vendored not in sys.path:
-            sys.path.insert(0, vendored)
+        if staged not in sys.path:
+            sys.path.insert(0, staged)
         if not _importable():  # pragma: no cover - corrupt vendored copy
             return False
-    if vendored is not None:
+    if staged is not None:
         prior = os.environ.get("PYTHONPATH", "")
-        if vendored not in prior.split(os.pathsep):
+        if staged not in prior.split(os.pathsep):
             os.environ["PYTHONPATH"] = (
-                vendored + (os.pathsep + prior if prior else "")
+                staged + (os.pathsep + prior if prior else "")
             )
         # the vendored runtime may be OLDER-minor than pyspark's
         # gencode; waive the policy check (wire-compatible within a
-        # major — see module docstring)
+        # major — see module docstring). Process-wide by necessity:
+        # the driver's own gencode import reads os.environ.
         os.environ[_FLAG] = "true"
     if spark is not None:
         env = spark.sparkContext.environment
-        if vendored is not None:
+        if staged is not None:
             env[_FLAG] = "true"
             prior = env.get("PYTHONPATH", "")
-            if vendored not in prior.split(os.pathsep):
+            if staged not in prior.split(os.pathsep):
                 env["PYTHONPATH"] = (
-                    vendored + (os.pathsep + prior if prior else "")
+                    staged + (os.pathsep + prior if prior else "")
                 )
     return True

@@ -4,6 +4,8 @@ their oracle-checked batch faces."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -813,3 +815,54 @@ def test_profile_processor_batch_equivalence(spark, sf_dir):
     }
     assert got == expected
     assert len(got) > 1
+
+
+def test_protoshim_stages_only_protobuf():
+    """The shim must put ONLY google.protobuf on the path — never the
+    whole appengine SDK dir, whose other vendored packages
+    (google.appengine/auth/oauth2/pyglib, top-level modules) would
+    shadow site-packages in the driver, every worker, and any later
+    subprocess (r9 advice). Runs in a subprocess so the parent test
+    process's import state is untouched."""
+    import subprocess
+    import sys as _sys
+
+    from aws_lakehouse_spark.streaming import protoshim
+
+    vendored = None
+    for cand in protoshim.VENDORED_PROTOBUF_DIRS:
+        if os.path.isfile(
+            os.path.join(cand, "google", "protobuf", "__init__.py")
+        ):
+            vendored = cand
+            break
+    if vendored is None:
+        pytest.skip("no host-vendored protobuf runtime")
+
+    code = """
+import importlib.util, os, sys
+from aws_lakehouse_spark.streaming.protoshim import enable_protobuf_shim
+assert enable_protobuf_shim() is True
+import google.protobuf.descriptor  # imports through the shim
+vendored = %r
+# the appengine SDK dir itself must be on NO import path
+assert vendored not in sys.path, sys.path
+assert vendored not in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+# its sibling packages must stay un-importable (no shadowing)
+assert importlib.util.find_spec("google.appengine") is None
+assert importlib.util.find_spec("google.pyglib") is None
+# the staged entry exposes exactly one name: google/protobuf
+staged = [p for p in sys.path if os.path.basename(p).startswith("protoshim_")]
+if staged:  # absent when a real protobuf wheel is installed
+    (entry,) = staged
+    assert os.listdir(entry) == ["google"]
+    assert os.listdir(os.path.join(entry, "google")) == ["protobuf"]
+print("ISOLATED_OK")
+""" % (vendored,)
+    out = subprocess.run(
+        [_sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "ISOLATED_OK" in out.stdout, out.stderr
