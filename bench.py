@@ -103,10 +103,9 @@ def run() -> dict:
     # while the identical committed query set ran ~25% slower — I/O
     # and shuffle live outside pure codegen, so a probe that includes
     # them tracks the dimension the other two miss. Fixed shape over
-    # the bench's own lineitem table (comparable only at equal sf);
-    # recorded for cross-round analysis — the gate itself
-    # self-normalizes by the median per-query ratio (see
-    # _normalized_gate).
+    # the bench's own lineitem table (comparable only at equal sf).
+    # Since r9 this canary is the gate's code-vs-environment
+    # DISCRIMINATOR for uniform median shifts (see _normalized_gate).
     calib_engine = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -219,7 +218,7 @@ def run() -> dict:
     return headline_line, detail
 
 
-def _normalized_gate(detail: dict) -> dict:
+def _normalized_gate(detail: dict, base: dict | None = None) -> dict:
     """Round-over-round comparison in CANARY-NORMALIZED units (r7
     verdict item 8): wall seconds on this shared host drift 1.2-2x
     with external load (r6's published numbers were 1.57x
@@ -238,17 +237,19 @@ def _normalized_gate(detail: dict) -> dict:
     ratio over the common set: a query regresses when its ratio
     exceeds 1.5x the median AND it grew by more than 1.0 canary unit
     (the absolute floor keeps sub-canary queries' jitter out).
-    ``median_ratio`` itself is reported — when it leaves [0.75,
-    1.33] the whole regime moved (host OR a global engine change):
-    investigate, and refresh the baseline deliberately if it's the
-    host. The result rides in the sidecar."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BENCH_NORMALIZED_BASELINE.json",
-    )
-    if not os.path.exists(path):
-        return {"pass": True, "reason": "no committed baseline"}
-    base = json.load(open(path))
+    ``median_ratio`` itself is reported — and since r9 a uniform
+    shift (>1.15x median) is no longer shrugged off as environment:
+    the engine-shaped canary attributes it (``uniform_shift_verdict``
+    below — code / environment / mixed), and a "code" or "mixed"
+    verdict FAILS the gate. The result rides in the sidecar."""
+    if base is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_NORMALIZED_BASELINE.json",
+        )
+        if not os.path.exists(path):
+            return {"pass": True, "reason": "no committed baseline"}
+        base = json.load(open(path))
     base_norm = base.get("normalized", {})
     now_norm = detail["normalized"]
     common = sorted(n for n in now_norm if base_norm.get(n))
@@ -268,15 +269,49 @@ def _normalized_gate(detail: dict) -> dict:
     base_total = sum(base_norm[n] for n in common)
     now_total = sum(now_norm[n] for n in common)
     total_ratio = round(now_total / base_total, 3) if base_total else 1.0
+
+    # Three-way verdict on a UNIFORM median shift (r8 verdict item 2):
+    # self-normalizing by the median is right for environment drift,
+    # but a real regression that hits every query equally would read
+    # as "environment" too. The discriminator is the ENGINE-shaped
+    # canary (parquet scan + hash-agg shuffle + collect) — identical
+    # committed code every round, normalized by calib_spark like the
+    # queries: when the median moves and the engine canary moved WITH
+    # it, the I/O/shuffle regime moved ("environment"); when the
+    # canary held while the queries moved, the code did ("code" —
+    # gate FAILS); in between, "mixed" (gate FAILS — forces a look).
+    verdict = "none"
+    engine_ratio = None
+    base_eng = base.get("calib_engine_sec")
+    now_eng = detail.get("calib_engine_sec")
+    if base_eng and now_eng and base.get("calib_spark_sec"):
+        engine_ratio = round(
+            (now_eng / detail["calib_spark_sec"])
+            / (base_eng / base["calib_spark_sec"]),
+            3,
+        )
+    if median_ratio > 1.15:
+        if engine_ratio is None:
+            verdict = "unattributable"  # pre-engine-canary baseline
+        else:
+            explained = (engine_ratio - 1.0) / (median_ratio - 1.0)
+            if explained >= 0.5:
+                verdict = "environment"
+            elif explained <= 0.25:
+                verdict = "code"
+            else:
+                verdict = "mixed"
     return {
         "baseline_round": base.get("round"),
         "common_queries": len(common),
         "median_ratio": round(median_ratio, 3),
         "regime_shift": not (0.75 <= median_ratio <= 1.33),
+        "engine_canary_ratio": engine_ratio,
+        "uniform_shift_verdict": verdict,
         "total_ratio": total_ratio,
         "per_query_ratio": ratios,
         "regressions": regressions,
-        "pass": not regressions,
+        "pass": not regressions and verdict not in ("code", "mixed"),
     }
 
 
@@ -291,12 +326,15 @@ if __name__ == "__main__":
     gate = detail.get("normalized_gate", {})
     print(
         "normalized gate vs r%s baseline: %s (median_ratio=%s%s, "
+        "engine_canary_ratio=%s, uniform_shift_verdict=%s, "
         "total_ratio=%s, regressions=%s)"
         % (
             gate.get("baseline_round"),
             "PASS" if gate.get("pass") else "FAIL",
             gate.get("median_ratio"),
             " REGIME-SHIFT" if gate.get("regime_shift") else "",
+            gate.get("engine_canary_ratio"),
+            gate.get("uniform_shift_verdict"),
             gate.get("total_ratio"),
             sorted(gate.get("regressions", {})),
         )

@@ -22,6 +22,8 @@ from rotate_window import (  # noqa: E402
 
 from aws_lakehouse_spark.plans import REGISTRY  # noqa: E402
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_next_window_is_full_and_never_graded_first():
     graded = graded_by_round()
@@ -163,3 +165,50 @@ def test_taint_files_follows_package_imports():
     assert any(p.endswith("llm/dedup.py") for p in taint), taint
     # and tainting never escapes the package
     assert all(p.startswith("aws_lakehouse_spark") for p in taint)
+
+
+def test_normalized_gate_three_way_verdict():
+    """A uniform median shift is attributed by the engine-shaped
+    canary (r8 verdict item 2): moved-with-queries = environment
+    (pass); held-while-queries-moved = code (FAIL); in between =
+    mixed (FAIL). No shift = none (pass)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    base = {
+        "round": 8,
+        "calib_spark_sec": 0.10,
+        "calib_engine_sec": 0.30,
+        "normalized": {"q1": 10.0, "q2": 20.0, "q3": 5.0},
+    }
+
+    def detail(mult, engine_sec):
+        return {
+            "calib_spark_sec": 0.10,
+            "calib_engine_sec": engine_sec,
+            "normalized": {
+                n: v * mult for n, v in base["normalized"].items()
+            },
+        }
+
+    # flat round: verdict none, pass
+    g = bench._normalized_gate(detail(1.0, 0.30), base)
+    assert g["uniform_shift_verdict"] == "none" and g["pass"]
+    # whole set +30%, engine canary +30% too: environment, pass
+    g = bench._normalized_gate(detail(1.3, 0.39), base)
+    assert g["uniform_shift_verdict"] == "environment" and g["pass"]
+    # whole set +30%, engine canary flat: code regression, FAIL
+    g = bench._normalized_gate(detail(1.3, 0.30), base)
+    assert g["uniform_shift_verdict"] == "code" and not g["pass"]
+    # whole set +30%, engine canary +12% (~0.4 explained): mixed, FAIL
+    g = bench._normalized_gate(detail(1.3, 0.336), base)
+    assert g["uniform_shift_verdict"] == "mixed" and not g["pass"]
+    # pre-engine-canary baseline: flagged, not failed
+    old = {k: v for k, v in base.items() if k != "calib_engine_sec"}
+    g = bench._normalized_gate(detail(1.3, 0.39), old)
+    assert g["uniform_shift_verdict"] == "unattributable" and g["pass"]

@@ -161,6 +161,10 @@ def main() -> int:
     failures: list[str] = []
     for name in names:
         spec = registry[name]
+        # engine and oracle walls are recorded SEPARATELY: a conflated
+        # per-query time hides which side is slow, which is exactly
+        # where the next one-split-serialization class of bug would
+        # hide in an sf1 sweep (r8 verdict item 4)
         t0 = time.time()
         try:
             sdf = spec.fn(spark, args.sf)
@@ -170,13 +174,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
             continue
+        engine_s = time.time() - t0
         if spec.oracle is None:
             n_rows_only += 1
             print(
                 f"rows-only {name}: {len(spark_pdf)} rows "
-                f"({time.time() - t0:.1f}s)"
+                f"(engine {engine_s:.1f}s)"
             )
             continue
+        t1 = time.time()
         try:
             duck_pdf = con.sql(spec.oracle).df()
         except Exception as e:
@@ -184,12 +190,14 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: DUCKDB ERROR {e}")
             continue
+        oracle_s = time.time() - t1
         problems = compare(name, spark_pdf, duck_pdf)
         hard = [p for p in problems if "values-match" not in p and "NOT bitwise" not in p]
+        timing = f"engine {engine_s:.1f}s, oracle {oracle_s:.1f}s"
         if hard:
             n_fail += 1
             failures.append(name)
-            print(f"FAIL {name} ({len(spark_pdf)} rows):")
+            print(f"FAIL {name} ({len(spark_pdf)} rows, {timing}):")
             for p in problems:
                 print(f"    {p}")
         else:
@@ -198,7 +206,7 @@ def main() -> int:
             extra = f" [warn: {soft}]" if soft else ""
             print(
                 f"pass {name}: {len(spark_pdf)} rows "
-                f"({time.time() - t0:.1f}s){extra}"
+                f"({timing}){extra}"
             )
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "

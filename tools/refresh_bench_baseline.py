@@ -35,6 +35,10 @@ def main() -> int:
         "(r7 verdict item 8). Refresh deliberately at round close: "
         "python tools/refresh_bench_baseline.py --round N",
         "calib_spark_sec": detail["calib_spark_sec"],
+        # the ENGINE-shaped canary (scan+shuffle+collect) is the
+        # code-vs-environment discriminator for uniform shifts (r8
+        # verdict item 2); absent only in pre-r8 sidecars
+        "calib_engine_sec": detail.get("calib_engine_sec"),
         "normalized": detail["normalized"],
         "headline_normalized": detail["headline_normalized"],
     }
