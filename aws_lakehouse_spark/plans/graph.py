@@ -48,6 +48,17 @@ _EDGES_SQL = """
     )
 """
 
+# MATERIALIZED variant for iterative oracles: DuckDB 1.x inlines
+# single-reference CTEs by default, so a k-round replay whose round
+# k references round k-1 once becomes ONE mega-plan re-deriving the
+# edge list per round — at sf1 the pagerank oracle exceeded a 78 GB
+# spill budget this way (r8 sweep). MATERIALIZED bounds the live
+# plan to one round at a time (the in-SQL equivalent of "materialize
+# each round into a temp table"), identical results.
+_EDGES_SQL_MAT = _EDGES_SQL.replace(
+    "pairs AS (", "pairs AS MATERIALIZED ("
+).replace("edges AS (", "edges AS MATERIALIZED (")
+
 
 def copurchase_edges(
     spark: SparkSession,
@@ -194,44 +205,44 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_pagerank_topk",
     oracle=f"""
-    WITH {_EDGES_SQL},
-    adj AS (
+    WITH {_EDGES_SQL_MAT},
+    adj AS MATERIALIZED (
         SELECT src, dst FROM edges
         UNION ALL
         SELECT dst, src FROM edges
     ),
-    deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
-    p0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
-    p1 AS (
+    p0 AS MATERIALIZED (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    p1 AS MATERIALIZED (
         SELECT a.dst AS node,
                (1.0 - 0.85) / (SELECT n FROM nn)
                + 0.85 * SUM(p.pr / d.deg) AS pr
         FROM adj a JOIN deg d ON a.src = d.src JOIN p0 p ON p.node = a.src
         GROUP BY a.dst
     ),
-    p2 AS (
+    p2 AS MATERIALIZED (
         SELECT a.dst AS node,
                (1.0 - 0.85) / (SELECT n FROM nn)
                + 0.85 * SUM(p.pr / d.deg) AS pr
         FROM adj a JOIN deg d ON a.src = d.src JOIN p1 p ON p.node = a.src
         GROUP BY a.dst
     ),
-    p3 AS (
+    p3 AS MATERIALIZED (
         SELECT a.dst AS node,
                (1.0 - 0.85) / (SELECT n FROM nn)
                + 0.85 * SUM(p.pr / d.deg) AS pr
         FROM adj a JOIN deg d ON a.src = d.src JOIN p2 p ON p.node = a.src
         GROUP BY a.dst
     ),
-    p4 AS (
+    p4 AS MATERIALIZED (
         SELECT a.dst AS node,
                (1.0 - 0.85) / (SELECT n FROM nn)
                + 0.85 * SUM(p.pr / d.deg) AS pr
         FROM adj a JOIN deg d ON a.src = d.src JOIN p3 p ON p.node = a.src
         GROUP BY a.dst
     ),
-    p5 AS (
+    p5 AS MATERIALIZED (
         SELECT a.dst AS node,
                (1.0 - 0.85) / (SELECT n FROM nn)
                + 0.85 * SUM(p.pr / d.deg) AS pr

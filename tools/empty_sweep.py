@@ -450,6 +450,36 @@ def main() -> int:
         and a != str(rows)
     }
     registry = load_all()
+    if "--changed" in sys.argv:
+        # taint-scope the battery (r8 verdict item 8): the full
+        # 328-query sweep re-ran at every round close even when a
+        # round touched three files. Reuse rotate_window's import-
+        # closure taint map, anchored at the LAST round commit (the
+        # battery runs clean at every round close, so that head is
+        # the state the standing battery result certifies).
+        from rotate_window import (
+            _changed_since,
+            round_commits,
+            taint_files,
+        )
+
+        commits = round_commits()
+        anchor_round = max(commits)
+        changed = _changed_since(commits[anchor_round])
+        taint_cache: dict[str, set[str]] = {}
+        for name, spec in registry.items():
+            mod = spec.fn.__module__
+            if mod not in taint_cache:
+                taint_cache[mod] = taint_files(mod)
+            if taint_cache[mod] & changed:
+                only.add(name)
+        print(
+            f"--changed: {len(only)} queries tainted since the "
+            f"round-{anchor_round} head", flush=True,
+        )
+        if not only:
+            print("0 ok, 0 crash (nothing tainted)")
+            return 0
     unknown = only - set(registry)
     if unknown:
         raise SystemExit(f"unknown queries: {sorted(unknown)}")
