@@ -1403,7 +1403,10 @@ def test_delta_delegation_matches_manifest_backend(spark, tmp_path):
     from aws_lakehouse_spark.sources import format_backend as fmt
 
     if not fmt.delta_runtime_available(spark):
-        pytest.skip("no usable Delta runtime (jar + SQL extension)")
+        pytest.skip(
+            "no usable Delta runtime (jar + SQL extension) — "
+            "exhaustive probe transcript: DELTA_PROBE_r09.md"
+        )
 
     mani = str(tmp_path / "mani")
     os.environ["SPARK_GRAFT_TABLE_FORMAT"] = "manifest"
