@@ -42,78 +42,72 @@ from aws_lakehouse_spark.registry import REGISTRY
 # after its last green grade re-enters the next window as a re-verify
 # pin (`tools/rotate_window.py --changed` derives the list from the
 # git diff against each query's last-grade driver commit, through the
-# ast import-graph taint map). The ROUND 8 window: 18 pins whose
-# physical plans the r7 window-fusion/pin batch rewrote AFTER their
-# last grade (events_funnel_steps .. ts_seasonal_decompose — all 18
-# judge-verified at sf0.01 post-rewrite, now getting driver truth),
-# 11 media_* pins touched by the r7 corrupt-payload NULL contract
-# that lack an r7 row, then embed_pca_project (newly oracle-backed:
-# projection onto the frozen literal fixture basis retires the
-# registry's last rows-only entry — r7 verdict item 2; with its r8
-# row the registry reaches 328/328 driver-hash-certified), then 20
-# stalest r1 re-verifies padding the window. The --changed backlog
-# beyond these (r1/r2 grades stale against six rounds of shared-
-# module churn) drains stalest-first over coming rounds.
+# ast import-graph taint map). The ROUND 9 window is pure backlog
+# drain (r8 verdict item 1): 50 of the 278 taint-stale grades,
+# stalest last-green round first — the r1/r2-graded queries whose
+# shared modules (operators/joins.py, plans/core.py, llm/*) have
+# churned across six rounds. Head-of-tree evidence for the OTHER 278
+# lives in the committed full-registry sf0.01 parity artifact
+# (PARITY_SF001_r09.txt, engine/oracle walls split per query) — the
+# standing per-round artifact that bridges grades while windows
+# rotate; the deferred list prints at rotation time and carries to
+# r10.
 #
 # Registry FROZEN at 328 since r5.
 # `python tools/rotate_window.py --changed --apply` (run AFTER the
-# driver writes CORRECTNESS_r08.json) computes the next window
+# driver writes CORRECTNESS_r09.json) computes the next window
 # mechanically; update this comment with the round's rationale.
-# Known r9 pin candidates already: snapshot_bloom_pruned_scan and
-# snapshot_optimize_zorder changed AFTER this window was applied
-# (the sf1 sweep's NDV-bloom fix + premise guard, both sf0.01- and
-# sf1-parity-verified in-round) — --changed will pick them up.
 _PRIORITY = [
-    "events_funnel_steps",
-    "events_funnel",
-    "ts_anomaly_mad",
-    "quality_entropy_profile",
-    "events_cohort_retention",
-    "events_retention",
-    "agg_market_share_hhi",
-    "agg_hll_intersection",
-    "events_rolling_wau",
-    "ts_autocorrelation",
-    "events_ewma_trailing",
-    "events_cusum_changepoint",
-    "quality_ab_ttest",
-    "events_time_to_convert",
-    "ts_theil_sen_slope",
-    "ann_ivf_topk",
-    "dedup_incremental_minhash",
-    "ts_seasonal_decompose",
-    "media_audio_chunks",
-    "media_audio_decode",
-    "media_audio_silence",
-    "media_extract_features",
-    "media_frame_sample",
-    "media_image_decode",
-    "media_image_dhash",
-    "media_image_histogram",
-    "media_image_resize",
-    "media_metadata",
-    "media_resize_plan",
-    "embed_pca_project",
-    "join_fact_dim_zone",
-    "join_range",
-    "join_range_banded",
-    "join_salted_skew",
-    "join_semi",
-    "limit_topk",
-    "order_by_desc",
-    "project_rename_cast",
-    "rank_topk_per_group",
-    "scalar_array_family",
-    "scalar_calendar_dim_parts",
-    "scalar_cast_types",
-    "scalar_date_family",
-    "scalar_derived_metrics",
-    "scalar_isin_arith_normalize",
-    "scalar_regex_extract",
-    "scalar_regex_replace",
-    "scalar_rlike_match",
-    "scalar_string_family",
-    "scalar_substring_split_trim",
+    "scalar_to_date_fmt",
+    "scalar_when_otherwise_map",
+    "scan_parquet",
+    "set_except",
+    "set_intersect",
+    "set_union_by_name",
+    "window_lag_lead",
+    "window_rank_family",
+    "window_running_frames",
+    "ann_bruteforce_topk",
+    "ann_bruteforce_vectorized",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signature",
+    "dedup_near_duplicate_resolution",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "events_anomaly_zscore",
+    "events_dedup_within_time",
+    "events_session_window",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "medallion_gold_fact",
+    "medallion_noaa_cleanse",
+    "medallion_star_revenue",
+    "text_corpus_prep",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_counts",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_disjunctive",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
     # --- index 50 boundary: the graded window ends here ---
 ]
 
