@@ -116,6 +116,32 @@ def widen_if_narrow(df: DataFrame, min_factor: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_bytes(value) -> int | None:
+    """Spark size-conf parser (``JavaUtils.byteStringAsBytes`` shapes):
+    a plain integer, or an integer with a b/k/kb/m/mb/g/gb/t/tb/p/pb
+    suffix, case-insensitive — ``134217728b``, ``128MB``, ``1g`` are
+    all valid spark-submit inputs and all reach ``spark.conf.get``
+    verbatim. Returns None on anything else (caller declines to
+    estimate rather than guess)."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(value))
+    if not m:
+        return None
+    mult = _BYTE_SUFFIXES.get(m.group(2).lower())
+    return None if mult is None else int(m.group(1)) * mult
+
+
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Estimate how many partitions the file scan under ``df`` plans,
     from driver-side metadata only: replicates Spark's
@@ -142,14 +168,14 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         except OSError:
             return None
     spark = df.sparkSession
-    max_part = int(
+    max_part = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        .lower().removesuffix("b")
     )
-    open_cost = int(
+    open_cost = _parse_bytes(
         spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
-        .lower().removesuffix("b")
     )
+    if max_part is None or open_cost is None:
+        return None  # unparseable conf: never guess a shuffle in
     parallelism = max(1, spark.sparkContext.defaultParallelism)
     total = sum(sizes) + open_cost * len(sizes)
     max_split = max(1, min(max_part, max(open_cost, total // parallelism)))

@@ -108,6 +108,25 @@ def test_widen_if_narrow_no_rdd_materialization(spark, tmp_path):
     assert widen_if_narrow(mem) is mem  # unknown → never a shuffle
 
 
+def test_parse_bytes_accepts_every_spark_size_shape():
+    """Size confs reach spark.conf.get verbatim in whatever shape the
+    user set them — '134217728b' (Spark's own echo), '128MB', '1g' —
+    and an unparseable value must decline the estimate, not crash the
+    banded-join path."""
+    from aws_lakehouse_spark.layout import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128MB") == 128 * 1024 * 1024
+    assert _parse_bytes("128m") == 128 * 1024 * 1024
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes(" 4  kb ") == 4096
+    assert _parse_bytes(1048576) == 1048576  # int passthrough
+    assert _parse_bytes("128 megabytes") is None
+    assert _parse_bytes("abc") is None
+    assert _parse_bytes("") is None
+
+
 def test_widen_if_underparallel_skips_post_shuffle_frames(
     spark, tmp_path
 ):
