@@ -172,14 +172,15 @@ def main() -> int:
         except Exception:
             n_fail += 1
             failures.append(name)
-            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}", flush=True)
             continue
         engine_s = time.time() - t0
         if spec.oracle is None:
             n_rows_only += 1
             print(
                 f"rows-only {name}: {len(spark_pdf)} rows "
-                f"(engine {engine_s:.1f}s)"
+                f"(engine {engine_s:.1f}s)",
+                flush=True,
             )
             continue
         t1 = time.time()
@@ -188,7 +189,7 @@ def main() -> int:
         except Exception as e:
             n_fail += 1
             failures.append(name)
-            print(f"FAIL {name}: DUCKDB ERROR {e}")
+            print(f"FAIL {name}: DUCKDB ERROR {e}", flush=True)
             continue
         oracle_s = time.time() - t1
         problems = compare(name, spark_pdf, duck_pdf)
@@ -197,23 +198,25 @@ def main() -> int:
         if hard:
             n_fail += 1
             failures.append(name)
-            print(f"FAIL {name} ({len(spark_pdf)} rows, {timing}):")
+            print(f"FAIL {name} ({len(spark_pdf)} rows, {timing}):", flush=True)
             for p in problems:
-                print(f"    {p}")
+                print(f"    {p}", flush=True)
         else:
             n_pass += 1
             soft = "; ".join(problems)
             extra = f" [warn: {soft}]" if soft else ""
             print(
                 f"pass {name}: {len(spark_pdf)} rows "
-                f"({timing}){extra}"
+                f"({timing}){extra}",
+                flush=True,
             )
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
-        f"of {len(names)}"
+        f"of {len(names)}",
+        flush=True,
     )
     if failures:
-        print("failures:", " ".join(failures))
+        print("failures:", " ".join(failures), flush=True)
     return 1 if n_fail else 0
 
 
