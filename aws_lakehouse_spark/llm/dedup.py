@@ -798,6 +798,18 @@ def incremental_lsh_matches(
     """
     band_rows = lsh_band_rows_sql(text_col, shingle_k, num_hashes, band_size)
 
+    # both corpus passes (band derivation, verify-side shingling) are
+    # CPU-heavy per row, and a corpus that fits one parquet split
+    # serializes each onto one core regardless of cluster size — this
+    # kernel's engine wall measured core-count-INVARIANT (~23 s at
+    # local[8] and local[32] alike) at sf1, where documents.parquet is
+    # 0.9 MB = one split. Same one-split class as the r8 widenings;
+    # no-op at production file counts (see widen_if_underparallel).
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    corpus = widen_if_underparallel(corpus)
+    batch = widen_if_underparallel(batch)
+
     def _bands(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out_id),
