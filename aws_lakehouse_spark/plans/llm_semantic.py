@@ -174,7 +174,11 @@ def embed_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers.",
 )
 def text_bigram_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # bigram derivation serializes on a one-split corpus (r9
+    # core-count probe); no-op at production file counts
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     bigram_arr = F.expr(
         "CASE WHEN size(split(text, ' ')) >= 2 THEN "
         "transform(sequence(1, size(split(text, ' ')) - 1), "

@@ -659,8 +659,14 @@ def _bucket_col() -> F.Column:
 )
 def text_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.llm.dedup import shingles_col
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # shingling is CPU-heavy per row; a one-split corpus serializes it
+    # (r9 core-count probe: 40-50 s at sf1 regardless of cores).
+    # No-op at production file counts.
+    docs = widen_if_underparallel(
+        load_table(spark, sf_dir, "documents")
+    ).select(
         "doc_id",
         shingles_col(F.col("text"), k=3).alias("shingles"),
         _bucket_col().alias("bucket"),
@@ -958,7 +964,11 @@ _DUCK_CHARS = (
 def text_char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # the per-CHARACTER explode is the package's widest scan-side
+    # fan-out; one-split corpora serialize it (r9 core-count probe)
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     # substring with a column start position needs the expr form
     chars = F.expr(
         "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
@@ -1229,7 +1239,11 @@ def _positional_ngrams(toks: F.Column, k: int) -> F.Column:
 def text_bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # positional-ngram derivation serializes on a one-split corpus
+    # (r9 core-count probe); no-op at production file counts
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     bg = docs.select(
         "doc_id",
@@ -2095,7 +2109,12 @@ def text_dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def text_span_dedup_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # the 8-gram span explode + md5 serializes on a one-split corpus,
+    # AND the lazy checkpoint below would materialize one partition
+    # for every downstream consumer (r9 core-count probe); widen first
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     spans = (
         docs.select(
