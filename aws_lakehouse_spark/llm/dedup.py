@@ -161,7 +161,14 @@ def lsh_band_pairs(
     skew-free.
     """
     band_rows = lsh_band_rows_sql(text_col, shingle_k, num_hashes, band_size)
-    bands = df.select(
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # widen BEFORE the checkpoint: the signature pass is CPU-heavy and
+    # the materialized frame keeps the upstream partitioning for both
+    # self-join sides (r9 core-count probe: ~20 s at sf1 on a
+    # one-split corpus regardless of cores); no-op at production
+    # file counts
+    bands = widen_if_underparallel(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(band_rows)).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash").localCheckpoint(

@@ -85,9 +85,14 @@ def ann_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "buckets instead of the subset cross join.",
 )
 def ann_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 10 == 0
-    )
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # per-pair cosine over a broadcast side runs inside the scan
+    # tasks; a one-split embeddings file serializes it (r9 core-count
+    # probe: ~25 s at sf1 regardless of cores)
+    emb = widen_if_underparallel(
+        load_table(spark, sf_dir, "embeddings")
+    ).filter(F.col("vec_id") % 10 == 0)
     from aws_lakehouse_spark.llm.similarity import (
         cosine_ratio_col,
         dot_col,
@@ -388,8 +393,11 @@ def ann_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.llm.similarity import quantize_int8_cols
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the per-row quantization folds are CPU-heavy; one-split inputs
+    # serialize them (r9 core-count probe)
+    emb = widen_if_underparallel(load_table(spark, sf_dir, "embeddings"))
     cols = quantize_int8_cols(F.col("embedding").cast("array<double>"))
     return emb.select(
         "vec_id",

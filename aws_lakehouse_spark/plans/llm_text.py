@@ -736,8 +736,11 @@ def text_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_lakehouse_spark.llm.dedup import shingles_col
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # tokenize/shingle explodes serialize on a one-split corpus (r9
+    # core-count probe); no-op at production file counts
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     ts = (
         toks.groupBy("doc_id", "tok")
@@ -1991,7 +1994,11 @@ def text_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def text_dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
+
+    # the hashed-bigram explode below is checkpointed; widen FIRST so
+    # the materialized frame is not one partition (r9 core-count probe)
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     bigram_arr = F.expr(
         "CASE WHEN size(split(text, ' ')) >= 2 THEN "
         "transform(sequence(1, size(split(text, ' ')) - 1), "
