@@ -825,8 +825,14 @@ def dedup_minhash_jaccard_estimate_q(
         minhash_signature,
         shingles_col,
     )
+    from aws_lakehouse_spark.operators.joins import widen_if_underparallel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # three CPU-heavy derivations (signatures, band pairs, shingle
+    # sets — two of them checkpointed) hang off this scan; a one-split
+    # corpus serializes all of them AND materializes one-partition
+    # checkpoints (r9 core-count probe: 62 s at sf1 regardless of
+    # cores). Widen once; every consumer inherits.
+    docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     sig = docs.select(
         "doc_id", *minhash_signature(shingles_col(F.col("text"), 3), 4)
     ).localCheckpoint(eager=False)
