@@ -176,9 +176,14 @@ def test_quantize_int8_no_shuffle(spark, sf_dir):
     any scale."""
     plan = _plan(spark, sf_dir, "ann_quantize_int8")
     assert "Join" not in plan
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "RoundRobinPartitioning" in line, line
+    # formatted explain puts the node header and its Arguments on
+    # separate lines — count exchanges and round-robins node-wise
+    n_exchange = sum(
+        1 for line in plan.splitlines() if line.startswith("(")
+        and "Exchange" in line
+    )
+    n_rr = plan.count("RoundRobinPartitioning")
+    assert n_exchange == n_rr, plan
 
 
 def test_tfidf_no_cartesian_and_single_scan_tf(spark, sf_dir):
