@@ -279,7 +279,9 @@ def range_join_banded(
 # downstream, not by its leaf scan's split count
 _SHUFFLING_NODES = re.compile(
     r"(?m)^[\s:+\-]*(Join|Aggregate|Window|Deduplicate|Repartition|"
-    r"RebalancePartitions|Sort|GlobalLimit|Intersect|Except|CoGroup)\b"
+    r"RepartitionByExpression|RebalancePartitions|Sort|GlobalLimit|"
+    r"Intersect|Except|CoGroup|FlatMapGroupsInPandas|"
+    r"FlatMapCoGroupsInPandas)\b"
 )
 
 

@@ -508,7 +508,10 @@ def embed_drift_monitor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_prod"),
         )
     )
-    return folded.crossJoin(counts).select(
+    # counts is a one-row global aggregate: broadcast it explicitly
+    # (uniform with every other scalar join-back in the package)
+    # instead of relying on AQE to pick the broadcast strategy
+    return folded.crossJoin(F.broadcast(counts)).select(
         "n_ref",
         "n_prod",
         F.round(

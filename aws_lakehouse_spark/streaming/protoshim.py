@@ -42,6 +42,7 @@ adopting the skew waiver.
 
 from __future__ import annotations
 
+import atexit
 import importlib
 import os
 import shutil
@@ -91,6 +92,12 @@ def _stage_isolated(vendored: str) -> str | None:
             shutil.rmtree(stage, ignore_errors=True)
             return None
     _STAGED[vendored] = stage
+    # the staged dir is exported into PYTHONPATH, so without cleanup
+    # every driver process leaks one protoshim_* tmpdir that outlives
+    # it (r9 advice); workers import during the process lifetime, so
+    # atexit removal is safe — stale inherited PYTHONPATH entries in
+    # long-lived children are harmless to imports
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     return stage
 
 

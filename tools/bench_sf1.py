@@ -67,6 +67,12 @@ def main() -> int:
     args = ap.parse_args()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     registry = load_all()
+    # fail fast BEFORE Spark is up: a renamed/unregistered watched
+    # kernel must not KeyError mid-run and lose the partial timings
+    # (r9 advice)
+    unknown = [n for n in WIDENED_KERNELS if n not in registry]
+    if unknown:
+        raise SystemExit(f"WIDENED_KERNELS not in registry: {unknown}")
     spark = get_spark(
         "bench-sf1", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
