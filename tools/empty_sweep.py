@@ -453,25 +453,21 @@ def main() -> int:
     if "--changed" in sys.argv:
         # taint-scope the battery (r8 verdict item 8): the full
         # 328-query sweep re-ran at every round close even when a
-        # round touched three files. Reuse rotate_window's import-
-        # closure taint map, anchored at the LAST round commit (the
-        # battery runs clean at every round close, so that head is
-        # the state the standing battery result certifies).
-        from rotate_window import (
-            _changed_since,
-            round_commits,
-            taint_files,
-        )
+        # round touched three files. Since r10 the taint unit is the
+        # query's transitive code-object fingerprint (r9 verdict
+        # item 2 — file-level closures re-tainted everything after
+        # any shared-module edit), anchored at the LAST round commit
+        # (the battery runs clean at every round close, so that head
+        # is the state the standing battery result certifies).
+        from code_fingerprint import registry_fingerprints
+        from rotate_window import fingerprints_at, round_commits
 
         commits = round_commits()
         anchor_round = max(commits)
-        changed = _changed_since(commits[anchor_round])
-        taint_cache: dict[str, set[str]] = {}
-        for name, spec in registry.items():
-            mod = spec.fn.__module__
-            if mod not in taint_cache:
-                taint_cache[mod] = taint_files(mod)
-            if taint_cache[mod] & changed:
+        old = fingerprints_at(commits[anchor_round])
+        current = registry_fingerprints()
+        for name in registry:
+            if old.get(name) != current.get(name):
                 only.add(name)
         print(
             f"--changed: {len(only)} queries tainted since the "

@@ -33,15 +33,26 @@ Selection contract (round-8 revision):
   every slot still re-verifies something.
 
 ``--changed`` is the standing rule from the round-7 verdict: **a
-plan-shape change re-enters the next window automatically.** For each
-graded query it computes the set of package source files its builder
-transitively imports (ast-level import graph rooted at the builder's
-module), then asks git whether any of those files changed — committed
-or uncommitted — since the driver commit of the query's last green
-round (``round N: verdict/...``). Changed → pinned, stalest grade
-first. File-level tainting over-approximates plan-shape change, which
-is the safe direction: a wasted re-verify slot costs one window entry;
-a silently-stale grade cost round 7 an advisory. If more queries
+plan-shape change re-enters the next window automatically.** Round-10
+revision (r9 verdict item 2): the taint unit is now the query's
+TRANSITIVE CODE-OBJECT FINGERPRINT (``tools/code_fingerprint.py`` —
+sha256 over the builder's bytecode closure: every package function /
+class / referenced module-level constant it can actually execute,
+plus its oracle SQL), compared between the current head and the
+query's last-green driver commit (computed in a throwaway worktree —
+fingerprints are path- and line-number-independent, so no state file
+is needed). The old FILE-level import-closure rule re-tainted
+essentially the whole registry on any shared-module edit (r8 and r9
+both closed at 278/328 stale — mathematically unable to converge at
+50 grades/round); the fingerprint rule taints only queries whose
+executed code actually changed (measured at the r10 head: an edit to
+``operators/joins.py``'s widen classifier taints the 21 callers of
+``widen_if_underparallel``, not 328). Changed → pinned, stalest grade
+first. The fingerprint can in principle under-approximate through
+dynamic dispatch the bytecode walker cannot see (getattr on computed
+names); the per-round 328/328 head parity artifacts are the standing
+backstop for that class, and ``--changed-files`` keeps the old
+over-approximating rule available for comparison. If more queries
 changed than fit (window minus never-graded debt), the overflow is
 printed as DEFERRED so the next rotation carries it.
 
@@ -192,9 +203,11 @@ def _changed_since(sha: str) -> set[str]:
     return {line.strip() for line in diff.splitlines() if line.strip()}
 
 
-def changed_pins() -> list[str]:
-    """Graded queries whose taint set changed since their last grade,
-    stalest last-green round first (alphabetical within a round)."""
+def changed_pins_files() -> list[str]:
+    """The pre-r10 FILE-level rule: graded queries whose import-closure
+    files changed since their last grade. Kept for comparison
+    (``--changed-files``) — over-approximates so badly after a
+    shared-module edit that the backlog cannot converge."""
     from aws_lakehouse_spark.plans import REGISTRY
 
     latest = graded_latest()
@@ -214,6 +227,75 @@ def changed_pins() -> list[str]:
             continue
         entry = spec.fn.__module__
         if taint_files(entry) & changed_cache[rnd]:
+            pins.append((rnd, name))
+    return [name for _, name in sorted(pins)]
+
+
+def fingerprints_at(sha: str) -> dict[str, str]:
+    """Registry fingerprints computed from the package AS OF ``sha``,
+    via a throwaway worktree + subprocess (the fingerprint logic
+    always comes from the CURRENT tree's tools/code_fingerprint.py —
+    old checkouts predate it)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    tree = tempfile.mkdtemp(prefix=f"rw_fp_{sha[:10]}_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", "--force", tree, sha],
+            cwd=REPO,
+            capture_output=True,
+            check=True,
+        )
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "code_fingerprint.py"),
+                "--tree",
+                tree,
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=tempfile.gettempdir(),
+        ).stdout
+        return json.loads(out)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", tree],
+            cwd=REPO,
+            capture_output=True,
+        )
+        shutil.rmtree(tree, ignore_errors=True)
+
+
+def changed_pins() -> list[str]:
+    """Graded queries whose transitive code-object fingerprint (or
+    oracle SQL) changed since their last-green driver commit, stalest
+    last-green round first (alphabetical within a round). A query
+    missing from its grade-round registry (rename) counts as
+    changed."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from code_fingerprint import registry_fingerprints
+
+    from aws_lakehouse_spark.plans import REGISTRY
+
+    latest = graded_latest()
+    commits = round_commits()
+    current = registry_fingerprints()
+    old_cache: dict[int, dict[str, str]] = {}
+    pins: list[tuple[int, str]] = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None or name not in latest:
+            continue
+        rnd = latest[name]
+        sha = commits.get(rnd)
+        if sha is None:
+            continue
+        if rnd not in old_cache:
+            old_cache[rnd] = fingerprints_at(sha)
+        if old_cache[rnd].get(name) != current.get(name):
             pins.append((rnd, name))
     return [name for _, name in sorted(pins)]
 
@@ -276,13 +358,17 @@ def apply_window(window: list[str]) -> None:
 
 def main() -> int:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    bad = flags - {"--apply", "--changed"}
+    bad = flags - {"--apply", "--changed", "--changed-files"}
     if bad:
         raise SystemExit(f"unknown flags: {sorted(bad)}")
     pinned = [a for a in sys.argv[1:] if not a.startswith("--")]
     latest = graded_latest()
-    if "--changed" in flags:
-        auto = changed_pins()
+    if "--changed" in flags or "--changed-files" in flags:
+        auto = (
+            changed_pins_files()
+            if "--changed-files" in flags
+            else changed_pins()
+        )
         n_ungraded_total = _n_ungraded()
         cap = max(0, WINDOW - len(pinned) - n_ungraded_total)
         deferred = auto[cap:]
