@@ -30,15 +30,20 @@ SIMHASH_BAND_BITS = 16
 # md5 per shingle — in lockstep with llm.dedup.minhash_signature /
 # lsh_band_rows_sql (disjoint digest slices are independent hashes;
 # one digest per shingle, not one per seed)
+# the per-shingle md5 list is computed ONCE per row in the inner
+# projection — the previous shape expanded DUCK_SHINGLES + the md5
+# transform inside each of the four minhash_j expressions, hashing
+# every shingle 4x (r10)
 DUCK_SIG = f"""
     SELECT doc_id,
            {", ".join(
-               "list_min(list_transform("
-               f"list_transform({DUCK_SHINGLES}, s -> md5(s)), "
+               "list_min(list_transform(hs, "
                f"h -> substring(h, {1 + 8 * j}, 8))) AS minhash_{j}"
                for j in range(4)
            )}
-    FROM documents
+    FROM (SELECT doc_id,
+                 list_transform({DUCK_SHINGLES}, s -> md5(s)) AS hs
+          FROM documents)
 """
 
 
@@ -159,22 +164,22 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEAR_DUP_ORACLE = f"""
-    WITH RECURSIVE sig AS ({DUCK_SIG}),
-    bands AS (
+    WITH RECURSIVE sig AS MATERIALIZED ({DUCK_SIG}),
+    bands AS MATERIALIZED (
         SELECT doc_id, 0 AS band_id,
                md5(minhash_0 || '|' || minhash_1) AS band_hash FROM sig
         UNION ALL
         SELECT doc_id, 1 AS band_id,
                md5(minhash_2 || '|' || minhash_3) AS band_hash FROM sig
     ),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
           ON l.band_id = r.band_id AND l.band_hash = r.band_hash
              AND l.doc_id < r.doc_id
     ),
-    sh AS (SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents),
-    verified AS (
+    sh AS MATERIALIZED (SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents),
+    verified AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh a ON a.doc_id = c.doc_a
@@ -183,7 +188,7 @@ NEAR_DUP_ORACLE = f"""
               / len(list_distinct(list_concat(a.shingles, b.shingles)))
               >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS s, doc_b AS d FROM verified
         UNION SELECT doc_b, doc_a FROM verified
     ),
@@ -429,15 +434,15 @@ def dedup_incremental_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_containment",
     oracle=f"""
-    WITH sh AS (
+    WITH sh AS MATERIALIZED (
         SELECT doc_id, {DUCK_SHINGLES} AS shingles
         FROM documents WHERE doc_id % 4 = 0
-    ), e AS (
+    ), e AS MATERIALIZED (
         SELECT doc_id, unnest(shingles) AS shingle FROM sh
     ), rare AS (
         SELECT shingle FROM e GROUP BY shingle
         HAVING COUNT(*) <= {NGRAM_DF_CAP}
-    ), ec AS (
+    ), ec AS MATERIALIZED (
         SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -490,12 +495,13 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sig AS (
         SELECT doc_id,
                {", ".join(
-                   "list_min(list_transform("
-                   f"list_transform({DUCK_SHINGLES}, s -> md5(s)), "
+                   "list_min(list_transform(hs, "
                    f"h -> substring(h, {1 + 8 * j}, 8))) AS minhash_{j}"
                    for j in range(4)
                )}
-        FROM sub
+        FROM (SELECT doc_id,
+                     list_transform({DUCK_SHINGLES}, s -> md5(s)) AS hs
+              FROM sub)
     ), bands AS (
         SELECT doc_id, 0 AS band_id,
                md5(minhash_0 || '|' || minhash_1) AS band_hash FROM sig
@@ -675,22 +681,22 @@ def dedup_incremental_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEAR_DUP_QUALITY_ORACLE = f"""
-    WITH RECURSIVE sig AS ({DUCK_SIG}),
-    bands AS (
+    WITH RECURSIVE sig AS MATERIALIZED ({DUCK_SIG}),
+    bands AS MATERIALIZED (
         SELECT doc_id, 0 AS band_id,
                md5(minhash_0 || '|' || minhash_1) AS band_hash FROM sig
         UNION ALL
         SELECT doc_id, 1 AS band_id,
                md5(minhash_2 || '|' || minhash_3) AS band_hash FROM sig
     ),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r
           ON l.band_id = r.band_id AND l.band_hash = r.band_hash
              AND l.doc_id < r.doc_id
     ),
-    sh AS (SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents),
-    verified AS (
+    sh AS MATERIALIZED (SELECT doc_id, {DUCK_SHINGLES} AS shingles FROM documents),
+    verified AS MATERIALIZED (
         SELECT c.doc_a, c.doc_b
         FROM cand c
         JOIN sh a ON a.doc_id = c.doc_a
@@ -699,7 +705,7 @@ NEAR_DUP_QUALITY_ORACLE = f"""
               / len(list_distinct(list_concat(a.shingles, b.shingles)))
               >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS s, doc_b AS d FROM verified
         UNION SELECT doc_b, doc_a FROM verified
     ),
@@ -712,7 +718,7 @@ NEAR_DUP_QUALITY_ORACLE = f"""
         SELECT s AS doc_id, LEAST(s, MIN(d)) AS component_id
         FROM reach GROUP BY s
     ),
-    q AS (
+    q AS MATERIALIZED (
         SELECT doc_id, CAST(len(list_distinct({DUCK_TOKS})) AS BIGINT)
                  AS quality
         FROM documents

@@ -469,10 +469,10 @@ def _rag_bucket_duck(v: str) -> str:
         w = "[" + ", ".join(
             repr(hyperplane_weight(_RAG_SEED, b, d)) for d in range(64)
         ) + "]"
-        dot = (
-            f"list_sum(list_transform(range(1, 65), "
-            f"i -> {v}[i] * ({w}::DOUBLE[])[i]))"
-        )
+        # native dot: bitwise-identical to the interpreted fold and
+        # ~3000x faster — the lambda shape re-materialized the
+        # 64-element weight literal per row (r10; see llm_similarity)
+        dot = f"list_dot_product({v}, {w}::DOUBLE[])"
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
     return " + ".join(terms)
 
