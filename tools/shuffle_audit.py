@@ -27,7 +27,21 @@ query. Near-zero ratios are still proof positive that map-side
 combine / broadcast joins / pushdown hold.
 
     python tools/shuffle_audit.py            # sf0.1, bench set → SHUFFLE.md
+    python tools/shuffle_audit.py --gate     # …and FAIL (exit 1) on growth
+    python tools/shuffle_audit.py --accept   # …and promote to baseline
     SPARK_GRAFT_SF_DIR=... python tools/shuffle_audit.py
+
+``--gate`` (r9 verdict item 6 — the volumes were measured but
+unasserted, so a plan change doubling a query's shuffle would have
+passed every gate): compares each query's shuffle_write and
+shuffle_read against ``SHUFFLE_BASELINE.json`` and fails when either
+grew more than ``GATE_RATIO`` (1.5x) AND by more than ``GATE_FLOOR``
+(1 MiB — byte volumes are deterministic for a fixed plan, but AQE
+coalescing and tiny-query jitter make sub-MiB swings meaningless).
+Queries missing from the baseline are reported, never failed. The
+baseline only moves deliberately: run ``--accept`` (with or without
+``--gate``) after a round's plans are accepted, same contract as
+``tools/refresh_bench_baseline.py``.
 
 Stage stats accumulate in the UI store; per-query deltas are diffs of
 the running totals (retainedStages is raised so nothing evicts
@@ -50,6 +64,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # same extras the plan audit watches (scale-critical non-bench ops)
 from plan_audit import EXTRA  # noqa: E402
+
+BASELINE_PATH = os.path.join(REPO, "SHUFFLE_BASELINE.json")
+GATE_RATIO = 1.5
+GATE_FLOOR = 1 << 20  # 1 MiB absolute growth before a ratio can fail
 
 
 def _totals(base: str, app: str) -> dict[str, int]:
@@ -153,7 +171,68 @@ def main() -> int:
                 f"{_fmt(d['shuffle_read'])} | {ratio:.3f} |\n"
             )
     print(f"wrote {out}")
-    return 0
+
+    rc = 0
+    if "--gate" in sys.argv:
+        rc = _gate(rows)
+    if "--accept" in sys.argv:
+        _accept(rows, sf_dir)
+    return rc
+
+
+def _gate(rows) -> int:
+    if not os.path.exists(BASELINE_PATH):
+        print(
+            "gate: no SHUFFLE_BASELINE.json — run --accept first "
+            "to record one"
+        )
+        return 1
+    base = json.load(open(BASELINE_PATH))["queries"]
+    failures, new = [], []
+    for name, d, _ in rows:
+        b = base.get(name)
+        if b is None:
+            new.append(name)
+            continue
+        for key in ("shuffle_write", "shuffle_read"):
+            cur, old = d[key], b[key]
+            grew = cur - old
+            if grew > GATE_FLOOR and cur > old * GATE_RATIO:
+                failures.append(
+                    f"{name}.{key}: {_fmt(old)} -> {_fmt(cur)} "
+                    f"({cur / old:.2f}x)" if old else
+                    f"{name}.{key}: 0 -> {_fmt(cur)}"
+                )
+    if new:
+        print(f"gate: {len(new)} queries not in baseline: {new}")
+    verdict = "FAIL" if failures else "PASS"
+    print(
+        f"shuffle gate vs r{json.load(open(BASELINE_PATH))['round']} "
+        f"baseline: {verdict}"
+        + (f" — {failures}" if failures else "")
+    )
+    return 1 if failures else 0
+
+
+def _accept(rows, sf_dir: str) -> None:
+    payload = {
+        "round": int(os.environ.get("SPARK_GRAFT_ROUND", "0")),
+        "sf_dir": sf_dir,
+        "comment": "Per-query shuffle byte volumes from the accepted "
+        "round's audit. --gate fails any query whose shuffle_write or "
+        "shuffle_read grew >1.5x AND >1 MiB vs these. Promote "
+        "deliberately with --accept at round close.",
+        "queries": {
+            name: {
+                "input_bytes": d["input_bytes"],
+                "shuffle_write": d["shuffle_write"],
+                "shuffle_read": d["shuffle_read"],
+            }
+            for name, d, _ in rows
+        },
+    }
+    json.dump(payload, open(BASELINE_PATH, "w"), indent=1)
+    print(f"accepted {len(payload['queries'])} queries -> {BASELINE_PATH}")
 
 
 if __name__ == "__main__":
