@@ -136,14 +136,35 @@ def join_salted_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_range_banded",
+    # the oracle prunes candidates with the SAME band trick the
+    # engine uses (intervals exploded to their covered 4000-wide
+    # bands, points to one band, equi-join + exact residual) instead
+    # of a raw inequality join — verified row-identical at sf0.01 and
+    # sf1, ~2.3x less oracle wall at sf1 (r10); the residual keeps
+    # the result set exactly the nested-loop one
     oracle="""
+    WITH p AS MATERIALIZED (
+        SELECT p_brand, p_retailprice,
+               unnest(range(
+                   CAST(floor((p_retailprice * 100 - 2000) / 4000)
+                        AS BIGINT),
+                   CAST(floor((p_retailprice * 100 + 2000) / 4000)
+                        AS BIGINT) + 1
+               )) AS band
+        FROM part
+    ), o AS (
+        SELECT o_totalprice,
+               CAST(floor(o_totalprice / 4000) AS BIGINT) AS band
+        FROM orders
+    )
     SELECT p.p_brand,
            COUNT(*) AS n_matches,
            SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
                AS sum_price
-    FROM orders o
-    JOIN part p
-      ON o.o_totalprice >= p.p_retailprice * 100 - 2000
+    FROM o
+    JOIN p
+      ON o.band = p.band
+     AND o.o_totalprice >= p.p_retailprice * 100 - 2000
      AND o.o_totalprice <= p.p_retailprice * 100 + 2000
     GROUP BY p.p_brand
     ORDER BY p.p_brand

@@ -231,16 +231,13 @@ def dedup_near_duplicate_resolution_q(
 
 
 def _simhash_band_sql(b: int) -> str:
-    """One 16-bit band value: token hash = 4-hex-char md5 slice
-    (disjoint per band → 64 independent bits across 4 bands)."""
-    hex_chars = SIMHASH_BAND_BITS // 4
-    tok_hash = (
-        f"CAST('0x' || substring(md5(t), {1 + hex_chars * b}, {hex_chars}) "
-        "AS BIGINT)"
-    )
+    """One 16-bit band value: the per-band integer token hashes are
+    precomputed once per row as ``bh{b}`` (see ``_simhash_oracle``) —
+    the previous shape re-derived md5(token) inside every one of the
+    16 bit votes, hashing each token 64x across the 4 bands (r10)."""
     bit_terms = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN "
-        f"({tok_hash} & {1 << i}) != 0 THEN 1 ELSE -1 END)) > 0 "
+        f"(CASE WHEN list_sum(list_transform(bh{b}, h -> CASE WHEN "
+        f"(h & {1 << i}) != 0 THEN 1 ELSE -1 END)) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i in range(SIMHASH_BAND_BITS)
     )
@@ -248,15 +245,28 @@ def _simhash_band_sql(b: int) -> str:
 
 
 def _simhash_oracle() -> str:
+    hex_chars = SIMHASH_BAND_BITS // 4
+    band_hash_lists = ",\n               ".join(
+        f"list_transform(hm, h -> CAST('0x' || "
+        f"substring(h, {1 + hex_chars * b}, {hex_chars}) AS BIGINT)) "
+        f"AS bh{b}"
+        for b in range(SIMHASH_BANDS)
+    )
     band_exprs = ",\n           ".join(
         _simhash_band_sql(b) for b in range(SIMHASH_BANDS)
     )
     return f"""
     WITH t AS (
         SELECT doc_id, list_distinct({DUCK_TOKS}) AS toks FROM documents
+    ), hm AS (
+        SELECT doc_id, list_transform(toks, t -> md5(t)) AS hm FROM t
+    ), bh AS (
+        SELECT doc_id,
+               {band_hash_lists}
+        FROM hm
     )
     SELECT doc_id, {band_exprs}
-    FROM t
+    FROM bh
     """
 
 

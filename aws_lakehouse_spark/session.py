@@ -48,9 +48,13 @@ BUILD_CONFS: dict[str, str] = {
     # localCheckpoint storage OOM that long before the machine is
     # anywhere near full (bench hit java.lang.OutOfMemoryError in
     # pagerank's checkpoint at sf0.1). On a real cluster this is
-    # spark.executor.memory sizing instead; 16g is conservative for
-    # the 128 GiB test host and ignored once a JVM already exists.
-    "spark.driver.memory": "16g",
+    # spark.executor.memory sizing instead. 16g→48g in r10: the sf10
+    # core-count probe showed GCLocker allocation stalls on the
+    # md5/array-heavy kernels at 16g (32 task threads sharing one
+    # heap); 48g measured 12-15% faster on those kernels at sf10 and
+    # is still conservative for the 128 GiB test host. Ignored once a
+    # JVM already exists.
+    "spark.driver.memory": "48g",
     # ~128 MB input splits: at 100 TB that is ~800k tasks — fine; at
     # test scale AQE coalesces the tail.
     "spark.sql.files.maxPartitionBytes": "134217728",
