@@ -300,6 +300,11 @@ def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
         f"bit_count(xor(fa.simhash_b{b}, fb.simhash_b{b}))"
         for b in range(SIMHASH_BANDS)
     )
+    # NOTE: fp is referenced six times, but MATERIALIZED measured a
+    # wash here (r10 A/B at sf1: 115-131 s vs 138 s inlined) — the
+    # wall is the 16.8M-pair candidate join + DISTINCT, which is the
+    # pair-generating semantics, not CTE re-derivation. Left inlined
+    # to keep the swept artifact's plan exact.
     return f"""
     WITH fp AS ({_simhash_oracle()}),
     bands AS (
