@@ -55,6 +55,17 @@ BUILD_CONFS: dict[str, str] = {
     # is still conservative for the 128 GiB test host. Ignored once a
     # JVM already exists.
     "spark.driver.memory": "48g",
+    # Throughput collector for the batch-shaped local driver: the r10
+    # sidecar re-run caught dedup_simhash_pairs 1.5-2.4x slower under
+    # 48g G1 than under 16g G1 (the pair kernel allocates 16.8M output
+    # rows; G1's mixed collections on the larger heap dominate the
+    # wall), while ParallelGC at 48g measured best-or-equal on every
+    # probed kernel at sf1 AND sf10 (simhash_pairs warm 16.5s vs G1
+    # 20.1s/23.7s; sf10 minhash_signature warm 31s vs 48s; sf0.1
+    # headline bench unchanged). On a real cluster this is
+    # spark.executor.extraJavaOptions; batch engines want throughput
+    # GC, not G1's pause targets.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
     # ~128 MB input splits: at 100 TB that is ~800k tasks — fine; at
     # test scale AQE coalesces the tail.
     "spark.sql.files.maxPartitionBytes": "134217728",
