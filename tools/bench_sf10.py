@@ -1,27 +1,36 @@
 #!/usr/bin/env python
 """Two-decade scale probe + sf10 core-count-invariance sidecar.
 
-Runs the linear-expected engine kernels once each at sf1 and sf10
-(10x data) in matched ``local[32]`` sessions, engine-only into the
-noop sink — ``ratio_sf10_over_sf1`` at or below 10 means
-linear-or-better scaling. Pair-generating demos (banded join,
-simhash_pairs, semdedup) are excluded by design: their OUTPUT grows
-quadratically by semantics.
+Runs the linear-expected engine kernels at sf1 and sf10 (10x data) at
+``local[32]``, engine-only into the noop sink —
+``ratio_sf10_over_sf1`` at or below 10 means linear-or-better
+scaling. Pair-generating demos (banded join, simhash_pairs,
+semdedup) are excluded by design: their OUTPUT grows quadratically by
+semantics.
 
-New in r10 (verdict item 4): the WORST sf10 ratios additionally run
-on ``local[8]`` at sf10. ``cores_ratio_8_over_32`` near 1.0 means the
+The WORST sf10 ratios additionally run on ``local[8]`` at sf10
+(r9 verdict item 4). ``cores_ratio_8_over_32`` near 1.0 means the
 kernel's wall did not move when 4x the cores disappeared — the
 signature of hidden serialization (a one-split scan, a driver-side
 loop, a single-partition window), which a single-session bench can
 never show. Healthy CPU-bound kernels land well above ~1.5; the r9
 sf1 edition of this probe caught eleven one-split kernels.
 
+Measurement design (r10, same lesson as ``bench_sf1.py``): one
+subprocess — a fresh JVM — per (kernel, scale, cores) cell, two
+trials, the WARM wall recorded. A shared session makes every wall a
+function of accumulated heap state, not the kernel: the shared-
+session edition of this probe measured ``agg_approx_count_distinct``
+at 97-170 s at sf10 depending on GC flavor and on which kernels ran
+before it, while the isolated warm wall is stable. Isolation costs
+~12 s of JVM startup per cell — noise against the minute-scale sf10
+walls, and it buys ratios that compare kernels instead of session
+histories.
+
     python tools/bench_sf10.py --round 10          # full sidecar
     python tools/bench_sf10.py --round 10 --skip-sf1   # reuse prior sf1
 
-Run at round close on an idle host only; kernels run once (no
-best-of-n), so treat single-run walls as ~1.4x noisy and ratios as
-the signal.
+Run at round close on an idle host only.
 """
 
 from __future__ import annotations
@@ -29,13 +38,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from aws_lakehouse_spark.registry import load_all  # noqa: E402
-from aws_lakehouse_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -66,28 +72,53 @@ CORE_PROBE = [
     "text_fingerprint",
 ]
 
+# per-cell subprocess: fresh JVM, two trials, prints warm wall
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from aws_lakehouse_spark.registry import load_all
+from aws_lakehouse_spark.session import get_spark
+
+name, sf, cores = {name!r}, {sf!r}, {cores}
+fn = load_all()[name].fn
+spark = get_spark(f"bench-sf10-{{cores}}c", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+walls = []
+for _ in range(2):
+    t0 = time.time()
+    fn(spark, sf).write.format("noop").mode("overwrite").save()
+    walls.append(round(time.time() - t0, 1))
+    spark.catalog.clearCache()
+print("PROBE_RESULT " + json.dumps(walls))
+"""
+
 
 def _run(names, sf_dir: str, cores: int) -> dict[str, float]:
-    registry = load_all()
-    missing = [n for n in names if n not in registry]
-    if missing:
-        raise SystemExit(f"not in registry: {missing}")
-    spark = get_spark(
-        f"bench-sf10-{cores}c",
-        master=f"local[{cores}]",
-        shuffle_partitions=cores,
-    )
     out: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        out[name] = round(time.time() - t0, 1)
-        print(f"[{cores}c {os.path.basename(sf_dir)}] {name}: "
-              f"{out[name]}s", flush=True)
-        spark.catalog.clearCache()
-    spark.stop()
+        code = _CHILD.format(repo=REPO, name=name, sf=sf_dir, cores=cores)
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        lines = [
+            ln
+            for ln in proc.stdout.splitlines()
+            if ln.startswith("PROBE_RESULT ")
+        ]
+        if proc.returncode != 0 or not lines:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"kernel subprocess failed: {name}")
+        walls = json.loads(lines[-1].split(" ", 1)[1])
+        out[name] = walls[1]
+        print(
+            f"[{cores}c {os.path.basename(sf_dir)}] {name}: "
+            f"cold {walls[0]}s warm {walls[1]}s",
+            flush=True,
+        )
     return out
 
 
@@ -102,6 +133,13 @@ def main() -> int:
         help="reuse sf1_sec from the previous round's sidecar",
     )
     args = ap.parse_args()
+
+    from aws_lakehouse_spark.registry import load_all
+
+    registry = load_all()
+    missing = [n for n in KERNELS if n not in registry]
+    if missing:
+        raise SystemExit(f"not in registry: {missing}")
 
     if args.skip_sf1:
         prev = os.path.join(
@@ -119,16 +157,16 @@ def main() -> int:
         "noop sink, engine-only; ratio<=10 = linear-or-better) plus "
         "the core-count-invariance probe at sf10 for the worst r9 "
         "ratios: cores_ratio_8_over_32 near 1.0 = hidden "
-        "serialization (r9 verdict item 4). r10 diagnosis of the "
-        "probed five: none serialized (ratios 1.4-1.9, not ~1.0); "
-        "the residual non-scaling is memory-BANDWIDTH saturation of "
-        "32 threads streaming md5/array work (a bare scan+exchange "
-        "of the sf10 corpus is 1.2 s, so the single-file layout is "
-        "not the cost) plus GC allocation stalls at the old 16g "
-        "heap — raising the local-mode heap to 48g recovered 12-15% "
-        "on the alloc-heavy kernels and brings sf10/sf1 to ~11x. "
-        "Kernels run once; walls are ~1.4x noisy, ratios are the "
-        "signal. Generated by tools/bench_sf10.py; data from "
+        "serialization (r9 verdict item 4). Since the r10 GC/"
+        "isolation fix every cell is a fresh JVM, two trials, WARM "
+        "wall recorded — the shared-session edition measured heap "
+        "history, not kernels (agg_approx_count_distinct swung "
+        "97-170 s with identical plans). r10 diagnosis of the probed "
+        "five: none serialized (ratios well above 1.0); the residual "
+        "non-scaling is memory-BANDWIDTH saturation of 32 threads "
+        "streaming md5/array work (a bare scan+exchange of the sf10 "
+        "corpus is 1.2 s, so the single-file layout is not the "
+        "cost). Generated by tools/bench_sf10.py; data from "
         "tools/make_sfN.py.",
         "sf1_sec": sf1,
         "sf10_sec": sf10,
