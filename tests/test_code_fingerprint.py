@@ -92,3 +92,73 @@ def test_registry_fingerprints_cover_every_query():
 
     assert set(fps) == set(REGISTRY)
     assert all(len(v) == 64 for v in fps.values())
+
+
+def test_noncallable_default_change_taints():
+    """r10 advice (medium): a `k=3`-style default knob is semantics —
+    the old walker hashed only callable defaults, so flipping one
+    silently escaped the taint."""
+
+    def q1(spark, sf, k=3):
+        return k
+
+    def q2(spark, sf, k=4):
+        return k
+
+    assert fingerprint(q1, None) != fingerprint(q2, None)
+
+
+def test_kwonly_default_change_taints():
+    def q1(spark, sf, *, bands=16):
+        return bands
+
+    def q2(spark, sf, *, bands=8):
+        return bands
+
+    assert fingerprint(q1, None) != fingerprint(q2, None)
+
+
+def test_helper_default_in_closure_taints():
+    """The advice's probe: a default on a package HELPER reached
+    transitively must contribute a value token."""
+    from aws_lakehouse_spark.plans import REGISTRY
+
+    _, consts = closure_items(REGISTRY["dedup_minhash_signature"].fn)
+    assert any(".default[" in t for t in consts)
+
+
+def test_module_walk_hashes_upper_constants():
+    """r10 advice: `mod.CONST` access reads a module attribute the
+    name walk can't resolve — walking a referenced package module
+    must emit value tokens for its UPPER_CASE non-callable globals
+    (and never path-dependent dunders like __file__)."""
+
+    def q(spark, sf):
+        return layout.widen_if_narrow(spark)
+
+    _, consts = closure_items(q)
+    mod_tokens = [t for t in consts if t.startswith("aws_lakehouse_spark.layout.")]
+    assert any("_BYTE_SUFFIXES" in t for t in mod_tokens)
+    assert not any("__file__" in t for t in consts)
+    assert not any("__doc__" in t for t in consts)
+
+
+def test_function_scoped_import_module_as_alias():
+    """r10 advice (low): function-scoped `import pkg.mod as alias`
+    compiles to IMPORT_NAME pkg.mod + IMPORT_FROM mod; the submodule
+    is often not yet an attribute of the parent, so the walker must
+    fall back to importing it."""
+
+    # exec in an EMPTY namespace: this test-module's own top-level
+    # `import aws_lakehouse_spark.layout as layout` would otherwise
+    # let the __globals__ name walk mask a broken bytecode path
+    ns: dict = {}
+    exec(
+        "def q(spark, sf):\n"
+        "    import aws_lakehouse_spark.layout as lay\n"
+        "    return lay.widen_if_narrow(spark)\n",
+        ns,
+    )
+    codes, _ = closure_items(ns["q"])
+    names = {c.split(b"\x1f", 1)[0].decode() for c in codes}
+    assert "widen_if_narrow" in names

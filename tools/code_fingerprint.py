@@ -18,9 +18,15 @@ TRANSITIVE CODE CLOSURE of its builder callable plus its oracle SQL:
   code's global name references (``co_names`` resolved against
   ``__globals__``), closures, and default-argument values — classes
   contribute all their methods, and a reference to a package MODULE
-  conservatively contributes every function/class in it;
+  conservatively contributes every function/class in it plus its
+  UPPER_CASE non-callable globals (the ``mod.CONST`` access pattern
+  the name walk can't see);
 - module-level non-callable globals the code references by name
-  (regex patterns, band widths, lookup dicts) as stable value tokens.
+  (regex patterns, band widths, lookup dicts) as stable value tokens;
+- non-callable default-argument values of every package function in
+  the closure (``k=3``-style knobs are semantics too — r10 advice:
+  the old walker hashed only callable defaults, so a default change
+  silently escaped the taint).
 
 Everything hashed is PATH- and LINE-NUMBER-INDEPENDENT (3.11 bytecode
 carries no line table in ``co_code``; filenames are never hashed), so
@@ -186,11 +192,19 @@ def closure_items(root_fn) -> tuple[list[bytes], list[str]]:
                 and mn not in seen_modules
             ):
                 seen_modules.add(mn)
-                for attr in vars(v).values():
-                    consider(attr, via_module=True)
-        elif not via_module and name is not None and not callable(v):
+                for attr_name, attr in list(vars(v).items()):
+                    consider(
+                        attr, via_module=True, name=f"{mn}.{attr_name}"
+                    )
+        elif name is not None and not callable(v):
             # a non-callable global referenced BY NAME from hashed
-            # code: its value is part of the semantics
+            # code: its value is part of the semantics. Via a module
+            # walk only UPPER_CASE constants are hashed (the
+            # ``mod.CONST`` convention; lowercase module attrs are
+            # loop temporaries / re-exports and dunders like
+            # __file__ are path-dependent)
+            if via_module and not name.rsplit(".", 1)[-1].isupper():
+                return
             const_items.append(f"{name}={_value_token(v)}")
 
     while fn_stack:
@@ -225,6 +239,23 @@ def closure_items(root_fn) -> tuple[list[bytes], list[str]]:
                     consider(mod)
                 else:
                     target = getattr(mod, attr, None)
+                    if target is None:
+                        # two submodule shapes getattr can't resolve
+                        # (r10 advice): `import pkg.mod as alias`
+                        # compiles to IMPORT_NAME pkg.mod +
+                        # IMPORT_FROM mod — the target IS pkg.mod
+                        # itself; `from pkg import mod` where mod is
+                        # a not-yet-imported SUBMODULE needs an
+                        # explicit import of pkg.mod
+                        if mod_name.rsplit(".", 1)[-1] == attr:
+                            target = mod
+                        else:
+                            try:
+                                target = importlib.import_module(
+                                    f"{mod_name}.{attr}"
+                                )
+                            except Exception:
+                                target = None
                     if target is not None:
                         consider(target, name=attr)
         for cell in getattr(fn, "__closure__", None) or ():
@@ -232,11 +263,23 @@ def closure_items(root_fn) -> tuple[list[bytes], list[str]]:
                 consider(cell.cell_contents)
             except ValueError:
                 pass
-        for d in (fn.__defaults__ or ()) + tuple(
-            (fn.__kwdefaults__ or {}).values()
-        ):
+        for i, d in enumerate(fn.__defaults__ or ()):
             if callable(d):
                 consider(d)
+            else:
+                # non-callable defaults (k=3-style knobs) are
+                # semantics; keyed by position so a (3, 3) -> (3,)
+                # arity change still reads as a change (r10 advice)
+                const_items.append(
+                    f"{fn.__qualname__}.default[{i}]={_value_token(d)}"
+                )
+        for k, d in (fn.__kwdefaults__ or {}).items():
+            if callable(d):
+                consider(d)
+            else:
+                const_items.append(
+                    f"{fn.__qualname__}.default[{k}]={_value_token(d)}"
+                )
         only_pkg_defined = _is_pkg_obj(fn)
         for name in sorted(names):
             if name not in g:
