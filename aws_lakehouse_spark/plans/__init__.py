@@ -42,72 +42,77 @@ from aws_lakehouse_spark.registry import REGISTRY
 # after its last green grade re-enters the next window as a re-verify
 # pin (`tools/rotate_window.py --changed` derives the list from the
 # git diff against each query's last-grade driver commit, through the
-# ast import-graph taint map). The ROUND 9 window is pure backlog
-# drain (r8 verdict item 1): 50 of the 278 taint-stale grades,
-# stalest last-green round first — the r1/r2-graded queries whose
-# shared modules (operators/joins.py, plans/core.py, llm/*) have
-# churned across six rounds. Head-of-tree evidence for the OTHER 278
-# lives in the committed full-registry sf0.01 parity artifact
-# (PARITY_SF001_r09.txt, engine/oracle walls split per query) — the
-# standing per-round artifact that bridges grades while windows
-# rotate; the deferred list prints at rotation time and carries to
-# r10.
+# fingerprint taint, tools/code_fingerprint.py since r10). The ROUND
+# 11 window applies the rotation r10 computed but never landed (r10
+# verdict item 2): the 50 stalest fingerprint-changed grades —
+# tpch_q4..q9 (r2-era), the r3 text/embed kernels, the r4 agg/
+# snapshot/streaming faces, the r5 graph/snapshot rows — pinned
+# stalest-last-green-round first. 21 further changed grades did not
+# fit and are DEFERRED to r12 (list in the r11 round notes; also
+# reprinted by any `rotate_window.py --changed` run). Overlap with
+# the r10 window: 0/50 — every driver slot this round buys fresh
+# evidence. Head-of-tree cover for the un-graded remainder stays the
+# committed full-registry parity artifacts (PARITY_SF001_r11.txt,
+# PARITY_SF1_r11.txt).
 #
 # Registry FROZEN at 328 since r5.
-# `python tools/rotate_window.py --changed --apply` (run AFTER the
-# driver writes CORRECTNESS_r09.json) computes the next window
-# mechanically; update this comment with the round's rationale.
+# `python tools/rotate_window.py --changed --apply` (run at round
+# START, after the driver writes CORRECTNESS_r{N-1}.json) computes
+# the next window mechanically; tools/artifact_check.py fails at
+# round close if _PRIORITY[:50] still equals the last graded key set
+# (the r10 fumble, made mechanical). Update this comment with each
+# round's rationale.
 _PRIORITY = [
-    "scalar_to_date_fmt",
-    "scalar_when_otherwise_map",
-    "scan_parquet",
-    "set_except",
-    "set_intersect",
-    "set_union_by_name",
-    "window_lag_lead",
-    "window_rank_family",
-    "window_running_frames",
-    "ann_bruteforce_topk",
-    "ann_bruteforce_vectorized",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signature",
-    "dedup_near_duplicate_resolution",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "events_anomaly_zscore",
-    "events_dedup_within_time",
-    "events_session_window",
-    "events_sessionize",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "medallion_gold_fact",
-    "medallion_noaa_cleanse",
-    "medallion_star_revenue",
-    "text_corpus_prep",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_counts",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "ann_quantize_int8",
+    "dedup_incremental_exact",
+    "embed_cluster_assign",
+    "embed_semdedup",
+    "events_attribution",
+    "snapshot_time_travel_diff",
+    "text_bigram_lm_score",
+    "text_bigram_rarity",
+    "text_char_entropy",
+    "text_decontaminate",
+    "text_repetition_score",
+    "text_tfidf_topk",
+    "text_vocab_topk",
+    "text_winnow_fingerprint",
+    "agg_approx_count_distinct",
+    "agg_histogram_equidepth",
+    "agg_mode_per_group",
+    "agg_weighted_median",
+    "ann_embedding_neardup",
+    "dedup_containment",
+    "dedup_lsh_quality",
+    "embed_outliers",
+    "events_growth_accounting",
+    "join_interval_overlap",
+    "maintenance_compact_roundtrip",
+    "partition_pruned_roundtrip",
+    "scalar_variant_json",
+    "snapshot_delete_update",
+    "snapshot_merge_into",
+    "snapshot_schema_evolution",
+    "source_python_datasource",
+    "streaming_cdc_upsert",
+    "text_curation_pipeline",
+    "ann_recall_eval",
+    "dedup_incremental_bloom",
+    "graph_connected_components",
+    "graph_label_propagation",
+    "graph_pagerank_topk",
+    "rag_index_pipeline",
+    "snapshot_bloom_pruned_scan",
+    "snapshot_branch_merge",
+    "snapshot_check_constraints",
+    "snapshot_clone_shallow",
+    "snapshot_history_table",
     # --- index 50 boundary: the graded window ends here ---
 ]
 

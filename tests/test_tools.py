@@ -212,3 +212,31 @@ def test_normalized_gate_three_way_verdict():
     old = {k: v for k, v in base.items() if k != "calib_engine_sec"}
     g = bench._normalized_gate(detail(1.3, 0.39), old)
     assert g["uniform_shift_verdict"] == "unattributable" and g["pass"]
+
+
+def test_window_rotation_not_fumbled():
+    """r10 fumble guard (r10 verdict item 2): the driver burned a full
+    round re-grading the identical 50 queries because
+    `rotate_window.py --apply` never ran. If the two most recent
+    CORRECTNESS artifacts already share one key set AND
+    ``_PRIORITY[:50]`` still equals it, a THIRD identical grading
+    round is queued — fail until the rotation lands. (The strict
+    one-round-ahead check — window must differ from the single latest
+    graded key set — lives in tools/artifact_check.py, which the
+    builder runs at round close; here the two-file form is used so a
+    healthy just-graded round can never read as red.)"""
+    import glob as _glob
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    if len(files) < 2:
+        pytest.skip("fewer than two graded rounds")
+    prev_keys = set(_json.load(open(files[-2])))
+    last_keys = set(_json.load(open(files[-1])))
+    window = set(list(REGISTRY)[:50])
+    assert not (prev_keys == last_keys == window), (
+        "the last two driver rounds graded the identical window and "
+        "_PRIORITY[:50] still equals it — run "
+        "`python tools/rotate_window.py --changed --apply`"
+    )
