@@ -167,11 +167,7 @@ def test_taint_files_follows_package_imports():
     assert all(p.startswith("aws_lakehouse_spark") for p in taint)
 
 
-def test_normalized_gate_three_way_verdict():
-    """A uniform median shift is attributed by the engine-shaped
-    canary (r8 verdict item 2): moved-with-queries = environment
-    (pass); held-while-queries-moved = code (FAIL); in between =
-    mixed (FAIL). No shift = none (pass)."""
+def _bench_module():
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -179,39 +175,106 @@ def test_normalized_gate_three_way_verdict():
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
+    return bench
 
-    base = {
-        "round": 8,
-        "calib_spark_sec": 0.10,
-        "calib_engine_sec": 0.30,
-        "normalized": {"q1": 10.0, "q2": 20.0, "q3": 5.0},
+
+_RAW_BASE = {
+    "round": 10,
+    "raw": {"q1": 1.0, "q2": 2.0, "q3": 0.5},
+    "calib_raw_sec": 1.5,
+    "calib_engine_sec": 0.40,
+    "calib_spark_sec": 0.1388,
+    "normalized": {"q1": 7.2, "q2": 14.4, "q3": 3.6},
+}
+
+
+def _raw_detail(mult, raw_canary, engine_canary, calib_spark):
+    return {
+        "warm_best": {
+            n: v * mult for n, v in _RAW_BASE["raw"].items()
+        },
+        "calib_raw_sec": raw_canary,
+        "calib_engine_sec": engine_canary,
+        "calib_spark_sec": calib_spark,
+        "normalized": {
+            n: round(v * mult / calib_spark, 2)
+            for n, v in _RAW_BASE["raw"].items()
+        },
     }
 
-    def detail(mult, engine_sec):
-        return {
-            "calib_spark_sec": 0.10,
-            "calib_engine_sec": engine_sec,
-            "normalized": {
-                n: v * mult for n, v in base["normalized"].items()
-            },
-        }
 
-    # flat round: verdict none, pass
-    g = bench._normalized_gate(detail(1.0, 0.30), base)
+def test_raw_gate_three_way_verdict():
+    """The gate decides on RAW warm-best walls (r10 verdict item
+    1): uniform shifts are attributed by RAW canary walls — moved
+    with the queries = environment (pass); held = code (FAIL);
+    between = mixed (FAIL)."""
+    bench = _bench_module()
+    # flat round: none, pass
+    g = bench._gate(_raw_detail(1.0, 1.5, 0.40, 0.14), _RAW_BASE)
     assert g["uniform_shift_verdict"] == "none" and g["pass"]
-    # whole set +30%, engine canary +30% too: environment, pass
-    g = bench._normalized_gate(detail(1.3, 0.39), base)
+    # everything +40% incl. both canaries: environment, pass
+    g = bench._gate(_raw_detail(1.4, 2.1, 0.56, 0.14), _RAW_BASE)
     assert g["uniform_shift_verdict"] == "environment" and g["pass"]
-    # whole set +30%, engine canary flat: code regression, FAIL
-    g = bench._normalized_gate(detail(1.3, 0.30), base)
+    # queries +40%, canaries flat: code, FAIL
+    g = bench._gate(_raw_detail(1.4, 1.5, 0.40, 0.14), _RAW_BASE)
     assert g["uniform_shift_verdict"] == "code" and not g["pass"]
-    # whole set +30%, engine canary +12% (~0.4 explained): mixed, FAIL
-    g = bench._normalized_gate(detail(1.3, 0.336), base)
+    # queries +40%, canaries +14% (explained ~0.35): mixed, FAIL
+    g = bench._gate(_raw_detail(1.4, 1.71, 0.456, 0.14), _RAW_BASE)
     assert g["uniform_shift_verdict"] == "mixed" and not g["pass"]
-    # pre-engine-canary baseline: flagged, not failed
-    old = {k: v for k, v in base.items() if k != "calib_engine_sec"}
-    g = bench._normalized_gate(detail(1.3, 0.39), old)
+    # baseline predating the raw canaries: unattributable, pass
+    old = {
+        k: v
+        for k, v in _RAW_BASE.items()
+        if k not in ("calib_raw_sec", "calib_engine_sec")
+    }
+    g = bench._gate(_raw_detail(1.4, 2.1, 0.56, 0.14), old)
     assert g["uniform_shift_verdict"] == "unattributable" and g["pass"]
+
+
+def test_raw_gate_flags_per_query_regression():
+    bench = _bench_module()
+    detail = _raw_detail(1.0, 1.5, 0.40, 0.14)
+    detail["warm_best"]["q2"] = 4.0  # 2x, +2.0 s absolute
+    g = bench._gate(detail, _RAW_BASE)
+    assert list(g["regressions"]) == ["q2"] and not g["pass"]
+    # sub-floor growth never flags, whatever the ratio: q3 2x = +0.5s
+    # exceeds the 0.3s floor, but 0.5x base of 0.2s would not
+    detail = _raw_detail(1.0, 1.5, 0.40, 0.14)
+    detail["warm_best"]["q3"] = 0.75  # 1.5x but +0.25 s < floor
+    g = bench._gate(detail, _RAW_BASE)
+    assert not g["regressions"] and g["pass"]
+
+
+def test_raw_gate_r10_driver_scenario_never_reads_code():
+    """The r10 proof case (verdict item 1): raw walls FLAT, the 0.1 s
+    calibration denominator halved between sessions. The old
+    normalized gate printed FAIL + uniform_shift_verdict=code; the
+    raw gate must PASS, and the normalized ADVISORY must read
+    calibration-shift — never code."""
+    bench = _bench_module()
+    # calib_spark 0.1388 -> 0.0975 (the r10 driver's measured swing):
+    # every normalized number inflates 1.42x while raw walls are flat
+    detail = _raw_detail(1.0, 1.5, 0.40, 0.0975)
+    g = bench._gate(detail, _RAW_BASE)
+    assert g["pass"], g
+    assert g["uniform_shift_verdict"] == "none"
+    adv = g["normalized_advisory"]
+    assert adv["median_ratio"] > 1.3  # the advisory DOES see the shift
+    assert adv["verdict"] == "calibration-shift"
+    # and the opposite swing (denominator doubled) also pins advisory
+    detail = _raw_detail(1.0, 1.5, 0.40, 0.28)
+    g = bench._gate(detail, _RAW_BASE)
+    assert g["pass"]
+    assert g["normalized_advisory"]["verdict"] == "calibration-shift"
+
+
+def test_raw_gate_passes_with_reason_on_pre_raw_baseline():
+    bench = _bench_module()
+    base = {
+        k: v for k, v in _RAW_BASE.items() if k != "raw"
+    }
+    g = bench._gate(_raw_detail(1.0, 1.5, 0.40, 0.14), base)
+    assert g["pass"] and "reason" in g
 
 
 def test_window_rotation_not_fumbled():

@@ -25,20 +25,27 @@ def main() -> int:
     ap.add_argument("--round", type=int, required=True)
     args = ap.parse_args()
     detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
-    gate = detail.get("normalized_gate", {})
+    gate = detail.get("gate", detail.get("normalized_gate", {}))
     base = {
         "round": args.round,
-        "comment": "Canary-normalized per-query ratios (best-of-n "
-        "seconds / calib_spark_sec) from the accepted round-"
-        f"{args.round} bench. bench.py gates each run against these "
-        "so host drift can't masquerade as regression or improvement "
-        "(r7 verdict item 8). Refresh deliberately at round close: "
-        "python tools/refresh_bench_baseline.py --round N",
-        "calib_spark_sec": detail["calib_spark_sec"],
-        # the ENGINE-shaped canary (scan+shuffle+collect) is the
-        # code-vs-environment discriminator for uniform shifts (r8
-        # verdict item 2); absent only in pre-r8 sidecars
+        "comment": "Per-query RAW trimmed-mean walls (seconds) plus "
+        "raw canary walls from the accepted round-"
+        f"{args.round} bench — bench.py's gate reads the raw walls "
+        "(r10 verdict item 1: the 0.1 s calib_spark normalization "
+        "denominator swings 2x between sessions and manufactured a "
+        "false code-regression FAIL). The normalized map stays for "
+        "the advisory block only. Refresh deliberately at round "
+        "close: python tools/refresh_bench_baseline.py --round N",
+        # raw per-query warm-best walls: the numbers the gate
+        # decides on (min over warm trials — a code regression
+        # raises the floor, GC spikes only the mean)
+        "raw": detail.get("warm_best", detail["trimmed_mean"]),
+        # raw canary walls: fixed multi-second jobs whose RAW ratio
+        # vs these values attributes a uniform shift to the host
+        "calib_raw_sec": detail.get("calib_raw_sec"),
         "calib_engine_sec": detail.get("calib_engine_sec"),
+        # advisory-only normalized schema (r7-r9 gate, demoted)
+        "calib_spark_sec": detail["calib_spark_sec"],
         "normalized": detail["normalized"],
         "headline_normalized": detail["headline_normalized"],
     }
