@@ -303,3 +303,68 @@ def test_window_rotation_not_fumbled():
         "_PRIORITY[:50] still equals it — run "
         "`python tools/rotate_window.py --changed --apply`"
     )
+
+
+def test_artifact_check_trips_on_any_red(tmp_path, monkeypatch, capsys):
+    """The round-close tripwire (r10 verdict item 6): all-green
+    synthetic artifacts exit 0; any single red artifact (here: a red
+    bench gate, then an unrotated window) exits 1 and names it."""
+    import json as _json
+
+    import artifact_check
+
+    def write(name, obj):
+        (tmp_path / name).write_text(_json.dumps(obj))
+
+    write("BENCH_DETAIL.json", {"gate": {"pass": True, "baseline_round": 11}})
+    write(
+        "CORRECTNESS_r11.json",
+        {
+            "some_query_not_in_window": {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+            }
+        },
+    )
+    parity = "pass q1: 1 rows\n" * 328
+    (tmp_path / "PARITY_SF001_r11.txt").write_text(parity)
+    (tmp_path / "PARITY_SF1_r11.txt").write_text(parity)
+    write("SHUFFLE_GATE.json", {"pass": True, "baseline_round": 10})
+    write("COPYCHECK.json", {"flagged": []})
+    write("LEAKCHECK.json", {"n_hits": 0})
+    monkeypatch.setattr(artifact_check, "REPO", str(tmp_path))
+    assert artifact_check.main() == 0
+    capsys.readouterr()
+
+    # a red bench gate trips it
+    write("BENCH_DETAIL.json", {"gate": {"pass": False, "baseline_round": 11}})
+    assert artifact_check.main() == 1
+    assert "bench_gate      FAIL" in capsys.readouterr().out
+    write("BENCH_DETAIL.json", {"gate": {"pass": True, "baseline_round": 11}})
+
+    # an unrotated window (graded keys == _PRIORITY[:50]) trips it
+    window = list(REGISTRY)[:50]
+    write(
+        "CORRECTNESS_r11.json",
+        {
+            n: {"rows_match": True, "schema_match": True, "hash_match": True}
+            for n in window
+        },
+    )
+    assert artifact_check.main() == 1
+    assert "window_rotated  FAIL" in capsys.readouterr().out
+
+    # a stale parity artifact (older round than the graded round) trips it
+    write(
+        "CORRECTNESS_r12.json",
+        {
+            "another_query": {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+            }
+        },
+    )
+    assert artifact_check.main() == 1
+    assert "STALE" in capsys.readouterr().out
