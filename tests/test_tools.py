@@ -368,3 +368,42 @@ def test_artifact_check_trips_on_any_red(tmp_path, monkeypatch, capsys):
     )
     assert artifact_check.main() == 1
     assert "STALE" in capsys.readouterr().out
+
+
+def test_join_range_banded_oracle_vs_nested_loop():
+    """r10 advice: the banded oracle uses the engine's own band-
+    decomposition trick, so a shared FP-floor bug at a band boundary
+    would drop rows identically on both sides and parity would stay
+    green. This per-round cross-check re-derives the result with the
+    ORIGINAL nested-loop inequality oracle (no band math at all) in
+    DuckDB at sf0.01 and requires exact equality."""
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_001", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf, "orders.parquet")):
+        pytest.skip("sf0.01 testdata unavailable")
+    con = duckdb.connect()
+    for t in ("orders", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    banded = con.execute(REGISTRY["join_range_banded"].oracle).df()
+    nested = con.execute(
+        """
+        SELECT p.p_brand,
+               COUNT(*) AS n_matches,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS sum_price
+        FROM orders o
+        JOIN part p
+          ON o.o_totalprice >= p.p_retailprice * 100 - 2000
+         AND o.o_totalprice <= p.p_retailprice * 100 + 2000
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+        """
+    ).df()
+    assert banded.shape == nested.shape
+    assert (banded["p_brand"] == nested["p_brand"]).all()
+    assert (banded["n_matches"] == nested["n_matches"]).all()
+    assert (banded["sum_price"] == nested["sum_price"]).all()

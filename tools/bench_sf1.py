@@ -145,6 +145,11 @@ def main() -> int:
         "round": args.round,
         "sf": 1.0,
         "trials": 2,
+        # measurement-design version (r10 advice): a delta computed
+        # across DIFFERENT designs (shared-session vs isolated-JVM)
+        # is method noise, not signal — the field lets the delta
+        # logic below detect and annotate that
+        "design": "isolated-jvm-2trial-warm",
         "comment": (
             "one fresh JVM per kernel (shared-session walls depend on "
             "which kernels ran before — see tool docstring); queries = "
@@ -159,11 +164,28 @@ def main() -> int:
     prev_path = os.path.join(REPO, f"BENCH_SF1_r{args.round - 1:02d}.json")
     if os.path.exists(prev_path):
         prev = json.load(open(prev_path))
-        result["delta_vs_prev"] = {
-            n: round(t / prev["queries"][n], 2)
-            for n, t in timings.items()
-            if prev.get("queries", {}).get(n)
-        }
+        prev_design = prev.get("design")
+        if prev_design is not None and prev_design != result["design"]:
+            # cross-design deltas are measurement-method noise
+            # (r10 advice): suppress the numbers, record why
+            result["delta_vs_prev_suppressed"] = (
+                f"previous artifact used design {prev_design!r} vs "
+                f"{result['design']!r} — a cross-design delta is "
+                "method noise, not signal"
+            )
+        else:
+            result["delta_vs_prev"] = {
+                n: round(t / prev["queries"][n], 2)
+                for n, t in timings.items()
+                if prev.get("queries", {}).get(n)
+            }
+            if prev_design is None:
+                result["delta_vs_prev_note"] = (
+                    "previous artifact predates the design field "
+                    "(r10's sidecar already used per-kernel JVM "
+                    "isolation, so the delta is comparable; treat "
+                    "any older artifact's delta as method noise)"
+                )
     out = os.path.join(REPO, f"BENCH_SF1_r{args.round:02d}.json")
     json.dump(result, open(out, "w"), indent=1)
     print(f"wrote {out}")

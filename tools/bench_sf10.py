@@ -72,6 +72,11 @@ CORE_PROBE = [
     "text_fingerprint",
 ]
 
+# measurement-design version (r10 advice): deltas/ratios across
+# different designs are method noise — --skip-sf1 refuses a
+# previous-round artifact whose design doesn't match
+_DESIGN = "isolated-jvm-2trial-warm"
+
 # per-cell subprocess: fresh JVM, two trials, prints warm wall
 _CHILD = r"""
 import json, sys, time
@@ -142,10 +147,23 @@ def main() -> int:
         raise SystemExit(f"not in registry: {missing}")
 
     if args.skip_sf1:
-        prev = os.path.join(
+        prev_path = os.path.join(
             REPO, f"BENCH_SF10_r{args.round - 1:02d}.json"
         )
-        sf1 = json.load(open(prev))["sf1_sec"]
+        prev = json.load(open(prev_path))
+        if prev.get("design") != _DESIGN:
+            # r10 advice: the pre-redesign r10 artifact carries
+            # shared-session sf1 walls — mixing them into
+            # ratio_sf10_over_sf1 against isolated sf10 cells makes
+            # the ratio method noise. Refuse rather than annotate:
+            # the sf1 pass is ~15 min, the wrong ratio costs a round.
+            raise SystemExit(
+                f"--skip-sf1 refused: {prev_path} design is "
+                f"{prev.get('design')!r}, current is {_DESIGN!r} — "
+                "cross-design sf1 walls would poison the ratios; "
+                "run without --skip-sf1"
+            )
+        sf1 = prev["sf1_sec"]
     else:
         sf1 = _run(KERNELS, args.sf1, 32)
     sf10 = _run(KERNELS, args.sf10, 32)
@@ -153,6 +171,7 @@ def main() -> int:
 
     result = {
         "round": args.round,
+        "design": _DESIGN,
         "comment": "Two-decade scale probe (sf1 vs sf10, local[32], "
         "noop sink, engine-only; ratio<=10 = linear-or-better) plus "
         "the core-count-invariance probe at sf10 for the worst r9 "
