@@ -143,6 +143,28 @@ def run() -> dict:
         calib_raw = min(calib_raw, time.perf_counter() - t0)
     calib_raw = round(calib_raw, 4)
 
+    # fifth canary, SCHEDULER-shaped (r11): the r11 baseline session
+    # exposed a drift mode every multi-second canary misses — between
+    # two idle-host sessions the SHORT, many-stage kernels inflated
+    # 1.4-1.9x (dedupe_by_key_window 0.375->0.554 warm-best,
+    # join_asof 0.263->0.436) while the long scan/compute kernels
+    # moved ≤1.1x (tpch_q18 1.02x) and calib_raw read 1.035. What
+    # drifts there is the PER-JOB fixed cost (task launch, stage
+    # barriers, collect round trips), which a single 1.4 s job
+    # amortizes away. This probe is 24 consecutive tiny two-stage
+    # jobs — all scheduling, (almost) no compute — so its raw wall
+    # moves with exactly that dimension. Engine code is never
+    # touched: a code regression leaves it flat.
+    calib_sched = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(24):
+            spark.range(0, 64_000, 1, int(cpus)).selectExpr(
+                "pmod(id, 13) AS k"
+            ).groupBy("k").count().selectExpr("sum(count) AS s").collect()
+        calib_sched = min(calib_sched, time.perf_counter() - t0)
+    calib_sched = round(calib_sched, 4)
+
     # n>=5 trials per query: with n=2 a ±50% swing is unreadable
     # (round-2 lesson); best-of-n stays the headline number (first
     # run pays codegen compile, spikes are host-load noise), stddev
@@ -216,6 +238,7 @@ def run() -> dict:
         "warm_best": warm_best,
         "calib_raw_sec": calib_raw,
         "calib_engine_sec": calib_engine,
+        "calib_sched_sec": calib_sched,
         "calib_spark_sec": calib_spark,
         "normalized": {
             n: round(v / calib_spark, 2) for n, v in timings.items()
@@ -281,6 +304,7 @@ def run() -> dict:
         "calib_spark_sec": calib_spark,
         "calib_engine_sec": calib_engine,
         "calib_raw_sec": calib_raw,
+        "calib_sched_sec": calib_sched,
         # pre-normalized per-query and total ratios (value /
         # calib_spark_sec): the number a cross-round comparison should
         # read FIRST — r6's "regression" was the host running 1.57x
@@ -370,25 +394,25 @@ def _gate(detail: dict, base: dict | None = None) -> dict:
         now_total = sum(now_raw[n] for n in common)
 
         # raw-canary host-drift attribution for a uniform shift:
-        # geometric mean of the synthetic and the engine-shaped raw
-        # canary ratios covers both the codegen/shuffle and the I/O
-        # dimension (r8: they can move independently)
+        # geometric mean of the canary ratios spanning the drift
+        # dimensions — codegen/shuffle (calib_raw), I/O+collect
+        # (calib_engine), and per-job scheduling fixed cost
+        # (calib_sched, r11: idle-host sessions drifted 1.4-1.9x on
+        # short many-stage kernels while both multi-second canaries
+        # held ≤1.12x — the drift lives in task-launch/stage-barrier
+        # latency, so a canary of 24 tiny jobs is the only probe
+        # that tracks it). Ratios can move independently (r8), so
+        # the mean spans whichever are present in the baseline.
         canary_ratios = []
-        for key in ("calib_raw_sec", "calib_engine_sec"):
+        for key in ("calib_raw_sec", "calib_engine_sec", "calib_sched_sec"):
             if base.get(key) and detail.get(key):
                 canary_ratios.append(detail[key] / base[key])
-        host_drift = (
-            round(
-                (
-                    canary_ratios[0]
-                    if len(canary_ratios) == 1
-                    else (canary_ratios[0] * canary_ratios[1]) ** 0.5
-                ),
-                3,
-            )
-            if canary_ratios
-            else None
-        )
+        host_drift = None
+        if canary_ratios:
+            prod = 1.0
+            for r in canary_ratios:
+                prod *= r
+            host_drift = round(prod ** (1.0 / len(canary_ratios)), 3)
         verdict = "none"
         if median_ratio > 1.15:
             if host_drift is None:

@@ -183,18 +183,25 @@ _RAW_BASE = {
     "raw": {"q1": 1.0, "q2": 2.0, "q3": 0.5},
     "calib_raw_sec": 1.5,
     "calib_engine_sec": 0.40,
+    "calib_sched_sec": 1.2,
     "calib_spark_sec": 0.1388,
     "normalized": {"q1": 7.2, "q2": 14.4, "q3": 3.6},
 }
 
 
-def _raw_detail(mult, raw_canary, engine_canary, calib_spark):
+def _raw_detail(mult, raw_canary, engine_canary, calib_spark,
+                sched_canary=None):
+    if sched_canary is None:
+        # default: the sched canary moves with the raw canary, so
+        # the pre-r11 test scenarios keep their meaning
+        sched_canary = round(1.2 * (raw_canary / 1.5), 4)
     return {
         "warm_best": {
             n: v * mult for n, v in _RAW_BASE["raw"].items()
         },
         "calib_raw_sec": raw_canary,
         "calib_engine_sec": engine_canary,
+        "calib_sched_sec": sched_canary,
         "calib_spark_sec": calib_spark,
         "normalized": {
             n: round(v * mult / calib_spark, 2)
@@ -225,10 +232,33 @@ def test_raw_gate_three_way_verdict():
     old = {
         k: v
         for k, v in _RAW_BASE.items()
-        if k not in ("calib_raw_sec", "calib_engine_sec")
+        if k
+        not in ("calib_raw_sec", "calib_engine_sec", "calib_sched_sec")
     }
     g = bench._gate(_raw_detail(1.4, 2.1, 0.56, 0.14), old)
     assert g["uniform_shift_verdict"] == "unattributable" and g["pass"]
+
+
+def test_raw_gate_r11_scheduler_drift_reads_environment():
+    """The r11 proof case: between two idle-host sessions the short
+    many-stage kernels inflated ~1.3x median while calib_raw read
+    1.035 and calib_engine 1.115 — the drift lives in per-job
+    scheduling fixed cost, which only the sched canary tracks. With
+    the sched canary moving (1.4x), the geometric mean attributes
+    the shift to the environment; without it (two-canary baseline)
+    the same session read "code" on unchanged code."""
+    bench = _bench_module()
+    detail = _raw_detail(
+        1.31, 1.5 * 1.035, 0.40 * 1.115, 0.14, sched_canary=1.2 * 1.4
+    )
+    g = bench._gate(detail, _RAW_BASE)
+    assert g["uniform_shift_verdict"] == "environment", g
+    assert g["pass"], g
+    # all three canaries flat on the same shift: still a code verdict
+    g = bench._gate(
+        _raw_detail(1.31, 1.5, 0.40, 0.14, sched_canary=1.2), _RAW_BASE
+    )
+    assert g["uniform_shift_verdict"] == "code" and not g["pass"]
 
 
 def test_raw_gate_flags_per_query_regression():

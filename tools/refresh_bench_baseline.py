@@ -44,6 +44,7 @@ def main() -> int:
         # vs these values attributes a uniform shift to the host
         "calib_raw_sec": detail.get("calib_raw_sec"),
         "calib_engine_sec": detail.get("calib_engine_sec"),
+        "calib_sched_sec": detail.get("calib_sched_sec"),
         # advisory-only normalized schema (r7-r9 gate, demoted)
         "calib_spark_sec": detail["calib_spark_sec"],
         "normalized": detail["normalized"],
