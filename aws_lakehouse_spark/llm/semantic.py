@@ -57,14 +57,14 @@ def assign_clusters(
     # pair costs one HOF dot fold instead of three
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("__vn", norm_col(F.col("__v")))
+    ).withColumn("__vn", norm_col("__v"))
     c = centroids.select(
         F.col(centroid_id_col).alias("__cid"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__cn", norm_col(F.col("__cv")))
+    ).withColumn("__cn", norm_col("__cv"))
     sim = F.round(
         cosine_ratio_col(
-            dot_col(F.col("__v"), F.col("__cv")),
+            dot_col("__v", "__cv"),
             F.col("__vn"),
             F.col("__cn"),
         ),
@@ -142,7 +142,7 @@ def semdedup_pairs(
             ),
             id_col,
         )
-        .withColumn("__n", norm_col(F.col("__v")))
+        .withColumn("__n", norm_col("__v"))
         .localCheckpoint(eager=False)
     )
     fanout = max(1, int(fanout))
@@ -169,7 +169,7 @@ def semdedup_pairs(
     )
     sim = F.round(
         cosine_ratio_col(
-            dot_col(F.col("__va"), F.col("__vb")),
+            dot_col("__va", "__vb"),
             F.col("__na"),
             F.col("__nb"),
         ),

@@ -24,8 +24,30 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
-def dot_col(a: Column, b: Column) -> Column:
-    """Sequential-order dot product of two double arrays."""
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the sequential dot fold over two array columns —
+    the exact expression the Column path builds (zip_with multiply,
+    0.0 double seed, left-to-right accumulate), emitted as one
+    string. Same summation order, bit-identical results."""
+    return (
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> x * y), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def dot_col(a: Column | str, b: Column | str) -> Column:
+    """Sequential-order dot product of two double arrays.
+
+    Pass column NAMES where possible: each Python-lambda HOF costs
+    ~60-100 py4j round trips (~20 ms) of pure query-BUILD time per
+    call site, re-paid on every fresh plan, while parsing one
+    ``F.expr`` string is a single round trip with JVM-side parsing
+    (the :func:`hyperplane_signature` lesson, r11: construction of
+    the vector queries was 0.3-0.5 s of almost pure py4j socket
+    wait). Both paths build the same ``aggregate(zip_with(...))``
+    expression — same fold order, bit-identical scores."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -33,7 +55,9 @@ def dot_col(a: Column, b: Column) -> Column:
     )
 
 
-def norm_col(a: Column) -> Column:
+def norm_col(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a)})")
     return F.sqrt(dot_col(a, a))
 
 
@@ -51,10 +75,11 @@ def cosine_ratio_col(dot: Column, na: Column, nb: Column) -> Column:
     return dot / F.nullif(na * nb, F.lit(0.0))
 
 
-def cosine_sim_col(a: Column, b: Column) -> Column:
+def cosine_sim_col(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; inputs should be pre-cast to
     ``array<double>`` (float32→float64 widening is exact). Zero
-    vectors yield NULL (see :func:`cosine_ratio_col`)."""
+    vectors yield NULL (see :func:`cosine_ratio_col`). Column names
+    take the one-expr-string fast path (see :func:`dot_col`)."""
     return cosine_ratio_col(dot_col(a, b), norm_col(a), norm_col(b))
 
 
@@ -84,13 +109,13 @@ def brute_force_topk(
     c = widen_if_narrow(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("__cn", norm_col(F.col("c_vec")))
+    ).withColumn("__cn", norm_col("c_vec"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("__qn", norm_col(F.col("q_vec")))
+    ).withColumn("__qn", norm_col("q_vec"))
     sim = cosine_ratio_col(
-        dot_col(F.col("q_vec"), F.col("c_vec")),
+        dot_col("q_vec", "c_vec"),
         F.col("__qn"),
         F.col("__cn"),
     )
@@ -309,7 +334,7 @@ def lsh_bucket_topk(
         # corpus rows for small query sets, so a per-row corpus fold
         # would cost more than it saves (measured +29% at sf0.1).
         # Net per pair: two HOF folds (dot + corpus norm) vs three.
-        .withColumn("__qn", norm_col(F.col("q_vec")))
+        .withColumn("__qn", norm_col("q_vec"))
     )
 
     scored = (
@@ -320,9 +345,9 @@ def lsh_bucket_topk(
             "cosine_sim",
             F.round(
                 cosine_ratio_col(
-                    dot_col(F.col("q_vec"), F.col("c_vec")),
+                    dot_col("q_vec", "c_vec"),
                     F.col("__qn"),
-                    norm_col(F.col("c_vec")),
+                    norm_col("c_vec"),
                 ),
                 6,
             ),
@@ -417,13 +442,13 @@ def ivf_assign(
     v = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("__vn", norm_col(F.col("v")))
-    cents = centroids.withColumn("__cn", norm_col(F.col("cent_vec")))
+    ).withColumn("__vn", norm_col("v"))
+    cents = centroids.withColumn("__cn", norm_col("cent_vec"))
     scored = v.crossJoin(F.broadcast(cents)).withColumn(
         "sim",
         F.round(
             cosine_ratio_col(
-                dot_col(F.col("v"), F.col("cent_vec")),
+                dot_col("v", "cent_vec"),
                 F.col("__vn"),
                 F.col("__cn"),
             ),
@@ -470,18 +495,18 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("c_vec"),
         )
-        .withColumn("__cn", norm_col(F.col("c_vec")))
+        .withColumn("__cn", norm_col("c_vec"))
         .join(lists, "neighbor_id")
     )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("__qn", norm_col(F.col("q_vec")))
+    ).withColumn("__qn", norm_col("q_vec"))
     q_probe = (
         q.crossJoin(F.broadcast(cents))
         .withColumn(
-            "sim", F.round(cosine_sim_col(F.col("q_vec"), F.col("cent_vec")), 6)
+            "sim", F.round(cosine_sim_col("q_vec", "cent_vec"), 6)
         )
         .withColumn(
             "rn",
@@ -502,7 +527,7 @@ def ivf_topk(
             "cosine_sim",
             F.round(
                 cosine_ratio_col(
-                    dot_col(F.col("q_vec"), F.col("c_vec")),
+                    dot_col("q_vec", "c_vec"),
                     F.col("__qn"),
                     F.col("__cn"),
                 ),
@@ -557,7 +582,7 @@ def lsh_bucket_topk_multiprobe(
         # query-side norm hoisted; corpus norm stays per-pair — same
         # pair-vs-row arithmetic as lsh_bucket_topk (candidates are
         # ~(bits+1)/2^bits of the corpus per query)
-        .withColumn("__qn", norm_col(F.col("q_vec")))
+        .withColumn("__qn", norm_col("q_vec"))
     )
     probes = F.array(
         F.col("home"), *[
@@ -574,9 +599,9 @@ def lsh_bucket_topk_multiprobe(
             "cosine_sim",
             F.round(
                 cosine_ratio_col(
-                    dot_col(F.col("q_vec"), F.col("c_vec")),
+                    dot_col("q_vec", "c_vec"),
                     F.col("__qn"),
-                    norm_col(F.col("c_vec")),
+                    norm_col("c_vec"),
                 ),
                 6,
             ),

@@ -108,14 +108,14 @@ def ann_embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").cast("array<double>").alias("va"),
-    ).withColumn("__na", norm_col(F.col("va")))
+    ).withColumn("__na", norm_col("va"))
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").cast("array<double>").alias("vb"),
-    ).withColumn("__nb", norm_col(F.col("vb")))
+    ).withColumn("__nb", norm_col("vb"))
     sim = F.round(
         cosine_ratio_col(
-            dot_col(F.col("va"), F.col("vb")),
+            dot_col("va", "vb"),
             F.col("__na"),
             F.col("__nb"),
         ),
@@ -493,18 +493,18 @@ def ann_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("cv")
-    ).withColumn("__cn", norm_col(F.col("cv")))
+    ).withColumn("__cn", norm_col("cv"))
     queries = (
         emb.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("qv"),
         )
-        .withColumn("__qn", norm_col(F.col("qv")))
+        .withColumn("__qn", norm_col("qv"))
     )
     sim = F.round(
         cosine_ratio_col(
-            dot_col(F.col("qv"), F.col("cv")),
+            dot_col("qv", "cv"),
             F.col("__qn"),
             F.col("__cn"),
         ),

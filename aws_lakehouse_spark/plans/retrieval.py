@@ -247,7 +247,7 @@ def ann_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         emb.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").cast("array<double>").alias("qv"))
-        .withColumn("__qn", norm_col(F.col("qv")))
+        .withColumn("__qn", norm_col("qv"))
     )
     vec = (
         emb.select(
@@ -256,13 +256,13 @@ def ann_hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # per-side norms hoisted out of the per-pair cosine (same
         # bits, one HOF dot per pair instead of three)
-        .withColumn("__cn", norm_col(F.col("cv")))
+        .withColumn("__cn", norm_col("cv"))
         .crossJoin(F.broadcast(q))
         .withColumn(
             "sim",
             F.round(
                 cosine_ratio_col(
-                    dot_col(F.col("qv"), F.col("cv")),
+                    dot_col("qv", "cv"),
                     F.col("__qn"),
                     F.col("__cn"),
                 ),
@@ -691,12 +691,12 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # per-side norms hoisted out of the per-pair cosine (same
         # bits, one HOF dot per pair instead of three)
-        .withColumn("__cn", norm_col(F.col("cent")))
+        .withColumn("__cn", norm_col("cent"))
     )
 
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("__vn", norm_col(F.col("v")))
+    ).withColumn("__vn", norm_col("v"))
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("cell_id")
     )
@@ -706,7 +706,7 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
             F.round(
                 cosine_ratio_col(
-                    dot_col(F.col("v"), F.col("cent")),
+                    dot_col("v", "cent"),
                     F.col("__vn"),
                     F.col("__cn"),
                 ),
@@ -727,7 +727,7 @@ def ann_ivf_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
             F.round(
                 cosine_ratio_col(
-                    dot_col(F.col("qv"), F.col("cent")),
+                    dot_col("qv", "cent"),
                     F.col("__qn"),
                     F.col("__cn"),
                 ),
