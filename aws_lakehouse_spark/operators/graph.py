@@ -24,6 +24,17 @@ Catalyst owns the physical strategy:
   THIRD round bounds the plan depth without paying a
   materialization barrier per round (a per-round barrier costs
   ~25% of the 5-round wall at sf0.1).
+
+r11 measurement note on ``localCheckpoint(eager=False)`` under AQE
+(Spark 4): the call is NOT free at build time — compiling the
+checkpoint RDD forces ``queryExecution.toRdd``, and for an adaptive
+plan that executes every upstream shuffle stage eagerly (probed: a
+"lazy" pin of the co-purchase edge frame ran its map stages and took
+1.7-1.8 s inside the call). The eager=False form still skips the
+final-stage materialization and the plan-depth bounding argument is
+unchanged; the measured alternatives stay worse or equal (pin
+removal 1.0-1.27x, no mid-round checkpoint 1.0x, persist regimes per
+the function docstrings below).
 """
 
 from __future__ import annotations

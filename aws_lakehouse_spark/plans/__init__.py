@@ -102,17 +102,17 @@ _PRIORITY = [
     "source_python_datasource",
     "streaming_cdc_upsert",
     "text_curation_pipeline",
+    "ann_hybrid_rrf",
+    "ann_ivf_pq",
     "ann_recall_eval",
     "dedup_incremental_bloom",
+    "embed_kmeans_iteration",
     "graph_connected_components",
     "graph_label_propagation",
     "graph_pagerank_topk",
     "rag_index_pipeline",
     "snapshot_bloom_pruned_scan",
     "snapshot_branch_merge",
-    "snapshot_check_constraints",
-    "snapshot_clone_shallow",
-    "snapshot_history_table",
     # --- index 50 boundary: the graded window ends here ---
 ]
 
