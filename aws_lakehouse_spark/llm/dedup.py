@@ -65,7 +65,9 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 4) -> list[Column]:
+def minhash_signature(
+    shingles: Column | str, num_hashes: int = 4
+) -> list[Column]:
     """MinHash signature: hash function j is the j-th 8-hex-char
     slice of ONE md5 per shingle (disjoint digest slices are
     independent hashes), minimized over the shingle set.
@@ -74,9 +76,26 @@ def minhash_signature(shingles: Column, num_hashes: int = 4) -> list[Column]:
     the dominant per-row cost of candidate generation 4×; md5's hex
     ordering is engine-agnostic, so signatures stay bit-identical
     everywhere. Supports up to 4 hashes per md5 (32 hex chars).
+
+    Pass ``shingles`` as the SQL TEXT of the shingle-array expression
+    (e.g. :func:`_shingles_sql`) where possible: each Python-lambda
+    HOF costs ~60-100 py4j round trips of pure query-BUILD time per
+    call site (the r11 ``dot_col`` lesson), while one ``F.expr``
+    string is a single round trip with JVM-side parsing. Both paths
+    build the identical ``array_min(transform(transform(...)))``
+    expression — md5 hex slices are integers/strings, so results are
+    trivially bit-identical (pinned by a unit test).
     """
     if num_hashes > 4:
         raise ValueError("num_hashes > 4 needs a second digest")
+    if isinstance(shingles, str):
+        return [
+            F.expr(
+                f"array_min(transform(transform({shingles}, s -> md5(s)), "
+                f"h -> substring(h, {1 + 8 * j}, 8)))"
+            ).alias(f"minhash_{j}")
+            for j in range(num_hashes)
+        ]
     # one shared md5 per shingle; each hash slices its own 8 chars
     hashed = F.transform(shingles, F.md5)
 
@@ -536,13 +555,29 @@ def near_duplicate_survivors_by_quality(
     )
 
 
-def simhash_col(text: Column, bits: int = 16) -> Column:
+def simhash_col(text: Column | str, bits: int = 16) -> Column:
     """SimHash fingerprint: per-token md5 → first 28 hex bits as int;
     fingerprint bit i is the sign of Σ_tokens (±1 by token bit i).
 
     Pure array-expression implementation (conv + bitwise ops inside
-    aggregate) — deterministic and portable.
+    aggregate) — deterministic and portable. Pass the text column
+    NAME to build the whole fingerprint as ONE ``F.expr`` string
+    (single py4j round trip) instead of ``bits`` Python-lambda HOF
+    aggregates (~60-100 round trips each); both paths build the
+    identical integer-arithmetic expression (unit-test pinned).
     """
+    if isinstance(text, str):
+        hashes = (
+            f"transform(array_distinct(split(`{text}`, ' ')), "
+            "t -> cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint))"
+        )
+        terms = " + ".join(
+            f"(case when aggregate({hashes}, 0, (acc, h) -> acc + "
+            f"(case when (h & {1 << i}) != 0 then 1 else -1 end)) > 0 "
+            f"then {1 << i} else 0 end)"
+            for i in range(bits)
+        )
+        return F.expr(f"cast({terms} as bigint)")
     toks = F.array_distinct(F.split(text, " "))
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long")
@@ -595,7 +630,7 @@ def _vote_merge(masks: Column):
 
 
 def simhash_band_cols(
-    text: Column, n_bands: int = 4, band_bits: int = 16
+    text: Column | str, n_bands: int = 4, band_bits: int = 16
 ) -> list[Column]:
     """64-bit SimHash as ``n_bands`` independent ``band_bits``-bit
     band values (default 4×16 = 64 fingerprint bits, 65,536 buckets
@@ -611,7 +646,40 @@ def simhash_band_cols(
     value is in [0, 2^16)) — unlike a single packed 64-bit
     fingerprint, whose top band would wrap negative in two's-
     complement BIGINT on one engine but error on another.
+
+    Pass the text column NAME to emit each band as ONE ``F.expr``
+    string: the Column path builds 3 nested Python-lambda HOFs per
+    band (~60-100 py4j round trips each, pure query-BUILD time,
+    re-paid on every fresh plan — the r11 ``dot_col`` lesson), the
+    string path parses JVM-side in one round trip per band. Both
+    paths build the identical expression (integer arithmetic, no
+    accumulation-order sensitivity; unit-test pinned).
     """
+    if isinstance(text, str):
+        hex_chars = band_bits // 4
+        masks_sql = (
+            "array(" + ", ".join(f"{1 << i}L" for i in range(band_bits)) + ")"
+        )
+        zero_sql = f"array_repeat(0L, {band_bits})"
+        out_sql = []
+        for b in range(n_bands):
+            hashes = (
+                f"transform(array_distinct(split(`{text}`, ' ')), "
+                f"t -> cast(conv(substring(md5(t), {1 + hex_chars * b}, "
+                f"{hex_chars}), 16, 10) as bigint))"
+            )
+            bit_sums = (
+                f"aggregate({hashes}, {zero_sql}, (acc, h) -> "
+                f"zip_with(acc, {masks_sql}, (a, m) -> a + "
+                "cast(case when (h & m) != 0 then 1 else -1 end as bigint)))"
+            )
+            band_val = (
+                f"aggregate(zip_with({bit_sums}, {masks_sql}, "
+                "(s, m) -> case when s > 0 then m else 0L end), "
+                "0L, (acc, x) -> acc + x)"
+            )
+            out_sql.append(F.expr(band_val).alias(f"simhash_b{b}"))
+        return out_sql
     toks = F.array_distinct(F.split(text, " "))
     hex_chars = band_bits // 4
     masks = F.array(
@@ -673,7 +741,7 @@ def simhash_hamming_pairs(
 
     fp = widen_if_underparallel(df).select(
         F.col(id_col).alias("doc_id"),
-        *simhash_band_cols(F.col(text_col), n_bands, band_bits),
+        *simhash_band_cols(text_col, n_bands, band_bits),
     ).localCheckpoint(eager=False)
     bands = None
     for b in range(n_bands):

@@ -63,25 +63,32 @@ def covariance_matrix(
     vectors — E[xxᵀ] − μμᵀ from the single-scan partials. The
     posexplode/groupBy reduction ships #partitions·(dim+dim²) narrow
     rows, collapsed map-side; the collect is dim² scalars."""
-    partials = covariance_partials(df, vec_col, dim).cache()
-    try:
-        n = partials.agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
-        if not n:
-            raise ValueError("covariance_matrix: empty input")
-        s_rows = (
-            partials.select(F.posexplode("s").alias("i", "v"))
-            .groupBy("i")
-            .agg(F.sum("v").alias("v"))
-            .collect()
-        )
-        o_rows = (
-            partials.select(F.posexplode("o").alias("i", "v"))
-            .groupBy("i")
-            .agg(F.sum("v").alias("v"))
-            .collect()
-        )
-    finally:
-        partials.unpersist()
+    # lazy localCheckpoint, NOT .cache(): Spark's CacheManager matches
+    # canonicalized plans across DataFrame objects, so a cache here
+    # would let bench trial k+1 silently read trial k's partials —
+    # the no-result-caching-across-trials rule (r11 verdict item 8).
+    # The partials plan is shuffle-free (one mapInPandas over the
+    # scan), so the checkpoint stays truly lazy under AQE; the first
+    # aggregate below materializes every partition once and the other
+    # two read the stored rows.
+    partials = covariance_partials(df, vec_col, dim).localCheckpoint(
+        eager=False
+    )
+    n = partials.agg(F.sum("n").alias("n")).collect()[0]["n"] or 0
+    if not n:
+        raise ValueError("covariance_matrix: empty input")
+    s_rows = (
+        partials.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    o_rows = (
+        partials.select(F.posexplode("o").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
     s = np.zeros(dim)
     for r in s_rows:
         s[r["i"]] = r["v"]

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_lakehouse_spark.catalog import load_table
 from aws_lakehouse_spark.llm.dedup import (
+    _shingles_sql,
     exact_dedup,
     jaccard_pairs,
     lsh_band_pairs,
@@ -82,7 +83,7 @@ def dedup_minhash_signature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1 task -> 9.6 s widened). No-op at production file counts.
     docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", *minhash_signature(shingles_col(F.col("text"), 3), 4)
+        "doc_id", *minhash_signature(_shingles_sql("text", 3), 4)
     )
 
 
@@ -287,7 +288,7 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
-        *simhash_band_cols(F.col("text"), SIMHASH_BANDS, SIMHASH_BAND_BITS),
+        *simhash_band_cols("text", SIMHASH_BANDS, SIMHASH_BAND_BITS),
     )
 
 
@@ -855,7 +856,7 @@ def dedup_minhash_jaccard_estimate_q(
     # cores). Widen once; every consumer inherits.
     docs = widen_if_underparallel(load_table(spark, sf_dir, "documents"))
     sig = docs.select(
-        "doc_id", *minhash_signature(shingles_col(F.col("text"), 3), 4)
+        "doc_id", *minhash_signature(_shingles_sql("text", 3), 4)
     ).localCheckpoint(eager=False)
     cand = lsh_band_pairs(
         docs, "doc_id", "text", shingle_k=3, num_hashes=4, band_size=2

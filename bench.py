@@ -34,6 +34,13 @@ from aws_lakehouse_spark.registry import load_all  # noqa: E402
 from aws_lakehouse_spark.session import get_spark  # noqa: E402
 
 
+# calib_engine_sec measurement design: 1 = single lineitem scan
+# (r8-r10), 2 = 16x self-union of the scan (r11+, ~2.8x level shift).
+# Bumped whenever the probe's shape changes so no tool ever compares
+# the field across designs (r11 verdict item 8).
+CALIB_ENGINE_DESIGN = 2
+
+
 def _calibrate_cpu() -> float:
     """Host-speed canary: best-of-5 single-thread 512x512 float64
     matmul, in seconds. Query timings on this shared host drift
@@ -238,6 +245,7 @@ def run() -> dict:
         "warm_best": warm_best,
         "calib_raw_sec": calib_raw,
         "calib_engine_sec": calib_engine,
+        "calib_engine_design": CALIB_ENGINE_DESIGN,
         "calib_sched_sec": calib_sched,
         "calib_spark_sec": calib_spark,
         "normalized": {
@@ -303,6 +311,11 @@ def run() -> dict:
         "calib_cpu_sec": calib,
         "calib_spark_sec": calib_spark,
         "calib_engine_sec": calib_engine,
+        # design version of the engine canary: 1 = single scan
+        # (r8-r10), 2 = 16x self-union (r11+). The r11 widening
+        # silently redefined the field's level (~2.8x); the gate only
+        # compares it across equal designs (r11 verdict item 8).
+        "calib_engine_design": CALIB_ENGINE_DESIGN,
         "calib_raw_sec": calib_raw,
         "calib_sched_sec": calib_sched,
         # pre-normalized per-query and total ratios (value /
@@ -385,7 +398,7 @@ def _gate(detail: dict, base: dict | None = None) -> dict:
     if common:
         ratios = {n: round(now_raw[n] / base_raw[n], 2) for n in common}
         median_ratio = _median(list(ratios.values()))
-        regressions = {
+        flagged = {
             n: r
             for n, r in ratios.items()
             if r > 1.5 * median_ratio and (now_raw[n] - base_raw[n]) > 0.3
@@ -403,16 +416,34 @@ def _gate(detail: dict, base: dict | None = None) -> dict:
         # latency, so a canary of 24 tiny jobs is the only probe
         # that tracks it). Ratios can move independently (r8), so
         # the mean spans whichever are present in the baseline.
+        # calib_engine_sec was REDESIGNED in r11 (16x-union widening,
+        # a ~2.8x level shift); it only joins the attribution when
+        # baseline and run share the same design version (r11 verdict
+        # item 8 — a cross-design ratio is a phantom I/O regression).
         canary_ratios = []
         for key in ("calib_raw_sec", "calib_engine_sec", "calib_sched_sec"):
+            if key == "calib_engine_sec" and base.get(
+                "calib_engine_design", 1
+            ) != detail.get("calib_engine_design", 1):
+                continue
             if base.get(key) and detail.get(key):
                 canary_ratios.append(detail[key] / base[key])
         host_drift = None
+        max_canary = 1.0
         if canary_ratios:
             prod = 1.0
             for r in canary_ratios:
                 prod *= r
             host_drift = round(prod ** (1.0 / len(canary_ratios)), 3)
+            # the per-query excuse reads the WORST canary dimension,
+            # not the mean: the r11 driver replay had calib_raw at
+            # 1.98x while engine/sched ran FASTER (geomean 0.96), and
+            # the three flagged queries — the bench's most parallel
+            # codegen+shuffle kernels, flat-to-improved round-over-
+            # round on the driver's own host — sat exactly under that
+            # one dimension. A geomean of divergent canaries hides
+            # the dimension that moved (ADVICE r11 item 1).
+            max_canary = max(1.0, *canary_ratios)
         verdict = "none"
         if median_ratio > 1.15:
             if host_drift is None:
@@ -425,17 +456,36 @@ def _gate(detail: dict, base: dict | None = None) -> dict:
                     verdict = "code"
                 else:
                     verdict = "mixed"
+        # per-query attribution (r11 verdict item 2): a flag is
+        # EXCUSED when the query's ratio sits inside 1.5x of the
+        # worst canary dimension — the same code-vs-environment
+        # courtesy uniform shifts get, applied per query. A real
+        # code regression on a stable host (canaries ~1.0) still
+        # FAILs at the unchanged 1.5x threshold; a driver-host run
+        # whose codegen canary itself drifted 2x no longer reads
+        # its most-parallel kernels as code regressions. Excused
+        # flags stay visible in the artifact.
+        regressions = {
+            n: r for n, r in flagged.items() if r > 1.5 * max_canary
+        }
+        excused = {
+            n: {"ratio": r, "max_canary_ratio": round(max_canary, 3)}
+            for n, r in flagged.items()
+            if n not in regressions
+        }
         out.update(
             {
                 "common_queries": len(common),
                 "median_ratio": round(median_ratio, 3),
                 "host_drift_ratio": host_drift,
+                "max_canary_ratio": round(max_canary, 3),
                 "uniform_shift_verdict": verdict,
                 "total_ratio": round(now_total / base_total, 3)
                 if base_total
                 else 1.0,
                 "per_query_ratio": ratios,
                 "regressions": regressions,
+                "excused": excused,
                 "pass": not regressions
                 and verdict not in ("code", "mixed"),
             }

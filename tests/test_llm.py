@@ -861,3 +861,90 @@ def test_bpe_apply_matches_fold_reference_edge_cases(spark):
                 expect.extend(_bpe_fold_reference(w, rules))
         assert got[i][0] == expect, (t, got[i][0], expect)
         assert got[i][1] == len(expect)
+
+
+# --- str-vs-Column fast-path equality pins (r11/r12 F.expr paths) ---
+# Each builder has two construction paths: Python-lambda HOF Columns
+# and a single F.expr SQL string (one py4j round trip). These tests
+# pin the two paths to EXACT output equality so a future edit to
+# either (seed type, fold order, hash slice) cannot silently diverge
+# them — the parity artifacts only cover the path the queries use.
+
+_PATH_DOCS = [
+    (1, "spark shuffle partition broadcast join spark"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "one"),
+    (4, ""),
+    (5, "llama gradient tokenizer embedding corpus llama gradient"),
+]
+
+
+def test_simhash_col_str_path_equals_column_path(spark):
+    df = docs(spark, _PATH_DOCS)
+    old = {r[0]: r[1] for r in
+           df.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()}
+    new = {r[0]: r[1] for r in
+           df.select("doc_id", simhash_col("text").alias("s")).collect()}
+    assert old == new
+
+
+def test_simhash_band_cols_str_path_equals_column_path(spark):
+    from aws_lakehouse_spark.llm.dedup import simhash_band_cols
+
+    df = docs(spark, _PATH_DOCS)
+    old = {r[0]: tuple(r)[1:] for r in
+           df.select("doc_id", *simhash_band_cols(F.col("text"))).collect()}
+    new = {r[0]: tuple(r)[1:] for r in
+           df.select("doc_id", *simhash_band_cols("text")).collect()}
+    assert old == new
+
+
+def test_minhash_signature_str_path_equals_column_path(spark):
+    from aws_lakehouse_spark.llm.dedup import (
+        _shingles_sql,
+        minhash_signature,
+        shingles_col,
+    )
+
+    df = docs(spark, _PATH_DOCS)
+    old = {r[0]: tuple(r)[1:] for r in df.select(
+        "doc_id", *minhash_signature(shingles_col(F.col("text"), 3), 4)
+    ).collect()}
+    new = {r[0]: tuple(r)[1:] for r in df.select(
+        "doc_id", *minhash_signature(_shingles_sql("text", 3), 4)
+    ).collect()}
+    assert old == new
+
+
+def test_dot_norm_cosine_str_path_equals_column_path(spark):
+    """ADVICE r11: pin the r11 fold fast path (str -> one F.expr
+    string) to the Column/lambda path bit-for-bit, including the
+    zero-vector NULL guard."""
+    from aws_lakehouse_spark.llm.similarity import (
+        cosine_sim_col,
+        dot_col,
+        norm_col,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, [0.1, -0.2, 0.3], [-0.4, 0.5, -0.6]),
+        (3, [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),  # zero vector -> NULL cosine
+        (4, [1e-300, 1e300, -1e300], [1e300, 1e-300, 1e-300]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    old = {r[0]: tuple(r)[1:] for r in df.select(
+        "id",
+        dot_col(F.col("a"), F.col("b")).alias("d"),
+        norm_col(F.col("a")).alias("n"),
+        cosine_sim_col(F.col("a"), F.col("b")).alias("c"),
+    ).collect()}
+    new = {r[0]: tuple(r)[1:] for r in df.select(
+        "id",
+        dot_col("a", "b").alias("d"),
+        norm_col("a").alias("n"),
+        cosine_sim_col("a", "b").alias("c"),
+    ).collect()}
+    assert old == new

@@ -44,6 +44,10 @@ def main() -> int:
         # vs these values attributes a uniform shift to the host
         "calib_raw_sec": detail.get("calib_raw_sec"),
         "calib_engine_sec": detail.get("calib_engine_sec"),
+        # measurement-design version of the engine canary (r11
+        # verdict item 8): the gate only compares calib_engine_sec
+        # across equal designs
+        "calib_engine_design": detail.get("calib_engine_design", 1),
         "calib_sched_sec": detail.get("calib_sched_sec"),
         # advisory-only normalized schema (r7-r9 gate, demoted)
         "calib_spark_sec": detail["calib_spark_sec"],
