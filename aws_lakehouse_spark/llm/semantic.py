@@ -93,6 +93,37 @@ def assign_clusters(
     )
 
 
+def clustered_vectors(
+    vectors: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster_id, __v, __n): the assignment joined back to its
+    vectors with the per-row norm attached, PINNED (lazy checkpoint).
+
+    This is the one frame the whole SemDeDup pipeline should pin:
+    both pair-join sides AND the member count read it, so a single
+    checkpoint materializes the corpus-vs-centroid scoring exactly
+    once. Pinning the assignment separately (the pre-r12 shape) paid
+    a SECOND checkpoint write of the same N rows plus one more
+    build-time stage execution for no additional scan saved —
+    measured 0.3-0.5 s of the query's ~1 s non-job wall at sf0.1.
+    """
+    return (
+        assignment.select(F.col(id_col), "cluster_id")
+        .join(
+            vectors.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            ),
+            id_col,
+        )
+        .withColumn("__n", norm_col("__v"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def semdedup_pairs(
     vectors: DataFrame,
     assignment: DataFrame,
@@ -101,6 +132,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     fanout: int = 1,
+    clustered: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs (vec_a < vec_b, cos > t).
 
@@ -122,29 +154,23 @@ def semdedup_pairs(
     pair work spreads over ``fanout`` reducers instead of one. At
     real scale K ∝ N ≫ cores, so callers leave fanout=1 and pay no
     replication.
+
+    Pass a prebuilt ``clustered`` frame (:func:`clustered_vectors`)
+    when the caller also consumes it elsewhere (e.g. the member
+    count in :func:`semdedup_summary`), so the pipeline pins ONE
+    frame instead of two.
     """
     from aws_lakehouse_spark.llm.similarity import (
         cosine_ratio_col,
         dot_col,
-        norm_col,
     )
 
     # join the vectors back ONCE, then self-join the clustered frame
     # on cluster_id — the lazy checkpoint makes both pair sides read
     # the same materialized partitions instead of each re-running the
     # assignment-to-vector join
-    clustered = (
-        assignment.select(F.col(id_col), "cluster_id")
-        .join(
-            vectors.select(
-                F.col(id_col),
-                F.col(vec_col).cast("array<double>").alias("__v"),
-            ),
-            id_col,
-        )
-        .withColumn("__n", norm_col("__v"))
-        .localCheckpoint(eager=False)
-    )
+    if clustered is None:
+        clustered = clustered_vectors(vectors, assignment, id_col, vec_col)
     fanout = max(1, int(fanout))
     a = clustered.select(
         F.col(id_col).alias("vec_a"),
@@ -192,6 +218,13 @@ def semdedup_summary(
     deterministic, no ordering sensitivity). Returns
     (cluster_id, n_members, n_dropped), n_dropped counting distinct
     ``vec_b`` values of the pair set.
+
+    ``assignment`` may be any one-row-per-vector frame carrying
+    ``cluster_id`` — in particular the pinned
+    :func:`clustered_vectors` frame (its inner join back to the
+    vectors preserves every assigned row, so member counts are
+    identical), which lets the pipeline read ONE materialized frame
+    for both the pair sides and the member count.
     """
     members = assignment.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")

@@ -213,6 +213,7 @@ def _pagerank_rounds(
     iterations: int,
     damping: float,
     pin: str = "checkpoint",
+    checkpoint_cadence: int = 3,
 ) -> DataFrame:
     """The synchronous PageRank iterate over a hub-sliced adjacency
     frame ``(src, deg, slice_i, nbrs)``; see :func:`pagerank` for the
@@ -271,9 +272,16 @@ def _pagerank_rounds(
         pr = msgs.groupBy("node").agg(
             (F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr")
         )
-        # bound (don't flatten) the plan: checkpoint every 3rd round —
-        # a per-round barrier costs ~25% of the 5-round wall (sf0.1)
-        if (i + 1) % 3 == 0 and (i + 1) < iterations:
+        # bound (don't flatten) the plan: checkpoint every
+        # ``checkpoint_cadence``-th round (0 = never) — a per-round
+        # barrier costs ~25% of the 5-round wall (sf0.1); the r11/r12
+        # cadence A/Bs (sf0.1 and sf1, 5 and 10 rounds) measured
+        # every-3rd within noise of the alternatives, so 3 stays.
+        if (
+            checkpoint_cadence > 0
+            and (i + 1) % checkpoint_cadence == 0
+            and (i + 1) < iterations
+        ):
             pr = pr.localCheckpoint(eager=False)
     if pin == "persist":
         # pin the NODE-sized result eagerly so the EDGE-sized

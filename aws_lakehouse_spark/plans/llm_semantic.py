@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_lakehouse_spark.catalog import load_table
 from aws_lakehouse_spark.llm.semantic import (
     assign_clusters,
+    clustered_vectors,
     semdedup_pairs,
     semdedup_summary,
 )
@@ -125,20 +126,24 @@ def embed_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < K_CENTROIDS).select(
         F.col("vec_id").alias("cid"), "embedding"
     )
-    # the assignment feeds THREE consumers (both pair sides + the
-    # member count); checkpoint it so the corpus-vs-centroid scoring
-    # scan runs once, not three times — at 100 TB that is two whole
-    # corpus scans saved
-    assignment = assign_clusters(emb, centroids).localCheckpoint(
-        eager=False
-    )
+    # ONE pinned frame for the whole pipeline (r12): the clustered
+    # frame (assignment ⋈ vectors + per-row norm) feeds both pair
+    # sides AND the member count, so a single checkpoint materializes
+    # the corpus-vs-centroid scoring exactly once — at 100 TB that is
+    # two whole corpus scans saved. The pre-r12 shape ALSO pinned the
+    # bare assignment, paying a second checkpoint write of the same N
+    # rows (plus its build-time stage execution) for no scan saved.
+    assignment = assign_clusters(emb, centroids)
+    clustered = clustered_vectors(emb, assignment)
     # K_CENTROIDS clusters << cores: salt the pair join so each
     # cluster's quadratic pair work spreads across the machine
     fanout = max(
         1, spark.sparkContext.defaultParallelism // K_CENTROIDS
     )
-    pairs = semdedup_pairs(emb, assignment, SEMDEDUP_T, fanout=fanout)
-    return semdedup_summary(assignment, pairs)
+    pairs = semdedup_pairs(
+        emb, assignment, SEMDEDUP_T, fanout=fanout, clustered=clustered
+    )
+    return semdedup_summary(clustered, pairs)
 
 
 @register(

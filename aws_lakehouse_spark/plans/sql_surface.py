@@ -313,7 +313,14 @@ def streaming_cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.select(
         "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("seq")
     )
-    base.coalesce(1).write.mode("append").parquet(src)
+    # repartition(1), not coalesce(1): coalesce folds the WHOLE
+    # filtered scan into one serial task (guide §2.4 — a keyless
+    # repartition keeps the scan parallel and exchanges only the
+    # surviving 10k rows to the single writer); one file per batch is
+    # the scenario contract (one micro-batch per drain), and the merge
+    # is row-order-independent (max_by over a full-row rank), so the
+    # file's internal row order cannot change the committed snapshot.
+    base.repartition(1).write.mode("append").parquet(src)
     streaming_upsert(spark, src, schema, ckpt, table, ["o_orderkey"], "seq")
 
     updates = orders.filter(F.col("o_orderkey") % 4 == 0).select(
@@ -322,7 +329,7 @@ def streaming_cdc_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
         F.lit(1).alias("seq"),
     )
-    updates.coalesce(1).write.mode("append").parquet(src)
+    updates.repartition(1).write.mode("append").parquet(src)
     streaming_upsert(spark, src, schema, ckpt, table, ["o_orderkey"], "seq")
 
     return read_snapshot(spark, table).select(

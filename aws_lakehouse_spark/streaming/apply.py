@@ -72,8 +72,16 @@ def apply_merge_batch(
     )
     if snapshots.versions(table_path):
         current = snapshots.read_snapshot(spark, table_path)
+        # anti-join against the RAW batch keys, not the deduped
+        # frame's: anti-join semantics depend only on the key SET
+        # (right-side duplicates are irrelevant), while b.select(keys)
+        # is a keys-only Aggregate that Catalyst cannot share with b's
+        # full max_by aggregate — a whole extra shuffle stage plus a
+        # second batch scan per merge for identical results (r12,
+        # guide §2.4: two operations keyed the same way should not
+        # pay two exchanges).
         merged = current.join(
-            b.select(*keys), keys, "left_anti"
+            batch.select(*keys), keys, "left_anti"
         ).unionByName(b)
     else:
         merged = b
