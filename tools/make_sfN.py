@@ -92,12 +92,31 @@ SCALED = (
 )
 
 
+def source_unit_factor(con: duckdb.DuckDBPyConnection, src: str) -> int:
+    """KEY_UNITS_SF01 are sf0.1 cardinalities; tiling a LARGER source
+    (e.g. sf1 → sf10) with the raw units makes replica key ranges
+    OVERLAP — r12 caught this producing a smeared sf10 co-purchase
+    graph whose density (and pagerank wall) exploded superlinearly.
+    Scale every unit by the source's size relative to sf0.1, read off
+    the orders row count (150k at sf0.1)."""
+    n_orders = con.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{src}/orders.parquet')"
+    ).fetchone()[0]
+    factor = max(1, round(n_orders / 150_000))
+    assert n_orders == 150_000 * factor, (
+        f"source orders count {n_orders} is not a whole multiple of "
+        "the sf0.1 cardinality; refusing to guess key offsets"
+    )
+    return factor
+
+
 def scale_table(
     con: duckdb.DuckDBPyConnection,
     src: str,
     out: str,
     table: str,
     mult: int,
+    unit_factor: int = 1,
 ) -> None:
     cols = con.sql(
         f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')"
@@ -105,6 +124,8 @@ def scale_table(
     select = []
     for name, dtype, *_ in cols:
         unit = KEY_UNITS_SF01.get(name)
+        if unit is not None:
+            unit *= unit_factor
         if unit is None:
             select.append(name)
             continue
@@ -153,8 +174,9 @@ def main() -> int:
         )
         verify_schema(args.src, args.out, t)
         print(f"{t}: copied through")
+    unit_factor = source_unit_factor(con, args.src)
     for t in SCALED:
-        scale_table(con, args.src, args.out, t, args.mult)
+        scale_table(con, args.src, args.out, t, args.mult, unit_factor)
         verify_schema(args.src, args.out, t)
         n_src = con.sql(
             f"SELECT COUNT(*) FROM read_parquet('{args.src}/{t}.parquet')"
